@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Headline analytic queries over the TPC-H-ish star schema.
+  *
+  * Design notes (100 TB posture):
+  *  - Filters appear directly over the scan so Catalyst pushes them to
+  *    parquet (`PushedFilters` in explain) and prunes columns.
+  *  - Dimension tables (region/nation/customer/supplier/part — tiny at
+  *    TPC-H ratios) are joined with explicit `broadcast()` hints: the
+  *    fact table never shuffles for those joins.
+  *  - Double-valued aggregates are rounded *in the query* so results are
+  *    stable under partition-order float association (and match the
+  *    identically-rounded DuckDB oracle).
+  *  - Every top-k query carries a total ordering (tie-broken by key).
+  */
+object Analytics {
+
+  /** Q1 pricing summary: wide aggregate over lineitem with a pushdown
+    * shipdate filter. Single shuffle (partial agg map-side). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Q3 shipping priority: customer ⋈ orders ⋈ lineitem, revenue top-10.
+    * customer is broadcast; orders⋈lineitem shuffles on orderkey. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1996-06-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1996-06-01 00:00:00").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        $"o_orderpriority", $"revenue")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** Q5-style: revenue by nation for one region; all dims broadcast,
+    * single fact-fact shuffle (orders⋈lineitem). */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              $"o_orderdate" < lit("1997-01-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      // local supplier: supplier nation == customer nation
+      .filter($"s_nationkey" === $"c_nationkey")
+      .join(broadcast(nation.select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Q6 forecast revenue: pure scan-filter-agg, everything pushed down. */
+  def q6RevenueForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              $"l_shipdate" < lit("1997-01-01 00:00:00").cast("timestamp") &&
+              $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+              $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+  }
+
+  /** Window functions: top-3 orders per customer market segment by price. */
+  def qWindowTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"o_totalprice".desc, $"o_orderkey")
+    ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"c_mktsegment", $"rk", $"o_orderkey",
+        round($"o_totalprice", 2).as("o_totalprice"), $"c_name")
+      .orderBy($"c_mktsegment", $"rk")
+  }
+
+  /** Left-semi join: orders having at least one late-shipped line. */
+  def qSemijoinPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+              $"o_orderdate" < lit("1996-09-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).filter($"l_returnflag" === "R")
+    ord.join(li, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Left-anti join: parts never shipped in bulk (quantity >= 48). */
+  def qAntijoinParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" >= 48).select($"l_partkey")
+    part.join(li, $"p_partkey" === $"l_partkey", "left_anti")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"), round(avg($"p_retailprice"), 2).as("avg_price"))
+      .orderBy($"p_brand")
+  }
+
+  /** ROLLUP: sales by (returnflag, linestatus) with subtotals + total. */
+  def qRollupSales(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_extendedprice"), 2).as("total_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+}
