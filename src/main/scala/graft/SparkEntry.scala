@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Analytics
+import graft.operators.{Analytics, IoQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -27,6 +27,9 @@ object SparkEntry {
     "q_semijoin_priority"      -> (Analytics.qSemijoinPriority _),
     "q_antijoin_parts"         -> (Analytics.qAntijoinParts _),
     "q_rollup_sales"           -> (Analytics.qRollupSales _),
+    "io_dsv_roundtrip"         -> (IoQueries.ioDsvRoundtrip _),
+    "io_jsonlines_roundtrip"   -> (IoQueries.ioJsonlinesRoundtrip _),
+    "io_partitioned_roundtrip" -> (IoQueries.ioPartitionedRoundtrip _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -121,5 +124,26 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // io_* oracles aggregate the ORIGINAL parquet: a hash match proves
+    // the write→read roundtrip through the format was lossless.
+    "io_dsv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  sum(l_orderkey) AS sum_okey, sum(l_partkey) AS sum_pkey
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "io_jsonlines_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sum_okey,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "io_partitioned_roundtrip" ->
+      """SELECT event_type, count(*) AS n, sum(event_id) AS sum_id,
+        |  round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.GraftIO
+
+/** Correctness-gate queries for the I/O layer (SURVEY §2.2): write a
+  * table out through GraftIO in each format, read it back, aggregate.
+  * The DuckDB oracle computes the same aggregate over the ORIGINAL
+  * parquet — so a hash match proves roundtrip fidelity, not just that
+  * the code ran.
+  */
+object IoQueries {
+
+  private def tmpDir(name: String, sfDir: String): String =
+    s"/tmp/graft_io/${name}_${math.abs(sfDir.hashCode)}"
+
+  /** Gzip-compressed pipe-separated values roundtrip of lineitem. */
+  def ioDsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    val li = Tables.lineitem(spark, dir).select(cols.map(col): _*)
+    val out = tmpDir("dsv", dir)
+    GraftIO.write(li, out, GraftIO.Dsv, gzip = true, sep = "|")
+    GraftIO.read(spark, out, GraftIO.Dsv, sep = "|", schema = Some(li.schema))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"),
+        sum($"l_orderkey").as("sum_okey"),
+        sum($"l_partkey").as("sum_pkey"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Gzip jsonlines roundtrip of orders. */
+  def ioJsonlinesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val out = tmpDir("jsonl", dir)
+    GraftIO.write(ord, out, GraftIO.JsonLines, gzip = true)
+    GraftIO.read(spark, out, GraftIO.JsonLines, schema = Some(ord.schema))
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"o_orderkey").as("sum_okey"),
+        round(sum($"o_totalprice"), 2).as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Hive-partitioned parquet roundtrip of events, chunked output, with
+    * a partition-pruned read (only 2 of the event_type dirs scanned). */
+  def ioPartitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val out = tmpDir("part", dir)
+    GraftIO.write(ev, out, GraftIO.Parquet,
+      partitionBy = Seq("event_type"), chunks = 2)
+    GraftIO.read(spark, out, GraftIO.Parquet)
+      .filter($"event_type".isin("purchase", "signup")) // partition pruning
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"event_id").as("sum_id"),
+        round(sum($"value"), 2).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+}

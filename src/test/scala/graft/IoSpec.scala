@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{FileSystems, GraftIO}
+
+class IoSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_iospec").toString
+
+  test("pathFor mirrors reference get_path semantics") {
+    assert(FileSystems.pathFor("prefix", Seq("a", "b"), Seq(1, 2), Some("suffix"))
+      == "prefix/a=1/b=2/suffix")
+    assert(FileSystems.pathFor("prefix") == "prefix")
+    // trailing slash stripped when suffix empty
+    assert(FileSystems.pathFor("p", Seq("a"), Seq(1), Some("")) == "p/a=1")
+    // unique name when suffix None
+    val u1 = FileSystems.pathFor("p", Nil, Nil, None)
+    val u2 = FileSystems.pathFor("p", Nil, Nil, None)
+    assert(u1 != u2 && u1.startsWith("p/"))
+    // mismatched lengths / null values rejected
+    intercept[IllegalArgumentException] {
+      FileSystems.pathFor("p", Seq("a"), Seq(1, 2), Some(""))
+    }
+    intercept[IllegalArgumentException] {
+      FileSystems.pathFor("p", Seq("a"), Seq(null), Some(""))
+    }
+  }
+
+  test("FileSystems basic ops: write/read/ls/find/glob/cp/mv/rm/exists") {
+    val fs = FileSystems(spark)
+    val root = freshDir()
+    fs.mkdirs(s"$root/sub/deep")
+    fs.writeString(s"$root/sub/deep/a.txt", "hello graft")
+    assert(fs.exists(s"$root/sub/deep/a.txt"))
+    assert(fs.readString(s"$root/sub/deep/a.txt") == "hello graft")
+    assert(fs.find(root).exists(_.endsWith("a.txt")))
+    assert(fs.glob(s"$root/*/deep/*.txt").nonEmpty)
+    fs.cp(s"$root/sub/deep/a.txt", s"$root/b.txt")
+    assert(fs.readString(s"$root/b.txt") == "hello graft")
+    fs.mv(s"$root/b.txt", s"$root/c.txt")
+    assert(!fs.exists(s"$root/b.txt") && fs.exists(s"$root/c.txt"))
+    assert(fs.ls(root).nonEmpty)
+    assert(fs.modified(s"$root/c.txt") > 0)
+    fs.rm(root)
+    assert(!fs.exists(root))
+  }
+
+  test("dsv gzip roundtrip preserves values exactly") {
+    import spark.implicits._
+    val df = Seq((1L, "a|b", 1.5), (2L, "", 0.0), (3L, "z\\q", -2.25))
+      .toDF("id", "s", "v")
+    val out = freshDir() + "/d"
+    GraftIO.write(df, out, GraftIO.Dsv, gzip = true, sep = "|")
+    val back = GraftIO.read(spark, out, GraftIO.Dsv, sep = "|",
+      schema = Some(df.schema))
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // gzip actually applied
+    val fs = FileSystems(spark)
+    assert(fs.find(out).exists(_.endsWith(".gz")))
+  }
+
+  test("jsonlines roundtrip preserves values") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 1.5), (2L, "with \"quotes\"", -0.5)).toDF("id", "s", "v")
+    val out = freshDir() + "/j"
+    GraftIO.write(df, out, GraftIO.JsonLines)
+    val back = GraftIO.read(spark, out, GraftIO.JsonLines, schema = Some(df.schema))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("partitioned write creates hive layout; chunks bound file count") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd", i * 1.0))
+      .toDF("id", "parity", "v")
+    val out = freshDir() + "/p"
+    GraftIO.write(df, out, GraftIO.Parquet, partitionBy = Seq("parity"), chunks = 2)
+    val fs = FileSystems(spark)
+    val files = fs.find(out).filter(_.endsWith(".parquet"))
+    assert(files.exists(_.contains("parity=even")) && files.exists(_.contains("parity=odd")))
+    // ~2 chunks per partition directory (repartition targets, not exact law)
+    val perDir = files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    perDir.values.foreach(fl => assert(fl.length <= 4, s"too many files: $fl"))
+    // read restores partition col; dropped when restorePartitions=false
+    val back = GraftIO.read(spark, out, GraftIO.Parquet)
+    assert(back.columns.toSet == Set("id", "parity", "v"))
+    assert(back.count() == 100)
+    val noPart = GraftIO.read(spark, out, GraftIO.Parquet, restorePartitions = false)
+    assert(!noPart.columns.contains("parity"))
+  }
+
+  test("all-string dsv read matches reference default dtype=str") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("n", "s")
+    val out = freshDir() + "/s"
+    GraftIO.write(df, out, GraftIO.Dsv, sep = "\t")
+    val back = GraftIO.read(spark, out, GraftIO.Dsv, sep = "\t")
+    assert(back.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+}
