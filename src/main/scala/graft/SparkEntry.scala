@@ -131,16 +131,19 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_price,
-        |  sum(l_orderkey) AS sum_okey, sum(l_partkey) AS sum_pkey
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_pkey
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "io_jsonlines_roundtrip" ->
-      """SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sum_okey,
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "io_partitioned_roundtrip" ->
-      """SELECT event_type, count(*) AS n, sum(event_id) AS sum_id,
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
         |  round(sum(value), 2) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE event_type IN ('purchase', 'signup')

@@ -61,15 +61,20 @@ object GraftIO {
       maxRecordsPerFile: Long = 0L,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
 
-    // chunks per hive-partition: repartition on (partition cols, random
-    // chunk id) so each partition directory gets ~`chunks` files written
-    // by distinct tasks — the distributed analogue of the reference's
-    // suffix-list chunking (io.py:92-99).
+    // chunks per hive-partition: repartition on (partition cols, chunk
+    // id) so each partition directory gets ~`chunks` files written by
+    // distinct tasks — the distributed analogue of the reference's
+    // suffix-list chunking (io.py:92-99). The chunk id hashes the DATA
+    // columns (deterministic), so a task retry recomputes identical
+    // routing — unlike round-robin/monotonic ids, which can duplicate
+    // or drop rows when a lost shuffle partition is recomputed.
     val out =
       if (chunks <= 0) df
-      else if (partitionBy.isEmpty) df.repartition(chunks)
-      else df.repartition(
-        (partitionBy.map(col) :+ pmod(spark_partition_id() + monotonically_increasing_id(), lit(chunks))): _*)
+      else {
+        val dataCols = df.columns.filterNot(partitionBy.contains).map(col).toSeq
+        val chunkKey = pmod(xxhash64(dataCols: _*), lit(chunks.toLong))
+        df.repartition((partitionBy.map(col) :+ chunkKey): _*)
+      }
 
     val writer0 = out.write.mode(mode)
     val writer = if (partitionBy.nonEmpty) writer0.partitionBy(partitionBy: _*) else writer0
@@ -118,32 +123,40 @@ object GraftIO {
       inferSchema: Boolean = false,
       restorePartitions: Boolean = true): DataFrame = {
 
-    val reader0 = spark.read
-    val reader = schema.map(reader0.schema).getOrElse(reader0)
-    val df = format match {
-      case Parquet => reader.parquet(path)
-      case Dsv =>
-        reader
-          .option("sep", sep).option("header", header.toString)
-          // the writer quotes empty strings (`""`) and leaves nulls as
-          // unquoted empty fields; with the default nullValue="" BOTH
-          // would collapse to null on read — shift nullValue to a
-          // sentinel no real field contains so `""` survives as "".
-          .option("escape", "\\")
-          .option("nullValue", "__graft_reserved_null__")
-          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
-          .option("inferSchema", inferSchema.toString)
-          .csv(path)
-      case JsonLines => reader.json(path)
+    def load(recursive: Boolean): DataFrame = {
+      val reader0 = spark.read
+      val reader1 = schema.map(reader0.schema).getOrElse(reader0)
+      // recursiveFileLookup=true disables hive partition discovery, so
+      // the resolved schema contains only data-file columns.
+      val reader = if (recursive) reader1.option("recursiveFileLookup", "true") else reader1
+      format match {
+        case Parquet => reader.parquet(path)
+        case Dsv =>
+          reader
+            .option("sep", sep).option("header", header.toString)
+            // the writer quotes empty strings (`""`) and leaves nulls as
+            // unquoted empty fields; with the default nullValue="" BOTH
+            // would collapse to null on read — shift nullValue to a
+            // sentinel no real field contains so `""` survives as "".
+            .option("escape", "\\")
+            .option("nullValue", "__graft_reserved_null__")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .option("inferSchema", inferSchema.toString)
+            .csv(path)
+        case JsonLines => reader.json(path)
+      }
     }
+
+    val df = load(recursive = false)
     if (restorePartitions) df
     else {
-      // partition columns are exactly those present in the dir layout;
-      // compare against data-file schema to find them
-      val dataCols = df.columns
-      val fromDirs = dataCols.filter { c =>
-        path.contains(s"$c=") || FileSystems(spark).find(path).exists(_.contains(s"/$c="))
-      }
+      // Partition columns are exactly (discovered schema) minus
+      // (data-file schema). Both sides are schema resolution only —
+      // footer/sample reads, no driver-side enumeration of every file
+      // (the previous FileSystems.find() walk would bottleneck the
+      // driver at millions of objects before the first task launched).
+      val dataOnly = load(recursive = true).columns.toSet
+      val fromDirs = df.columns.filterNot(dataOnly.contains)
       df.drop(fromDirs: _*)
     }
   }
