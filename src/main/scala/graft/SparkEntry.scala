@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, IoQueries}
+import graft.operators.{Analytics, FilterQueries, IoQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -30,6 +30,9 @@ object SparkEntry {
     "io_dsv_roundtrip"         -> (IoQueries.ioDsvRoundtrip _),
     "io_jsonlines_roundtrip"   -> (IoQueries.ioJsonlinesRoundtrip _),
     "io_partitioned_roundtrip" -> (IoQueries.ioPartitionedRoundtrip _),
+    "filter_events_basic"      -> (FilterQueries.filterEventsBasic _),
+    "filter_events_nested"     -> (FilterQueries.filterEventsNested _),
+    "filter_events_prefix_anybut" -> (FilterQueries.filterEventsPrefixAnybut _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -147,6 +150,30 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // filter_* oracles restate the compiled filter document as plain SQL
+    "filter_events_basic" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |   OR (event_type = 'click' AND value >= 50)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "filter_events_nested" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 20
+        |  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) <= 60
+        |  AND user_id < 100
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "filter_events_prefix_anybut" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events
+        |WHERE event_type LIKE 's%'
+        |   OR (event_type NOT IN ('click', 'view', 'error') AND value < 10)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
