@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, FilterQueries, IoQueries}
+import graft.operators.{Analytics, FilterQueries, IoQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -33,6 +33,10 @@ object SparkEntry {
     "filter_events_basic"      -> (FilterQueries.filterEventsBasic _),
     "filter_events_nested"     -> (FilterQueries.filterEventsNested _),
     "filter_events_prefix_anybut" -> (FilterQueries.filterEventsPrefixAnybut _),
+    "text_token_count"         -> (TextQueries.textTokenCount _),
+    "text_quality_score"       -> (TextQueries.textQualityScore _),
+    "text_language_id"         -> (TextQueries.textLanguageId _),
+    "text_fingerprint"         -> (TextQueries.textFingerprint _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -175,5 +179,36 @@ object SparkEntry {
         |WHERE event_type LIKE 's%'
         |   OR (event_type NOT IN ('click', 'view', 'error') AND value < 10)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // text_* oracles restate the same expression pipeline in DuckDB SQL;
+    // language_id and fingerprint are heuristic/hash outputs → rows-only.
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // integer-basis-point closed form mirroring TextFunctions.qualityScoreBp:
+    // N = 2mtc + 750hc + 750(c-p)t, D = 2500tc, q_bp = floor((10000N + D/2)/D)
+    "text_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(greatest(length(text), 1) AS BIGINT) AS c,
+        |    CAST(least(length(text), 500) AS BIGINT) AS m,
+        |    CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS BIGINT) AS t,
+        |    CAST(len(list_filter(
+        |         CASE WHEN length(trim(text)) = 0 THEN []
+        |              ELSE string_split_regex(trim(text), '\s+') END,
+        |         tok -> list_contains(['the','a','an','of','and','to','in','is','it','that'], tok))) AS BIGINT) AS h,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS p
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(floor((20000 * p + c) / (2.0 * c)) AS BIGINT) AS punct_bp,
+        |  CAST(floor((10000.0 * (2*m*t*c + 750*h*c + 750*(c-p)*t) + 1250.0*t*c)
+        |       / (2500.0*t*c)) AS BIGINT) AS quality_bp
+        |FROM base ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Correctness-gate queries for the text-analysis family (SURVEY §2.6)
+  * over the `documents` table. All four are shuffle-free map-side
+  * expression pipelines (plus one tiny final agg/sort for a stable
+  * result set).
+  */
+object TextQueries {
+
+  /** Per-document whitespace + BPE-ish token counts (SQL oracle). */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        tokenCountWs($"text").cast("long").as("n_ws"),
+        tokenCountBpe($"text").cast("long").as("n_bpe"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-document quality score + components, in exact integer basis
+    * points so the cross-engine hash compare has no float-rounding
+    * boundaries (SQL oracle). */
+  def textQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        punctRatioBp($"text").as("punct_bp"),
+        qualityScoreBp($"text").as("quality_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Stopword/CJK-ratio language ID; aggregated confusion counts vs the
+    * labeled lang column (rows oracle — heuristic output isn't
+    * SQL-expressible compactly). */
+  def textLanguageId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", languageId($"text").as("pred_lang"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** Winnowing fingerprints: per-doc fingerprint count plus a stable
+    * digest of the selected hashes (rows oracle). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .select($"doc_id", size($"fp").as("n_fp"), xxhash64($"fp").as("fp_digest"))
+      .orderBy($"doc_id")
+  }
+}

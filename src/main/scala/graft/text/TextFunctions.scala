@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything here is a pure codegen'd Column expression (builtins +
+  * higher-order functions, no UDFs): per-row map-side work with zero
+  * shuffle, so throughput scales linearly with executors at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Empty/blank text → empty array (split would
+    * yield [""]). */
+  def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and individual
+    * punctuation marks each count as one token — a cheap, deterministic
+    * stand-in for a learned subword vocab (same regex on the oracle
+    * side). */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0)))
+
+  /** English stopword list used by quality scoring and language ID
+    * (small on purpose: broadcast as a literal array into codegen). */
+  val EnStop = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Count of tokens found in `stop` (duplicates counted). */
+  def stopHitCount(tokens: Column, stop: Seq[String]): Column = {
+    val stopArr = array(stop.map(lit): _*)
+    size(filter(tokens, t => array_contains(stopArr, t)))
+  }
+
+  private def tokenHitRatio(tokens: Column, stop: Seq[String]): Column =
+    stopHitCount(tokens, stop) / greatest(size(tokens), lit(1)).cast("double")
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    punctCount(text) / greatest(length(text), lit(1)).cast("double")
+
+  /** Heuristic quality score in [0,1]:
+    * 0.4·min(1, chars/500) + 0.3·stopword-ratio + 0.3·(1 − punct-ratio).
+    * Length rewards substance, stopwords reward natural prose, heavy
+    * punctuation (markup/code debris) penalizes. */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(length(text) / lit(500.0), lit(1.0))
+    val stopTerm = tokenHitRatio(wsTokens(text), EnStop)
+    round(lit(0.4) * lenTerm + lit(0.3) * stopTerm + lit(0.3) * (lit(1.0) - punctRatio(text)), 4)
+  }
+
+  /** `qualityScore` in integer basis points (0..10000), computed with
+    * EXACT integer arithmetic: q_bp = round(10000·N/D) where
+    * N = 2·m·t·c + 750·h·c + 750·(c−p)·t  and  D = 2500·t·c
+    * (m = min(chars,500), t = max(tokens,1), c = max(chars,1),
+    * h = stopword hits, p = punctuation chars). Same closed form is
+    * stated in the DuckDB oracle, so the correctness gate is free of
+    * cross-engine float-rounding boundaries (round(x, 4) on doubles
+    * differs between engines exactly at .00005 edges). All terms fit a
+    * long; the final floor() sits on a double whose value is ≥1e-9
+    * away from the nearest integer, so it cannot misround. */
+  def qualityScoreBp(text: Column): Column = {
+    val c = greatest(length(text), lit(1)).cast("long")
+    val m = least(length(text), lit(500)).cast("long")
+    val t = greatest(size(wsTokens(text)), lit(1)).cast("long")
+    val h = stopHitCount(wsTokens(text), EnStop).cast("long")
+    val p = punctCount(text).cast("long")
+    val n = lit(2L) * m * t * c + lit(750L) * h * c + lit(750L) * (c - p) * t
+    val d = lit(2500L) * t * c
+    floor((lit(10000L) * n + d / lit(2L)) / d).cast("long")
+  }
+
+  /** `punctRatio` in exact integer basis points (see qualityScoreBp). */
+  def punctRatioBp(text: Column): Column = {
+    val c = greatest(length(text), lit(1)).cast("long")
+    val p = punctCount(text).cast("long")
+    floor((lit(20000L) * p + c) / (lit(2L) * c)).cast("long")
+  }
+
+  /** Per-language stopword lists for language ID. */
+  val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "que", "por", "con", "para"),
+  )
+
+  /** CJK character ratio (zh detector). */
+  def cjkRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))) /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** n-gram/stopword-ratio language ID over {en,de,fr,es,zh}: the
+    * language whose stopword-hit ratio (CJK char ratio for zh) is
+    * highest; ties break to the lexicographically last language —
+    * array_max over (score, lang) structs is total and deterministic. */
+  def languageId(text: Column): Column = {
+    val tokens = wsTokens(text)
+    val scored = LangStops.map { case (lang, stops) =>
+      struct(tokenHitRatio(tokens, stops).as("score"), lit(lang).as("lang"))
+    } :+ struct(cjkRatio(text).as("score"), lit("zh").as("lang"))
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken —
+    * SIGMOD'03 "local algorithms for document fingerprinting"):
+    * hash all k-char grams, slide a window of w hashes, keep each
+    * window's minimum, distinct + sort. Robust to small edits; two
+    * documents sharing any selected gram share a fingerprint. */
+  def fingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
+    // sequence(1, n) DESCENDS when n < 1 — guard short inputs to an
+    // empty index range instead
+    def upTo(n: Column): Column =
+      when(n < 1, array().cast("array<int>")).otherwise(sequence(lit(1), n))
+    val grams = transform(
+      upTo(length(text) - lit(k - 1)),
+      i => xxhash64(text.substr(i, lit(k))))
+    val mins = transform(
+      upTo(size(grams) - lit(w - 1)),
+      i => array_min(slice(grams, i, lit(w))))
+    sort_array(array_distinct(mins))
+  }
+}

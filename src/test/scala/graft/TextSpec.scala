@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextFunctions._
+
+class TextSpec extends AnyFunSuite with SparkSpec {
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).getAs[T]("r")
+  }
+
+  test("whitespace token count") {
+    import spark.implicits._
+    val df = Seq("one two  three", "", "   ", "solo").toDF("t")
+      .select(tokenCountWs($"t").as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 0, 0, 1))
+  }
+
+  test("bpe-ish token count: letter runs, digit runs, punct marks") {
+    import spark.implicits._
+    // "it's 42%!" -> [it][']['s][42][%][!] = 6
+    assert(one[Int](tokenCountBpe($"t"), "it's 42%!") === 6)
+    assert(one[Int](tokenCountBpe($"t"), "plain words here") === 3)
+  }
+
+  test("quality score in [0,1], prose beats punctuation soup") {
+    import spark.implicits._
+    val prose = "the cat sat on the mat and it is a fine day in the sun"
+    val soup = "@#$% ^&*() !!!! ;;;; ::::"
+    val qProse = one[java.math.BigDecimal](qualityScore($"t").cast("decimal(10,4)"), prose).doubleValue()
+    val qSoup = one[java.math.BigDecimal](qualityScore($"t").cast("decimal(10,4)"), soup).doubleValue()
+    assert(qProse > qSoup)
+    assert(qProse >= 0.0 && qProse <= 1.0 && qSoup >= 0.0 && qSoup <= 1.0)
+  }
+
+  test("language id picks the stopword-dominant language") {
+    import spark.implicits._
+    val cases = Seq(
+      "the cat is in the house and it is warm" -> "en",
+      "der hund ist nicht in das haus und die katze" -> "de",
+      "le chat est dans la maison et les chiens pour pas" -> "fr",
+      "el gato es una casa y los perros que por con para" -> "es",
+      "中文文本测试" -> "zh")
+    cases.foreach { case (text, expected) =>
+      assert(one[String](languageId($"t"), text) === expected, s"text: $text")
+    }
+  }
+
+  test("winnowing fingerprint: deterministic, edit-robust, distinct docs differ") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val aEdit = a.replace("lazy", "hazy") // small edit
+    val b = "completely different content with no overlap whatsoever present"
+    def fp(s: String): Seq[Long] =
+      one[scala.collection.Seq[Long]](fingerprint($"t"), s).toSeq
+    assert(fp(a) === fp(a)) // deterministic
+    val shared = fp(a).toSet.intersect(fp(aEdit).toSet).size.toDouble /
+      fp(a).toSet.union(fp(aEdit).toSet).size
+    assert(shared > 0.5, s"edit-robustness: $shared")
+    val cross = fp(a).toSet.intersect(fp(b).toSet)
+    assert(cross.size <= 1)
+  }
+
+  test("fingerprint of short/empty text is empty, not an error") {
+    import spark.implicits._
+    assert(one[scala.collection.Seq[Long]](fingerprint($"t"), "abc").isEmpty)
+    assert(one[scala.collection.Seq[Long]](fingerprint($"t"), "").isEmpty)
+  }
+}
