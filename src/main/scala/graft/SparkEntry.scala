@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, FilterQueries, IoQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, DedupQueries, FilterQueries, IoQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -37,6 +37,13 @@ object SparkEntry {
     "text_quality_score"       -> (TextQueries.textQualityScore _),
     "text_language_id"         -> (TextQueries.textLanguageId _),
     "text_fingerprint"         -> (TextQueries.textFingerprint _),
+    "dedup_exact"              -> (DedupQueries.dedupExact _),
+    "dedup_ngram_jaccard"      -> (DedupQueries.dedupNgramJaccard _),
+    "dedup_minhash_lsh"        -> (DedupQueries.dedupMinhashLsh _),
+    "dedup_simhash"            -> (DedupQueries.dedupSimhash _),
+    "dedup_embedding_cosine"   -> (DedupQueries.dedupEmbeddingCosine _),
+    "ann_bruteforce_topk"      -> (AnnQueries.annBruteforceTopk _),
+    "ann_lsh_topk"             -> (AnnQueries.annLshTopk _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -210,5 +217,51 @@ object SparkEntry {
         |  CAST(floor((10000.0 * (2*m*t*c + 750*h*c + 750*(c-p)*t) + 1250.0*t*c)
         |       / (2500.0*t*c)) AS BIGINT) AS quality_bp
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // dedup_exact: oracle groups by full text (spark groups by sha256
+    // digest — identical result barring a collision)
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // dedup_ngram_jaccard: the oracle verifies the prefix-filtered join
+    // against a brute-force all-pairs jaccard (feasible only at oracle
+    // scale; the spark side never goes quadratic)
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks),
+        |g2 AS (SELECT * FROM grams WHERE len(g) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS inter,
+        |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS BIGINT) AS uni
+        |  FROM g2 a JOIN g2 b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(floor((20000 * inter + uni) / (2.0 * uni)) AS BIGINT) AS j_bp
+        |FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      """SELECT qid, rk, vid, CAST(floor(1000 * s + 0.5) AS BIGINT) AS sim_mbp
+        |FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id AS vid,
+        |    list_cosine_similarity(q.embedding, e.embedding) AS s,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+        |               e.vec_id) AS BIGINT) AS rk
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
   )
 }

@@ -1,0 +1,60 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded label-propagation connected components over an undirected
+  * edge list — the cluster-assembly step of the dedup pipelines.
+  *
+  * Each iteration is one key-shuffle: newLabel(v) = min(label(v),
+  * min over neighbors' labels). Labels are monotonically non-increasing
+  * and converge to the component's minimum id in at most `diameter`
+  * iterations. Duplicate clusters are near-cliques (diameter 1-2), so a
+  * small fixed bound is exact in practice AND caps cost at scale — an
+  * unbounded loop on 100 TB would be a runaway job. Each round is
+  * persisted and the previous round unpersisted so lineage stays flat.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with long columns (src, dst), undirected
+    *              (either orientation; both are added internally)
+    * @return (id, component) — component = min id reachable within
+    *         `maxIter` hops (exact when maxIter >= diameter)
+    */
+  def label(edges: DataFrame, maxIter: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val adj = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = adj.select($"src".as("id")).distinct()
+      .withColumn("component", $"id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize before the loop mutates the var
+
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      // candidate labels flowing along edges, then keep the min per id
+      val next = adj
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select($"src".as("id"), $"component")
+        .union(labels)
+        .groupBy($"id")
+        .agg(min($"component").as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter($"component" =!= $"old").limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    adj.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,143 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Similarity / sketching primitives for dedup and ANN, all as pure
+  * Column expressions (no UDFs — everything stays inside whole-stage
+  * codegen and scales map-side).
+  *
+  * Sketch designs are the standard public constructions: MinHash
+  * (Broder '97), LSH banding (Leskovec/Rajaraman/Ullman, Mining of
+  * Massive Datasets ch.3), SimHash (Charikar '02), random-hyperplane
+  * signatures for cosine (Charikar '02), prefix filtering for exact
+  * set-similarity joins (Chaudhuri et al. '06, Bayardo et al. '07).
+  */
+object Similarity {
+
+  /** Distinct word n-grams ("shingles") of a token array, joined by a
+    * single space. Documents with fewer than n tokens yield an empty
+    * array. */
+  def wordNgrams(tokens: Column, n: Int): Column = {
+    val idx = when(size(tokens) - lit(n - 1) < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(tokens) - lit(n - 1)))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", slice(tokens, i, lit(n)))))
+  }
+
+  /** k-permutation MinHash signature: element i is
+    * min over grams of xxhash64(i, gram) — one draw per "permutation"
+    * seeded by the lane index. Empty gram set → null-free empty guard
+    * must be applied by the caller (signature would be all-null). */
+  def minhashSignature(grams: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(grams, g => xxhash64(i, g))))
+
+  /** LSH banding of a MinHash signature: b bands of r rows each →
+    * array of (band, bandHash) structs. Docs sharing any (band,
+    * bandHash) are candidates — the ONLY shuffle key the dedup join
+    * uses; nothing is ever compared all-pairs. */
+  def lshBands(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)), i =>
+      struct(i.as("band"), xxhash64(i, slice(sig, i * r + 1, lit(r))).as("band_hash")))
+
+  /** MinHash LSH bands computed DIRECTLY from the gram set, skipping
+    * the materialized signature. `lshBands(minhashSignature(g))` looks
+    * equivalent, but after Catalyst collapses projections each band's
+    * slice re-evaluates the ENTIRE k-lane signature expression — a b×
+    * blowup (measured 16× → ~50s at sf0.01). Here band i hashes only
+    * its own r lanes, so every lane is computed exactly once. */
+  def minhashLshBands(grams: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)), i =>
+      struct(i.as("band"),
+        xxhash64(i, transform(sequence(i * r, (i + 1) * r - 1), lane =>
+          array_min(transform(grams, g => xxhash64(lane, g))))).as("band_hash")))
+
+  /** Exact dot product of two numeric arrays (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact cosine similarity of two numeric arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+
+  /** 64-bit SimHash of a token array: bit j of the signature is set
+    * when the majority of token hashes have bit j set (ties → set,
+    * matching the usual >= 0 convention on the ±1 sum). */
+  def simhash64(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, j) => acc.bitwiseOR(when(
+        size(filter(hashes, h => shrDyn(h, j).bitwiseAND(lit(1L)) === lit(1L))) * 2
+          >= size(hashes),
+        shlDyn(lit(1L), j)).otherwise(lit(0L))))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash band blocking: split a `bits`-wide signature into `bands`
+    * equal bit-slices. Two signatures within hamming distance
+    * `bands - 1` MUST agree on at least one slice (pigeonhole), so a
+    * join on (band, slice-value) finds all such pairs with no
+    * all-pairs comparison. */
+  def simhashBands(sig: Column, bands: Int, bits: Int = 64): Column = {
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    transform(sequence(lit(0), lit(bands - 1)), i =>
+      struct(i.as("band"),
+        shrDyn(sig, i * lit(width)).bitwiseAND(lit(mask)).as("band_bits")))
+  }
+
+  /** Random-hyperplane signature for cosine LSH: bit i is the sign of
+    * the dot product with a deterministic ±1 hyperplane derived from
+    * xxhash64(plane, dim). Angle between vectors ∝ expected bit
+    * disagreement (Charikar '02). */
+  def hyperplaneSignature(vec: Column, planes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+            x.cast("double") * when(xxhash64(p, d).bitwiseAND(lit(1L)) === 1L, lit(1.0))
+              .otherwise(lit(-1.0))),
+          lit(0.0), (a, x) => a + x)
+        acc.bitwiseOR(when(proj >= 0, shlDyn(lit(1L), p)).otherwise(lit(0L)))
+      })
+
+  /** Hyperplane signature banded directly from the vector (see
+    * minhashLshBands for why: banding a materialized signature
+    * re-evaluates the whole signature expression per band after
+    * projection collapse). Band i covers planes [i*w, (i+1)*w). */
+  def hyperplaneBands(vec: Column, planes: Int, bands: Int): Column = {
+    val width = planes / bands
+    transform(sequence(lit(0), lit(bands - 1)), i =>
+      struct(i.as("band"),
+        aggregate(
+          sequence(i * width, (i + 1) * width - 1),
+          lit(0L),
+          (acc, p) => {
+            val proj = aggregate(
+              zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+                x.cast("double") * when(xxhash64(p, d).bitwiseAND(lit(1L)) === 1L, lit(1.0))
+                  .otherwise(lit(-1.0))),
+              lit(0.0), (a, x) => a + x)
+            acc.bitwiseOR(when(proj >= 0, shlDyn(lit(1L), p - i * width)).otherwise(lit(0L)))
+          }).as("band_bits")))
+  }
+
+  /** Dynamic-count bit shifts: the SQL ShiftRight/ShiftLeft expressions
+    * accept an expression count; only the Scala `functions` wrappers
+    * restrict it to a literal Int. */
+  private def shrDyn(c: Column, by: Column): Column =
+    call_function("shiftright", c, by)
+
+  private def shlDyn(c: Column, by: Column): Column =
+    call_function("shiftleft", c, by)
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupQueries
+import graft.similarity.{ConnectedComponents, Similarity}
+import graft.text.TextFunctions
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  test("connected components: chain, clique, singleton-free") {
+    import spark.implicits._
+    // components: {1,2,3,4,5} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("src", "dst")
+    val got = ConnectedComponents.label(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("prefix-filtered jaccard join == brute force (sf0.001 documents)") {
+    import spark.implicits._
+    val tau = 0.7
+    val exact = DedupQueries.dedupNgramJaccard(spark, sf)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id",
+        Similarity.wordNgrams(TextFunctions.wsTokens($"text"), 2).as("g"))
+      .filter(size($"g") > 0)
+    val brute = docs.as("a").crossJoin(docs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .withColumn("inter", size(array_intersect($"a.g", $"b.g")).cast("double"))
+      .filter($"inter" / (size($"a.g") + size($"b.g") - $"inter") >= tau)
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(exact === brute)
+    assert(brute.nonEmpty, "corpus should contain near-dup pairs")
+  }
+
+  test("minhash signature similarity estimates jaccard") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"tok$i")
+    val b = (7 to 66).map(i => s"tok$i") // jaccard = 54/66 ≈ 0.818
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.minhashSignature($"a", 128).as("sa"),
+        Similarity.minhashSignature($"b", 128).as("sb"))
+      .select(size(filter(zip_with($"sa", $"sb", (x, y) => x === y), b => b)).as("eq"))
+    val r = df.collect()(0)
+    val est = r.getInt(0).toDouble / 128
+    assert(math.abs(est - 54.0 / 66) < 0.15, s"estimate $est")
+  }
+
+  test("simhash: identical tokens → 0 hamming; near-identical → small; disjoint → large") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"w$i")
+    val near = base.updated(3, "CHANGED")
+    val far = (1 to 80).map(i => s"z$i")
+    val df = Seq((base, near, far)).toDF("a", "b", "c").select(
+      Similarity.hamming64(Similarity.simhash64($"a"), Similarity.simhash64($"a")).as("aa"),
+      Similarity.hamming64(Similarity.simhash64($"a"), Similarity.simhash64($"b")).as("ab"),
+      Similarity.hamming64(Similarity.simhash64($"a"), Similarity.simhash64($"c")).as("ac"))
+    val r = df.collect()(0)
+    assert(r.getInt(0) === 0)
+    assert(r.getInt(1) < r.getInt(2), s"near=${r.getInt(1)} far=${r.getInt(2)}")
+  }
+
+  test("cosine matches manual computation; hyperplane signature is deterministic") {
+    import spark.implicits._
+    val a = Seq(1.0f, 2.0f, 3.0f)
+    val b = Seq(-1.0f, 0.5f, 2.0f)
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val df = Seq((a, b)).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b").as("c")).collect()(0).getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+    val s1 = df.select(Similarity.hyperplaneSignature($"a", 16)).collect()(0).getLong(0)
+    val s2 = df.select(Similarity.hyperplaneSignature($"a", 16)).collect()(0).getLong(0)
+    assert(s1 === s2)
+    assert(s1 >= 0 && s1 < (1L << 16))
+  }
+
+  test("simhash band blocking is pigeonhole-complete for hamming <= bands-1") {
+    import spark.implicits._
+    // two signatures differing in exactly 3 bits must share >= 1 of 4 bands
+    val x = 0x0123456789abcdefL
+    val y = x ^ ((1L << 2) | (1L << 21) | (1L << 63)) // 3 flipped bits, 3 distinct bands
+    val df = Seq((x, y)).toDF("x", "y").select(
+      Similarity.simhashBands($"x", 4).as("bx"),
+      Similarity.simhashBands($"y", 4).as("by"))
+    val r = df.select(size(array_intersect($"bx", $"by")).as("shared")).collect()(0)
+    assert(r.getInt(0) >= 1)
+  }
+}
