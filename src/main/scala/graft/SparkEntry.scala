@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, DedupQueries, FilterQueries, IoQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -44,6 +44,8 @@ object SparkEntry {
     "dedup_embedding_cosine"   -> (DedupQueries.dedupEmbeddingCosine _),
     "ann_bruteforce_topk"      -> (AnnQueries.annBruteforceTopk _),
     "ann_lsh_topk"             -> (AnnQueries.annLshTopk _),
+    "events_windowed_agg"      -> (EventQueries.eventsWindowedAgg _),
+    "events_sessionize"        -> (EventQueries.eventsSessionize _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -263,5 +265,27 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "events_windowed_agg" ->
+      """SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS bucket_start_s,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH lagd AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS p
+        |  FROM events),
+        |flags AS (
+        |  SELECT *, CASE WHEN p IS NULL OR tsn - p > 1800000000000 THEN 1 ELSE 0 END AS f
+        |  FROM lagd),
+        |sess AS (
+        |  SELECT *, sum(f) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  count(*) AS n, CAST((max(tsn) - min(tsn)) // 1000000000 AS BIGINT) AS duration_s
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
   )
 }

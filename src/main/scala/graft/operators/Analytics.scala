@@ -11,9 +11,11 @@ import graft.Tables
   * Design notes (100 TB posture):
   *  - Filters appear directly over the scan so Catalyst pushes them to
   *    parquet (`PushedFilters` in explain) and prunes columns.
-  *  - Dimension tables (region/nation/customer/supplier/part — tiny at
-  *    TPC-H ratios) are joined with explicit `broadcast()` hints: the
-  *    fact table never shuffles for those joins.
+  *  - Only FIXED-SIZE dims (region: 5 rows, nation: 25 rows) carry
+  *    explicit `broadcast()` hints. customer/supplier/part scale
+  *    linearly with sf, so their joins are unhinted: AQE broadcasts
+  *    them while they fit and switches to a skew-split shuffle join
+  *    when they don't — a hard-coded hint would OOM at 100 TB.
   *  - Double-valued aggregates are rounded *in the query* so results are
   *    stable under partition-order float association (and match the
   *    identically-rounded DuckDB oracle).
@@ -41,7 +43,9 @@ object Analytics {
   }
 
   /** Q3 shipping priority: customer ⋈ orders ⋈ lineitem, revenue top-10.
-    * customer is broadcast; orders⋈lineitem shuffles on orderkey. */
+    * No broadcast hint on customer — it scales linearly with sf (and is
+    * multi-GB at 100 TB); AQE picks the join strategy at runtime and
+    * splits skewed shuffle partitions. */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
@@ -50,7 +54,7 @@ object Analytics {
     val li = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" > lit("1996-06-01 00:00:00").cast("timestamp"))
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
       .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
@@ -59,8 +63,12 @@ object Analytics {
       .limit(10)
   }
 
-  /** Q5-style: revenue by nation for one region; all dims broadcast,
-    * single fact-fact shuffle (orders⋈lineitem). */
+  /** Q5-style: revenue by nation for one region. Only the FIXED-SIZE
+    * dims (region: 5 rows, nation: 25 rows) carry broadcast hints;
+    * supplier and customer scale linearly with sf, so their joins are
+    * left to AQE (shuffle join on the key, skew-split at runtime —
+    * an explicit broadcast hint would force a multi-GB build side at
+    * 100 TB). */
   def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val region = Tables.region(spark, dir).filter($"r_name" === "ASIA")
@@ -72,11 +80,11 @@ object Analytics {
               $"o_orderdate" < lit("1997-01-01 00:00:00").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(cust
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(cust
         .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
-        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
       // local supplier: supplier nation == customer nation
       .filter($"s_nationkey" === $"c_nationkey")
       .join(broadcast(nation.select($"n_nationkey", $"n_name")),
@@ -97,14 +105,28 @@ object Analytics {
       .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
   }
 
-  /** Window functions: top-3 orders per customer market segment by price. */
+  /** Window functions: top-3 orders per customer market segment by
+    * price, TWO-PHASE. c_mktsegment has only 5 distinct values — a
+    * single window over it funnels every order through 5 tasks at any
+    * scale. Phase 1 takes a partial top-3 inside (segment, salt)
+    * buckets; phase 2 merges the <= salts*3 survivors per segment.
+    * The global top-3 is a subset of the per-salt top-3s, so the
+    * result is identical to the single-window plan. Customer join is
+    * unhinted (scales with sf) — AQE decides. */
   def qWindowTopCustomers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.customer(spark, dir)
     val ord = Tables.orders(spark, dir)
-    val w = Window.partitionBy($"c_mktsegment").orderBy($"o_totalprice".desc, $"o_orderkey")
-    ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
-      .withColumn("rk", row_number().over(w))
+    val salts = 64
+    val partial = Window
+      .partitionBy($"c_mktsegment", pmod(xxhash64($"o_orderkey"), lit(salts)))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val fin = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    ord.join(cust, $"o_custkey" === $"c_custkey")
+      .withColumn("prk", row_number().over(partial))
+      .filter($"prk" <= 3)
+      .withColumn("rk", row_number().over(fin))
       .filter($"rk" <= 3)
       .select($"c_mktsegment", $"rk", $"o_orderkey",
         round($"o_totalprice", 2).as("o_totalprice"), $"c_name")

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-time operators over the `events` table (SURVEY §2.7): batch
+  * twins of the streaming pipelines in graft.streaming.EventStreams.
+  *
+  * `ts` is read as epoch NANOS (long) under the session's
+  * `parquet.nanosAsLong`. Bucket arithmetic uses integer `div` — a
+  * double division of a ~1.7e18 numerator has ~512ns of representation
+  * error, enough to misround a bucket boundary.
+  */
+object EventQueries {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val GapNs = 1800L * 1000 * 1000 * 1000 // 30 min session gap
+
+  /** Tumbling 1-hour event-time window: count/sum/users per
+    * (window, event_type). Single partial-agg shuffle on a key whose
+    * cardinality grows with the time span — no skew funnel. */
+  def eventsWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("bucket_start_s",
+        (expr(s"ts div $HourNs") * 3600).cast("long"))
+      .groupBy($"bucket_start_s", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"bucket_start_s", $"event_type")
+  }
+
+  /** Gap-based sessionization (30-min inactivity closes a session):
+    * lag + cumulative-sum of session-start flags per user, then one
+    * row per session. Partitioning key is user_id, whose cardinality
+    * scales WITH the data (unlike a fixed-enum window key), so the
+    * shuffle stays uniform at 100×. Total ordering within a user is
+    * (ts, event_id) — deterministic under timestamp ties. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_ts".isNull || $"ts" - $"prev_ts" > GapNs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n"),
+        expr(s"CAST((max(ts) - min(ts)) div 1000000000 AS BIGINT)").as("duration_s"))
+      .orderBy($"user_id", $"session_id")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators (SURVEY
+  * §2.7 item 30). The transformations are source-agnostic: they accept
+  * any streaming (or batch) DataFrame with the events schema, so specs
+  * drive them from MemoryStream and production from readStream.
+  *
+  * Scale posture: state is per-key and bounded — watermarks bound the
+  * windowed-agg and dedup state, the session state is one small struct
+  * per active user, and event-time timeouts evict closed sessions.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark: late
+    * events beyond the watermark are dropped and window state is
+    * evicted — without the watermark, state grows forever. */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+  }
+
+  /** Exactly-once-per-id dedup bounded by the watermark: duplicates
+    * arriving within 1 hour of the first occurrence are dropped;
+    * dedup state older than the watermark is evicted. */
+  def dedupeWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
+  case class SessionState(startMs: Long, lastMs: Long, n: Long)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes when `gapMs` passes with no event (emitted immediately if a
+    * later event for the user arrives, or via event-time timeout once
+    * the watermark passes last+gap). Batch twin:
+    * operators.EventQueries.eventsSessionize. */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, s.startMs, s.lastMs, s.n))
+      } else {
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+            case Some(s) =>
+              closed ::= Session(userId, s.startMs, s.lastMs, s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // evict once the watermark passes the session gap
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

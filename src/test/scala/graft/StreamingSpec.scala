@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, Session}
+
+/** Structured Streaming specs (SURVEY §2.7 item 30): watermarked
+  * windowed agg, flatMapGroupsWithState sessionization, and
+  * dropDuplicatesWithinWatermark, all driven from MemoryStream.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60 * 1000)
+
+  test("watermarked tumbling-window counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(df).writeStream
+      .format("memory").queryName("win_counts").outputMode(OutputMode.Complete).start()
+    try {
+      in.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0), (ts(70), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select($"window_start", $"event_type", $"n", $"sum_value")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows === Set((0L, "click", 2L, 3.0), (60L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionize(in.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    try {
+      // NB: offset from epoch 0 — an event at exactly the initial
+      // watermark (0) is dropped as late.
+      // user 1: two events 10 min apart (one session), then a 90-min
+      // gap; user 2: single event
+      in.addData(Ev(1, ts(1000), 1), Ev(1, ts(1010), 2), Ev(2, ts(1005), 3))
+      q.processAllAvailable()
+      // later batch: new event for user 1 after the gap closes session 1
+      // AND advances the watermark far enough to time out user 2's state
+      in.addData(Ev(1, ts(1100), 4), Ev(2, ts(1200), 5))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(1400), 6)) // push watermark past everything open
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect().toSet
+      def ms(m: Long) = m * 60000
+      assert(sessions.contains(Session(1, ms(1000), ms(1010), 2)), s"got $sessions")
+      assert(sessions.contains(Session(2, ms(1005), ms(1005), 1)), s"got $sessions")
+      assert(sessions.contains(Session(1, ms(1100), ms(1100), 1)), s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "event_id")
+    val q = EventStreams.dedupeWithinWatermark(df).writeStream
+      .format("memory").queryName("deduped").outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), 100L), (ts(2), 100L), (ts(3), 101L))
+      q.processAllAvailable()
+      in.addData((ts(4), 100L), (ts(5), 102L))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select($"event_id").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(100L, 101L, 102L))
+    } finally q.stop()
+  }
+}
