@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, MultimodalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -46,6 +46,7 @@ object SparkEntry {
     "ann_lsh_topk"             -> (AnnQueries.annLshTopk _),
     "events_windowed_agg"      -> (EventQueries.eventsWindowedAgg _),
     "events_sessionize"        -> (EventQueries.eventsSessionize _),
+    "multimodal_pipeline"      -> (MultimodalQueries.multimodalPipeline _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */

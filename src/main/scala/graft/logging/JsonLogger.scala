@@ -1,0 +1,116 @@
+package graft.logging
+
+import java.io.PrintStream
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+/** JSON-structured logger — Spark-side twin of the reference
+  * `datatoolz.logging.JsonLogger` (logging.py:16-105).
+  *
+  * Emits one JSON object per line:
+  * `{"logger": {"application": ..., "environment": ...}, "level": ...,
+  *   "timestamp": "YYYY-MM-DD HH:MM:SS.ffffff", "message": ...,
+  *   "extra": {...}}`
+  * with `extra` omitted when empty — byte-shape-compatible with the
+  * reference emitter (logging.py:41-49).
+  *
+  * `timed` is the `decorate` twin (logging.py:67-105): wraps a block,
+  * logging function name, duration, memory (JVM used-heap before/after
+  * — the tracemalloc analogue available on a JVM), plus static or
+  * result-derived extras.
+  *
+  * Intended for DRIVER-side pipeline orchestration logging. Executors
+  * should not construct per-row loggers (that would serialize a
+  * PrintStream into tasks); per-row observability belongs in metrics
+  * columns, not logs.
+  */
+class JsonLogger(
+    name: Option[String] = None,
+    env: Option[String] = None,
+    out: PrintStream = System.out,
+    clock: () => Instant = () => Instant.now()) {
+
+  import JsonLogger._
+
+  private def emit(level: String, msg: String, extra: Seq[(String, Any)]): Unit = {
+    val ts = TsFormat.format(clock().atOffset(ZoneOffset.UTC))
+    val base = Seq(
+      "logger" -> Map("application" -> name.orNull, "environment" -> env.orNull),
+      "level" -> level,
+      "timestamp" -> ts,
+      "message" -> msg)
+    val fields = if (extra.nonEmpty) base :+ ("extra" -> extra) else base
+    out.println(render(fields))
+  }
+
+  def info(msg: String, extra: (String, Any)*): Unit = emit("info", msg, extra)
+  def debug(msg: String, extra: (String, Any)*): Unit = emit("debug", msg, extra)
+  def warning(msg: String, extra: (String, Any)*): Unit = emit("warning", msg, extra)
+  def error(msg: String, extra: (String, Any)*): Unit = emit("error", msg, extra)
+
+  /** Run `body`, then log `msg` with execution metrics and extras.
+    * Derived extras (`Any => Any` values) are applied to the result —
+    * the callable-extra behavior of the reference decorator
+    * (logging.py:95-99). */
+  def timed[T](
+      msg: String,
+      function: String = "block",
+      duration: Boolean = true,
+      memory: Boolean = true,
+      extra: Seq[(String, Any)] = Nil)(body: => T): T = {
+    val rt = Runtime.getRuntime
+    val memBefore = if (memory) rt.totalMemory() - rt.freeMemory() else 0L
+    val t0 = System.nanoTime()
+    val result = body
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val fields = Seq.newBuilder[(String, Any)]
+    fields += ("function" -> function)
+    if (memory) {
+      val memAfter = rt.totalMemory() - rt.freeMemory()
+      fields += ("memory" -> Map("current" -> (memAfter - memBefore), "peak" -> memAfter))
+    }
+    if (duration) fields += ("duration" -> elapsed)
+    extra.foreach {
+      case (k, f: Function1[_, _]) =>
+        fields += (k -> f.asInstanceOf[Any => Any](result))
+      case kv => fields += kv
+    }
+    info(msg, fields.result(): _*)
+    result
+  }
+}
+
+object JsonLogger {
+
+  private val TsFormat = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Minimal deterministic JSON rendering (insertion-ordered objects;
+    * strings, numbers, booleans, null, Map/Seq recursion). */
+  private[logging] def render(value: Any): String = value match {
+    case null => "null"
+    case None => "null"
+    case Some(v) => render(v)
+    case s: String => quote(s)
+    case b: Boolean => b.toString
+    case d: Double => if (d.isNaN || d.isInfinite) quote(d.toString) else d.toString
+    case f: Float => render(f.toDouble)
+    case n: Number => n.toString
+    case m: Map[_, _] =>
+      m.map { case (k, v) => s"${quote(k.toString)}: ${render(v)}" }.mkString("{", ", ", "}")
+    case kvs: Seq[_] if kvs.forall(_.isInstanceOf[(_, _)]) && kvs.nonEmpty =>
+      kvs.map { case (k, v) => s"${quote(k.toString)}: ${render(v)}" }.mkString("{", ", ", "}")
+    case xs: Seq[_] => xs.map(render).mkString("[", ", ", "]")
+    case xs: Array[_] => render(xs.toSeq)
+    case other => quote(other.toString)
+  }
+
+  private def quote(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

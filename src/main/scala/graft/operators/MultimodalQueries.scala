@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRow
+
+/** Gate query for the multimodal pipeline (SURVEY §2.8 item 31).
+  * Builds a deterministic media corpus from the documents table
+  * (payload = UTF-8 text bytes standing in for encoded media),
+  * runs the partition-preserving decode/featurize/resize stages, and
+  * aggregates per media kind (rows oracle — byte-level features are
+  * not SQL-expressible in the oracle engine).
+  */
+object MultimodalQueries {
+
+  def multimodalPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val media = Tables.documents(spark, dir).select(
+        $"doc_id".as("media_id"),
+        // deterministic kind assignment: image/audio/video round-robin
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+        encode($"text", "UTF-8").as("payload"),
+        (pmod($"doc_id", lit(640)) + 32).cast("int").as("width"),
+        (pmod($"doc_id", lit(480)) + 32).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod($"doc_id", lit(300)) + 1).cast("int").as("n_frames"))
+      .as[MediaRow]
+
+    val features = Multimodal.decodeAndFeaturize(media)
+
+    val resized = Multimodal.resizePlan(media.toDF(), maxSide = 256)
+      .select($"media_id", $"out_width", $"out_height")
+
+    features.toDF()
+      .join(resized, "media_id")
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"n_bytes").as("total_bytes"),
+        xxhash64(sort_array(collect_list(struct($"media_id", $"hist_digest")))).as("digest"),
+        sum($"frames_sampled").cast("long").as("frames"),
+        sum($"out_width" + $"out_height").cast("long").as("resize_checksum"))
+      .orderBy($"kind")
+  }
+}
