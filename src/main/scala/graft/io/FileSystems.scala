@@ -67,6 +67,38 @@ class FileSystems(conf: Configuration) {
   def modified(path: String): Long =
     fs(path).getFileStatus(new Path(path)).getModificationTime
 
+  /** Creation time in epoch millis (reference `created`,
+    * filesystem.py:115-116). Hadoop's FileStatus does not model
+    * creation time, so: local files report the filesystem's real
+    * creation stamp via NIO; object stores report the modification
+    * time, which IS creation for immutable objects (s3 semantics). */
+  def created(path: String): Long = {
+    val p = new Path(path)
+    val f = fs(path)
+    if (f.getScheme == "file") {
+      val attrs = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(p.toUri.getPath),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      attrs.creationTime().toMillis
+    } else f.getFileStatus(p).getModificationTime
+  }
+
+  /** Pre-signed access URL (reference `sign`, filesystem.py:124-125).
+    * Local files need no signing — their URI is returned. Object-store
+    * presigning is a STORAGE-SDK operation (an STS-signed https URL),
+    * not a filesystem one; Hadoop's FS abstraction deliberately does
+    * not expose it, so for non-local schemes this is a documented
+    * non-goal and throws. */
+  def sign(path: String, expirationSeconds: Int = 100): String = {
+    val p = new Path(path)
+    val scheme = Option(p.toUri.getScheme)
+      .getOrElse(FileSystem.getDefaultUri(conf).getScheme)
+    if (scheme == "file") fs(path).makeQualified(p).toUri.toString
+    else throw new UnsupportedOperationException(
+      s"sign() requires the object store's SDK presigner (scheme '$scheme'); " +
+        "use the storage SDK directly — not expressible through the Hadoop FileSystem API")
+  }
+
   def open(path: String): java.io.InputStream = fs(path).open(new Path(path))
 
   def create(path: String, overwrite: Boolean = true): java.io.OutputStream =
@@ -89,6 +121,47 @@ object FileSystems {
     new FileSystems(spark.sparkContext.hadoopConfiguration)
 
   def local(): FileSystems = new FileSystems(new Configuration())
+
+  /** Hadoop conf for S3 access with an optional STS assume-role chain
+    * and endpoint override — the Spark-native mapping of the
+    * reference's botocore RefreshableCredentials chain
+    * (filesystem.py:69-107). Session credentials refresh and
+    * distribution to every executor are handled by the s3a connector.
+    *
+    * Chain mapping: the LAST role in the chain is the role s3a
+    * assumes (`fs.s3a.assumed.role.arn`); base credentials that are
+    * themselves obtained by assuming intermediate roles are the
+    * domain of the credential broker — s3a supports one in-connector
+    * hop, which covers the reference's single-role tests; longer
+    * chains need an external broker and are documented here as the
+    * boundary.
+    */
+  def s3aConf(
+      assumedRole: Option[String] = None,
+      endpoint: Option[String] = None,
+      sessionName: String = "graft-filesystem-s3",
+      durationSeconds: Int = 3600): Map[String, String] = {
+    val base = Map.newBuilder[String, String]
+    assumedRole.foreach { arn =>
+      base += "fs.s3a.aws.credentials.provider" ->
+        "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider"
+      base += "fs.s3a.assumed.role.arn" -> arn
+      base += "fs.s3a.assumed.role.session.name" -> sessionName
+      base += "fs.s3a.assumed.role.session.duration" -> s"${durationSeconds}s"
+    }
+    endpoint.foreach { url =>
+      base += "fs.s3a.endpoint" -> url
+      base += "fs.s3a.path.style.access" -> "true" // non-AWS endpoints (minio etc.)
+    }
+    base.result()
+  }
+
+  /** Apply `s3aConf` onto a Hadoop Configuration (mutates and returns
+    * it, for chaining into SparkSession.hadoopConfiguration). */
+  def applyS3a(conf: Configuration, settings: Map[String, String]): Configuration = {
+    settings.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
 
   /** Hive-style path builder, mirroring reference `DataIO.get_path`
     * (io.py:37-59): ("prefix", [a,b], [1,2], "suffix") ->

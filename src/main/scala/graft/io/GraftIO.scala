@@ -102,6 +102,79 @@ object GraftIO {
     }
   }
 
+  /** Custom output-partition naming: (prefix, partitionCols,
+    * partitionValues, suffix) => path. The reference's
+    * `partition_transformer` (io.py:27-33, tests/test_io.py:248-270). */
+  type PartitionTransformer = (String, Seq[String], Seq[Any], String) => String
+
+  /** The default transformer: hive-style `prefix/a=1/b=2/suffix`. */
+  val HivePartitionTransformer: PartitionTransformer =
+    (prefix, parts, values, suffix) =>
+      FileSystems.pathFor(prefix, parts, values, Some(suffix))
+
+  /** Named-file write: each output partition becomes exactly the files
+    * named in `suffixes` (reference `suffix=["chunk01.tsv", ...]`,
+    * io.py:73-99), laid out by `transformer` — the distributed twin of
+    * the reference's named-chunk export.
+    *
+    * Rows are routed to chunks by a deterministic hash of the data
+    * columns (the reference slices by position; a positional split is
+    * not stable across distributed retries, a content hash is).
+    *
+    * Scale note: this is the EXPORT path — named single files for
+    * downstream consumers. The driver loops over distinct partition
+    * tuples (bounded by directory count, exactly like the reference's
+    * groupby loop) and each chunk is written through a single task.
+    * For bulk data the hive-layout `write()` remains the scale path.
+    */
+  def writeNamed(
+      df: DataFrame,
+      path: String,
+      format: Format = Parquet,
+      gzip: Boolean = false,
+      sep: String = "\t",
+      header: Boolean = true,
+      partitionBy: Seq[String] = Nil,
+      suffixes: Seq[String] = Seq("part-00000"),
+      dropPartitions: Boolean = true,
+      transformer: PartitionTransformer = HivePartitionTransformer): Unit = {
+    require(suffixes.nonEmpty, "`suffixes` must not be empty")
+    val spark = df.sparkSession
+    val fss = FileSystems(spark)
+
+    def writeChunks(part: DataFrame, values: Seq[Any]): Unit = {
+      val dataCols = part.columns.map(col).toSeq
+      val n = suffixes.length
+      val chunked = part.withColumn("__graft_chunk",
+        if (n == 1) lit(0L) else pmod(xxhash64(dataCols: _*), lit(n.toLong)))
+      suffixes.zipWithIndex.foreach { case (suffix, i) =>
+        val target = transformer(path, partitionBy, values, suffix)
+        val tmp = target + s".__graft_tmp_$i"
+        write(chunked.filter(col("__graft_chunk") === i).drop("__graft_chunk")
+          .coalesce(1), tmp, format, gzip, sep, header)
+        val partFile = fss.find(tmp)
+          .filter(f => f.contains("/part-") && !f.endsWith(".crc"))
+          .ensuring(_.nonEmpty, s"no part file written under $tmp").head
+        fss.mkdirs(new org.apache.hadoop.fs.Path(target).getParent.toString)
+        fss.rm(target)
+        fss.mv(partFile, target)
+        fss.rm(tmp)
+      }
+    }
+
+    if (partitionBy.isEmpty) writeChunks(df, Nil)
+    else {
+      val partRows = df.select(partitionBy.map(col): _*).distinct().collect()
+      partRows.foreach { row =>
+        val values = row.toSeq
+        val filtered = partitionBy.zip(values).foldLeft(df) { case (d, (k, v)) =>
+          d.filter(col(k) === lit(v))
+        }
+        writeChunks(if (dropPartitions) filtered.drop(partitionBy: _*) else filtered, values)
+      }
+    }
+  }
+
   /** Read a dataset (single file, directory tree, or glob) written by
     * `write` — or by anything else speaking the same formats.
     *
