@@ -233,15 +233,18 @@ object SparkEntry {
         |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
 
     // dedup_ngram_jaccard: the oracle verifies the prefix-filtered join
-    // against a brute-force all-pairs jaccard (feasible only at oracle
-    // scale; the spark side never goes quadratic)
+    // against a brute-force all-pairs jaccard over word TRIGRAMS
+    // (feasible only at oracle scale; the spark side never goes
+    // quadratic, and hashes shingles to 64-bit longs — identical
+    // results barring a 2^-64 collision)
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents WHERE length(trim(text)) > 0),
         |grams AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
         |  FROM toks),
         |g2 AS (SELECT * FROM grams WHERE len(g) > 0),
         |pairs AS (

