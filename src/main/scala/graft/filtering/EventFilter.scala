@@ -95,18 +95,34 @@ object EventFilter {
 
   // ---- public API ----------------------------------------------------
 
-  /** Compile `filterJson` against a DataFrame's schema. Top-level path
-    * segments resolve to native columns (struct fields descend); any
-    * column named in `jsonCols` is parsed as a JSON document and deeper
-    * segments resolve through it with exact null-vs-missing semantics.
-    * Native-column predicates stay pushdown-able. */
+  /** Compile `filterJson` against a DataFrame's schema, for use in
+    * `df.filter(...)`. Top-level path segments resolve to native
+    * columns (struct fields descend); any column named in `jsonCols`
+    * is parsed as a JSON document and deeper segments resolve through
+    * it with exact null-vs-missing semantics.
+    *
+    * The result is a FILTER-context predicate: a non-matching row
+    * evaluates to false OR null (both excluded by filter). Leaving
+    * nulls un-coalesced is deliberate — a `coalesce(pred, false)`
+    * wrapper is opaque to the parquet filter translator and kills
+    * scan pushdown for native-column criteria (three-valued logic is
+    * only corrected where it changes the answer: under the NOT of
+    * `anything-but`). Use `compileStrict` where a real boolean VALUE
+    * is needed. */
   def compile(filterJson: String, df: DataFrame, jsonCols: Set[String] = Set.empty): Column =
     compileWith(filterJson, dataFrameResolver(df, jsonCols))
 
+  /** `compile`, coalesced to a 2-valued boolean — the exact value the
+    * reference's `Filter.__call__` returns per row. For select-list /
+    * value use; in a filter() prefer `compile` (pushdown). */
+  def compileStrict(filterJson: String, df: DataFrame, jsonCols: Set[String] = Set.empty): Column =
+    coalesce(compile(filterJson, df, jsonCols), lit(false))
+
   /** Compile against a single JSON-string column holding the whole
-    * entry (the direct analogue of the reference filtering a dict). */
+    * entry (the direct analogue of the reference filtering a dict);
+    * 2-valued like the reference's boolean return. */
   def onJsonString(filterJson: String, jsonStr: Column): Column =
-    compileWith(filterJson, path => VariantRef(parse_json(jsonStr), path))
+    coalesce(compileWith(filterJson, path => VariantRef(parse_json(jsonStr), path)), lit(false))
 
   /** Compile with a caller-supplied path resolver. */
   def compileWith(filterJson: String, resolve: Seq[String] => ValueRef): Column = {
@@ -143,15 +159,17 @@ object EventFilter {
     parts.reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  /** One criterium → a 2-valued (never NULL) boolean Column. */
+  /** One criterium → a filter-context predicate Column (false and NULL
+    * are both "no match"; NULL is corrected to false only where it
+    * sits under a NOT). */
   private def compileCriterium(ref: ValueRef, c: JValue): Column = c match {
     case JNull        => ref.isNullValue
-    case JString(s)   => coalesce(ref.str === lit(s), lit(false))
-    case JInt(n)      => coalesce(ref.num === lit(n.toDouble), lit(false))
-    case JLong(n)     => coalesce(ref.num === lit(n.toDouble), lit(false))
-    case JDouble(n)   => coalesce(ref.num === lit(n), lit(false))
-    case JDecimal(n)  => coalesce(ref.num === lit(n.toDouble), lit(false))
-    case JBool(b)     => coalesce(ref.num === lit(if (b) 1.0 else 0.0), lit(false))
+    case JString(s)   => ref.str === lit(s)
+    case JInt(n)      => ref.num === lit(n.toDouble)
+    case JLong(n)     => ref.num === lit(n.toDouble)
+    case JDouble(n)   => ref.num === lit(n)
+    case JDecimal(n)  => ref.num === lit(n.toDouble)
+    case JBool(b)     => ref.num === lit(if (b) 1.0 else 0.0)
 
     case JObject(List((kind, body))) => kind match {
       case "anything-but" =>
@@ -159,7 +177,8 @@ object EventFilter {
           case JArray(xs) => xs
           case _ => fail("'anything-but' criterium reference must be a list of values")
         }
-        val eqAny = items.map(i => compileCriterium(ref, i))
+        // NULL flips meaning under NOT — coalesce each operand here
+        val eqAny = items.map(i => coalesce(compileCriterium(ref, i), lit(false)))
           .reduceOption(_ || _).getOrElse(lit(false))
         ref.present && !eqAny
 
@@ -185,7 +204,7 @@ object EventFilter {
         }.toList
         // all([]) is True in Python: an empty numeric list matches any
         // present value
-        coalesce(conds.reduceOption(_ && _).getOrElse(lit(true)), lit(false)) && ref.present
+        conds.reduceOption(_ && _).getOrElse(lit(true)) && ref.present
 
       case "exists" =>
         body match {
@@ -199,7 +218,7 @@ object EventFilter {
           case JString(s) => s
           case _ => fail("'prefix' criterium reference must be a string")
         }
-        coalesce(ref.str.startsWith(p), lit(false))
+        ref.str.startsWith(p)
 
       case other => fail(s"unknown criterium type: '$other'")
     }
