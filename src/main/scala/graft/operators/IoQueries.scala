@@ -17,13 +17,17 @@ object IoQueries {
   private def tmpDir(name: String, sfDir: String): String =
     s"/tmp/graft_io/${name}_${math.abs(sfDir.hashCode)}"
 
-  /** Gzip-compressed pipe-separated values roundtrip of lineitem. */
+  /** Gzip-compressed pipe-separated values roundtrip of lineitem.
+    * Written as one gzip member per core: gzip is non-splittable, so
+    * without explicit chunking a single-file source serializes BOTH
+    * the compress and the decompress on one task. */
   def ioDsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag")
     val li = Tables.lineitem(spark, dir).select(cols.map(col): _*)
     val out = tmpDir("dsv", dir)
-    GraftIO.write(li, out, GraftIO.Dsv, gzip = true, sep = "|")
+    GraftIO.write(li, out, GraftIO.Dsv, gzip = true, sep = "|",
+      chunks = spark.sparkContext.defaultParallelism)
     GraftIO.read(spark, out, GraftIO.Dsv, sep = "|", schema = Some(li.schema))
       .groupBy($"l_returnflag")
       .agg(
