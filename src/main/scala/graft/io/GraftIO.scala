@@ -152,8 +152,13 @@ object GraftIO {
         val tmp = target + s".__graft_tmp_$i"
         write(chunked.filter(col("__graft_chunk") === i).drop("__graft_chunk")
           .coalesce(1), tmp, format, gzip, sep, header)
+        // match on the FILENAME: a path filter would also catch
+        // _SUCCESS when a parent directory happens to contain "part-"
         val partFile = fss.find(tmp)
-          .filter(f => f.contains("/part-") && !f.endsWith(".crc"))
+          .filter { f =>
+            val name = f.substring(f.lastIndexOf('/') + 1)
+            name.startsWith("part-") && !name.endsWith(".crc")
+          }
           .ensuring(_.nonEmpty, s"no part file written under $tmp").head
         fss.mkdirs(new org.apache.hadoop.fs.Path(target).getParent.toString)
         fss.rm(target)

@@ -40,10 +40,17 @@ object EventQueries {
     * scales WITH the data (unlike a fixed-enum window key), so the
     * shuffle stays uniform at 100×. Total ordering within a user is
     * (ts, event_id) — deterministic under timestamp ties. */
-  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeEvents(Tables.events(spark, dir))
+
+  /** Core batch sessionizer over any (user_id, ts:nanos, event_id)
+    * frame — the batch twin of streaming.EventStreams.sessionize
+    * (equivalence spec-tested on shared input). */
+  def sessionizeEvents(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.events(spark, dir)
+    events
       .withColumn("prev_ts", lag($"ts", 1).over(byUser))
       .withColumn("is_new",
         when($"prev_ts".isNull || $"ts" - $"prev_ts" > GapNs, 1L).otherwise(0L))

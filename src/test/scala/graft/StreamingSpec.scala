@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.EventQueries
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.{Ev, Session}
 
@@ -60,6 +61,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(sessions.contains(Session(2, ms(1005), ms(1005), 1)), s"got $sessions")
       assert(sessions.contains(Session(1, ms(1100), ms(1100), 1)), s"got $sessions")
     } finally q.stop()
+  }
+
+  test("batch and streaming sessionizers agree on shared input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic scenario: user 1 has 3 sessions, user 2 has 2
+    val eventsMin = Seq( // (user, minute, event_id)
+      (1L, 1000L, 1L), (1L, 1010L, 2L), (1L, 1020L, 3L), // session of 3
+      (1L, 1100L, 4L), // gap 80 > 30 → new session
+      (1L, 1200L, 5L), (1L, 1229L, 6L), // third session (gap 29 ≤ 30)
+      (2L, 1005L, 7L), (2L, 1036L, 8L)) // two sessions (gap 31 > 30)
+
+    val batch = EventQueries.sessionizeEvents(
+      eventsMin.toDF("user_id", "m", "event_id")
+        .select($"user_id", ($"m" * 60L * 1000000000L).as("ts"), $"event_id"))
+      .select($"user_id", $"n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionize(in.toDS()).writeStream
+      .format("memory").queryName("sessions_eq").outputMode(OutputMode.Append).start()
+    val streamed = try {
+      in.addData(eventsMin.map { case (u, m, id) => Ev(u, ts(m), id) })
+      q.processAllAvailable()
+      in.addData(Ev(99L, ts(5000), 999L)) // advance watermark: close all state
+      q.processAllAvailable()
+      spark.table("sessions_eq").as[Session]
+        .filter($"user_id" =!= 99L).collect()
+        .map(s => (s.user_id, s.n_events)).sorted.toSeq
+    } finally q.stop()
+
+    assert(batch === Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 1L)))
+    assert(streamed === batch)
   }
 
   test("dropDuplicatesWithinWatermark dedups event ids") {
