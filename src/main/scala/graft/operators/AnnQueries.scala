@@ -47,10 +47,9 @@ object AnnQueries {
     * approximate recall is not SQL-expressible). */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucketed = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding",
-        explode(Similarity.hyperplaneBands($"embedding", 16, 4)).as("bb"))
-      .select($"vec_id", $"embedding", $"bb.band", $"bb.band_bits")
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val bucketed = Similarity.hyperplaneBucketsDf(emb, "vec_id", "embedding", 16, 4)
+      .join(emb, "vec_id")
 
     val queries = bucketed.filter($"vec_id" < NQueries)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"band", $"band_bits")

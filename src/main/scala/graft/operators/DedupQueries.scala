@@ -203,11 +203,14 @@ object DedupQueries {
   /** Embedding cosine near-dup clustering. The corpus is embeddings ∪
     * deterministically perturbed copies (the raw table has no
     * near-dup vectors — max pairwise cosine 0.51). Candidates come
-    * from 32 random hyperplanes in 4 bands of 8 bits — 256 bucket
-    * values per band keeps buckets small (4-bit bands had 16 values →
-    * ~2M candidate pairs at sf0.1); a cos >= 0.99 twin flips a plane
-    * with p ≈ 0.009, so P(missed by all 4 bands) ≈ 2e-5. Pairs are
-    * verified with exact cosine. */
+    * from 64 random hyperplanes in 4 bands of 16 bits. Band width is
+    * sized against the CLUSTERED corpus, not a uniform one: vectors
+    * sharing a label sit near cos 0.5, where a plane agrees with
+    * p ≈ 0.67 — an 8-bit band admits such a pair with p ≈ 0.04
+    * (~1.25M candidates at sf0.1) while 16 bits cuts that to
+    * p ≈ 0.0016 (~50k). A cos >= 0.99 twin flips a plane with
+    * p ≈ 0.009 → P(missed by all 4 bands) ≈ 3e-4. Pairs are verified
+    * with exact cosine. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tau = 0.99
@@ -220,9 +223,7 @@ object DedupQueries {
         (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
     val corpus = base.union(perturbed)
 
-    val buckets = corpus.select($"vec_id",
-        explode(Similarity.hyperplaneBands($"embedding", 32, 4)).as("bb"))
-      .select($"vec_id", $"bb.band", $"bb.band_bits")
+    val buckets = Similarity.hyperplaneBucketsDf(corpus, "vec_id", "embedding", 64, 4)
 
     val candidates = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_bits" === $"b.band_bits" &&

@@ -132,6 +132,33 @@ object Similarity {
           }).as("band_bits")))
   }
 
+  /** DataFrame-level hyperplane bucketing: one row per (id, band,
+    * band_bits). Same construction as `hyperplaneBands` but computed
+    * as CODEGEN'D SUM AGGREGATES over posexploded vector components —
+    * higher-order lambdas are interpreted per element, which is the
+    * difference between 8k interpreted ops and 32 codegen'd hashes
+    * per row (see DedupQueries scale notes). */
+  def hyperplaneBucketsDf(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String,
+      planes: Int, bands: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val ex = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+    val projAggs = (0 until planes).map { p =>
+      sum(when(xxhash64(lit(p), col("d")).bitwiseAND(lit(1L)) === 1L, col("x").cast("double"))
+        .otherwise(-col("x").cast("double"))).as(s"p$p")
+    }
+    val projs = ex.groupBy(col(idCol)).agg(projAggs.head, projAggs.tail: _*)
+    val width = planes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val bits = (0 until width).map(i =>
+        when(col(s"p${b * width + i}") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      struct(lit(b).as("band"), bits.reduce(_.bitwiseOR(_)).as("band_bits"))
+    }
+    projs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+  }
+
   /** Dynamic-count bit shifts: the SQL ShiftRight/ShiftLeft expressions
     * accept an expression count; only the Scala `functions` wrappers
     * restrict it to a literal Int. */
