@@ -29,6 +29,7 @@ object AnnQueries {
     * this corpus). */
   def annBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val queries = emb.filter($"vec_id" < NQueries)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
@@ -47,6 +48,7 @@ object AnnQueries {
     * approximate recall is not SQL-expressible). */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val bucketed = Similarity.hyperplaneBucketsDf(emb, "vec_id", "embedding", 16, 4)
       .join(emb, "vec_id")

@@ -213,6 +213,7 @@ object DedupQueries {
     * with exact cosine. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
     val tau = 0.99
 
     val base = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")

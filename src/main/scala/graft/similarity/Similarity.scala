@@ -61,8 +61,21 @@ object Similarity {
   /** L2 norm. */
   def l2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Exact cosine similarity of two numeric arrays. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
+  /** Exact cosine similarity of two FLOAT arrays — the native Catalyst
+    * expression graft.functions.CosineSimilarity (codegen'd primitive
+    * loop; bit-identical to `cosineHof`, which runs ~200 interpreted
+    * lambda calls per 64-dim pair). Resolved through the function
+    * registry: sessions built with
+    * `spark.sql.extensions=graft.functions.GraftExtensions` have it;
+    * other sessions call `CosineSimilarity.ensureRegistered(spark)`
+    * once (the graft operators do this themselves). */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  /** Declarative (higher-order-function) cosine — kept as the
+    * reference formulation the native expression is spec-checked
+    * against, and for non-float numeric arrays. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
 
   /** 64-bit SimHash of a token array: bit j of the signature is set
     * when the majority of token hashes have bit j set (ties → set,

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CosineSimilarity
+import graft.similarity.Similarity
+
+/** Native CosineSimilarity expression: equivalence with the
+  * declarative higher-order formulation, SQL registration through
+  * GraftExtensions, and both eval paths. */
+class FunctionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("native cosine == higher-order cosine on real embeddings") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding").limit(50)
+    val pairs = emb.as("a").crossJoin(emb.as("b")).filter($"a.vec_id" < $"b.vec_id")
+    val diffs = pairs.select(
+        (Similarity.cosine($"a.embedding", $"b.embedding") -
+          Similarity.cosineHof($"a.embedding", $"b.embedding")).as("d"))
+      .agg(max(abs($"d"))).collect()(0).getDouble(0)
+    assert(diffs === 0.0, "native and HOF cosine must agree bit-for-bit")
+  }
+
+  test("graft_cosine is registered via spark.sql.extensions") {
+    import spark.implicits._
+    val got = spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)))").collect()(0).getDouble(0)
+    assert(math.abs(got - 1.0 / math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("interpreted eval matches codegen") {
+    val xs = Array(1.0f, 2.0f, -3.0f)
+    val ys = Array(0.5f, -1.0f, 2.0f)
+    val expr = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(xs,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(ys,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val interp = expr.eval(null).asInstanceOf[Double]
+    val dot = xs.zip(ys).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expected = dot / (math.sqrt(xs.map(x => x.toDouble * x).sum) *
+      math.sqrt(ys.map(y => y.toDouble * y).sum))
+    assert(math.abs(interp - expected) < 1e-15)
+  }
+
+  test("null input yields null; ensureRegistered is idempotent") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
+    val r = df.select(Similarity.cosine($"a", $"b").as("c")).collect()(0)
+    assert(r.isNullAt(0))
+    CosineSimilarity.ensureRegistered(spark)
+    CosineSimilarity.ensureRegistered(spark) // second call is a no-op
+  }
+}
