@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, MultimodalQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, IvfQueries, MultimodalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_embedding_cosine"   -> (DedupQueries.dedupEmbeddingCosine _),
     "ann_bruteforce_topk"      -> (AnnQueries.annBruteforceTopk _),
     "ann_lsh_topk"             -> (AnnQueries.annLshTopk _),
+    "ann_ivf_topk"             -> (IvfQueries.annIvfTopk _),
     "events_windowed_agg"      -> (EventQueries.eventsWindowedAgg _),
     "events_sessionize"        -> (EventQueries.eventsSessionize _),
     "multimodal_pipeline"      -> (MultimodalQueries.multimodalPipeline _),

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.Similarity
+
+/** IVF (inverted-file) ANN — the coarse-quantizer scale path
+  * alongside the LSH variant (SURVEY §2.5 extension).
+  *
+  * Build: k-means the corpus into `nlist` cells (Spark ML KMeans —
+  * itself a distributed fixpoint of shuffle-free assign + key-shuffle
+  * recompute). Search: a query scores only the vectors whose cell
+  * centroid is among its `nprobe` nearest — at 100 TB, the corpus is
+  * written partitioned BY CELL, so a probe reads nprobe/nlist of the
+  * data and nothing else shuffles. Locally the cell assignment is a
+  * column and the probe is a broadcast semi-join on (cell).
+  */
+object IvfQueries {
+
+  private val NList = 16
+  private val NProbe = 6
+  private val K = 5
+  private val NQueries = 10
+
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val withVec = emb.withColumn("features",
+      array_to_vector($"embedding".cast("array<double>")))
+
+    val model = new KMeans()
+      .setK(NList).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+      .fit(withVec)
+
+    // corpus annotated with its cell (at scale: the partitioning key)
+    val assigned = model.transform(withVec)
+      .select($"vec_id", $"embedding", $"prediction".as("cell"))
+
+    // centroids as a tiny literal-backed frame (nlist × dim)
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq.toDF("cell", "centroid")
+
+    // each query probes its nprobe nearest cells — by EUCLIDEAN
+    // distance, the metric k-means partitioned the space with (ranking
+    // cells by cosine mismatches the cell geometry and costs recall):
+    // ||q-c||² = ||q||² - 2q·c + ||c||², and ||q||² is constant per
+    // query, so rank by ||c||² - 2q·c.
+    val queries = assigned.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val probes = queries.crossJoin(broadcast(centers))
+      .withColumn("cdist",
+        Similarity.dot($"centroid", $"centroid") - lit(2.0) * Similarity.dot($"qvec", $"centroid"))
+      .withColumn("crk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"cdist".asc, $"cell")))
+      .filter($"crk" <= NProbe)
+      .select($"qid", $"qvec", $"cell")
+
+    // probe join: only vectors in probed cells are scored
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("vid"),
+        Similarity.cosine($"qvec", $"embedding").as("sim"))
+
+    val fin = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"sim".desc, $"vid")
+    scored
+      .withColumn("rk", row_number().over(fin)).filter($"rk" <= K)
+      .select($"qid", $"rk".cast("long").as("rk"), $"vid",
+        floor(lit(1000.0) * $"sim" + lit(0.5)).cast("long").as("sim_mbp"))
+      .orderBy($"qid", $"rk")
+  }
+}
