@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filtering.EventFilter
+import graft.io.GraftIO
+
+/** Cross-cutting robustness: chunk-routing determinism (the task-retry
+  * guarantee), drop-partitions read, compiled filters on streams, and
+  * reference edge semantics. */
+class RobustnessSpec extends AnyFunSuite with SparkSpec {
+
+  test("chunked write routes rows identically across rewrites (retry determinism)") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"v$i", i % 7)).toDF("id", "v", "k")
+    val d1 = Files.createTempDirectory("graft_det").toString
+    val d2 = Files.createTempDirectory("graft_det").toString
+    GraftIO.write(df, d1, GraftIO.Dsv, chunks = 4)
+    GraftIO.write(df, d2, GraftIO.Dsv, chunks = 4)
+    val c1 = spark.read.schema(df.schema).option("sep", "\t").option("header", "true").csv(d1)
+    val c2 = spark.read.schema(df.schema).option("sep", "\t").option("header", "true").csv(d2)
+    // same rows land in the same chunk id both times: per-chunk multiset equal
+    def perChunk(path: String) =
+      spark.read.schema(df.schema).option("sep", "\t").option("header", "true")
+        .csv(path).withColumn("f", input_file_name())
+        .withColumn("chunk", regexp_extract($"f", "part-(\\d+)", 1))
+        .groupBy($"chunk").agg(sum(hash($"id", $"v", $"k")).as("h"), count(lit(1)).as("n"))
+        .orderBy($"chunk").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(perChunk(d1) === perChunk(d2))
+    assert(c1.count() === 500 && c2.count() === 500)
+  }
+
+  test("read with restorePartitions=false drops hive partition columns") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "part")
+    val out = Files.createTempDirectory("graft_dropparts").toString
+    GraftIO.write(df, out, GraftIO.Parquet, partitionBy = Seq("part"))
+    val kept = GraftIO.read(spark, out, GraftIO.Parquet)
+    val dropped = GraftIO.read(spark, out, GraftIO.Parquet, restorePartitions = false)
+    assert(kept.columns.toSet === Set("id", "v", "part"))
+    assert(dropped.columns.toSet === Set("id", "v"))
+    assert(dropped.count() === 2)
+  }
+
+  test("compiled event filter applies unchanged to a streaming source") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val filters =
+      """[{"event_type": ["purchase"]},
+        |  {"event_type": ["click"], "value": [{"numeric": [">=", 50]}]}]""".stripMargin
+    val q = df.filter(EventFilter.compile(filters, df)).writeStream
+      .format("memory").queryName("filtered_stream").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (new Timestamp(60000), "purchase", 5.0),
+        (new Timestamp(61000), "click", 10.0),
+        (new Timestamp(62000), "click", 99.0),
+        (new Timestamp(63000), "view", 99.0))
+      q.processAllAvailable()
+      val got = spark.table("filtered_stream")
+        .select($"event_type", $"value").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(got === Set(("purchase", 5.0), ("click", 99.0)))
+    } finally q.stop()
+  }
+
+  test("empty filter OBJECT matches everything (all([]) is True in the reference)") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    assert(df.filter(EventFilter.compile("""[{}]""", df)).count() === 2)
+  }
+
+  test("criteria that are neither list nor dict are skipped (reference parity)") {
+    import spark.implicits._
+    // filtering.py:149-154 appends results only for list/dict criteria;
+    // a scalar criteria value contributes nothing -> all([]) -> True
+    val df = Seq(("a", 1)).toDF("k", "v")
+    assert(df.filter(EventFilter.compile("""[{"k": "scalar-ignored"}]""", df)).count() === 1)
+  }
+}
