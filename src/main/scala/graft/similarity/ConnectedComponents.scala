@@ -38,8 +38,15 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = adj.select($"src".as("id")).distinct()
-      .withColumn("component", $"id")
+    // Seed labels with the 1-hop neighborhood minimum — one aggregation
+    // replaces what would otherwise be the whole first iteration, and
+    // already CONVERGES cliques and stars (the shape of most dup
+    // clusters), so the loop below usually runs a single confirming
+    // pass.
+    var labels = adj
+      .groupBy($"src".as("id"))
+      .agg(min($"dst").as("mn"))
+      .select($"id", least($"id", $"mn").as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     labels.count() // materialize before the loop mutates the var
 
