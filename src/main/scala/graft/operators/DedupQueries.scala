@@ -136,9 +136,14 @@ object DedupQueries {
     import spark.implicits._
     val ex = explodedShingles(spark, dir)
 
-    // 64 minhash lanes as aggregate columns (codegen'd, one shuffle)
+    // ONE aggregation produces both the 64 minhash lanes (codegen'd
+    // min aggs) and the sorted shingle array the verify step needs —
+    // the banding path and the verify path then reference the same
+    // subplan, so the shuffle is planned once and reused instead of
+    // re-shingling the corpus per consumer.
     val laneAggs = (0 until MinhashLanes).map(i =>
-      min(xxhash64(lit(i), $"gram")).as(s"h$i"))
+      min(xxhash64(lit(i), $"gram")).as(s"h$i")) :+
+      sort_array(collect_list($"gram")).as("g")
     val sigs = ex.groupBy($"doc_id").agg(laneAggs.head, laneAggs.tail: _*)
 
     val r = MinhashLanes / MinhashBands
@@ -155,7 +160,7 @@ object DedupQueries {
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
 
-    val edges = verifyJaccard(candidates, shingleArrays(ex))
+    val edges = verifyJaccard(candidates, sigs.select($"doc_id", $"g"))
       .select($"id_a".as("src"), $"id_b".as("dst"))
 
     ConnectedComponents.label(edges)
