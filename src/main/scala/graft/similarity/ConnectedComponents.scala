@@ -20,7 +20,11 @@ object ConnectedComponents {
   /** @param edges DataFrame with long columns (src, dst), undirected
     *              (either orientation; both are added internally)
     * @return (id, component) — component = min id reachable within
-    *         `maxIter` hops (exact when maxIter >= diameter)
+    *         `maxIter` hops (exact when maxIter >= diameter). The
+    *         returned frame is PERSISTED (unpersisting before the
+    *         caller materializes would re-execute the iterative
+    *         lineage); long-lived sessions should unpersist it once
+    *         consumed.
     */
   def label(edges: DataFrame, maxIter: Int = 8): DataFrame = {
     val spark = edges.sparkSession
