@@ -20,4 +20,15 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Spread a narrow input across the cluster before a CPU-bound kernel
+    * (sketching, scoring): a small parquet file arrives as one split,
+    * serializing all downstream map work onto one core. Only widens when
+    * the scan has FEWER splits than cores — at real scale the input
+    * already has thousands of splits and this is an exact no-op (no
+    * shuffle); locally it costs one tiny exchange of the raw rows. */
+  def widened(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -60,9 +60,14 @@ object EventFilter {
   }
 
   private final case class VariantRef(root: Column, path: Seq[String]) extends ValueRef {
-    private val p = "$" + path.map { k =>
-      "['" + k.replace("\\", "\\\\").replace("'", "\\'") + "']"
-    }.mkString
+    // Spark's variant path parser does not interpret escape sequences
+    // inside ['...'] segments, so keys containing a quote or backslash
+    // cannot be addressed — reject them at compile time rather than
+    // emitting an escape the parser won't honor.
+    path.filter(k => k.contains("'") || k.contains("\\")).foreach(k => fail(
+      s"JSON field name '$k' contains a quote or backslash, which the variant " +
+        "path syntax cannot address; rename the field or pre-extract it to a column"))
+    private val p = "$" + path.map(k => "['" + k + "']").mkString
     private def vg = variant_get(root, p, "variant")
     private def schema = schema_of_variant(vg)
     val present: Column = vg.isNotNull

@@ -68,12 +68,26 @@ object GraftIO {
     // columns (deterministic), so a task retry recomputes identical
     // routing — unlike round-robin/monotonic ids, which can duplicate
     // or drop rows when a lost shuffle partition is recomputed.
+    // Unpartitioned writes RANGE-partition the chunk id into exactly
+    // `chunks` tasks (hash % n would collide chunk ids into the same
+    // task → fewer files than asked). Hive-partitioned writes hash
+    // (dirs, chunk) into chunks× the shuffle parallelism so two chunk
+    // ids of the SAME directory rarely share a task; exact per-dir file
+    // counts belong to `writeNamed`.
     val out =
       if (chunks <= 0) df
       else {
         val dataCols = df.columns.filterNot(partitionBy.contains).map(col).toSeq
-        val chunkKey = pmod(xxhash64(dataCols: _*), lit(chunks.toLong))
-        df.repartition((partitionBy.map(col) :+ chunkKey): _*)
+        // all-partition-column frames have no content to split on: one
+        // chunk per directory (rows within a dir are indistinguishable)
+        val chunkKey =
+          if (dataCols.isEmpty) lit(0L)
+          else pmod(xxhash64(dataCols: _*), lit(chunks.toLong))
+        if (partitionBy.isEmpty) df.repartitionByRange(chunks, chunkKey)
+        else {
+          val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+          df.repartition(chunks * parallelism, (partitionBy.map(col) :+ chunkKey): _*)
+        }
       }
 
     val writer0 = out.write.mode(mode)

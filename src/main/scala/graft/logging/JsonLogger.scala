@@ -49,9 +49,11 @@ class JsonLogger(
   def error(msg: String, extra: (String, Any)*): Unit = emit("error", msg, extra)
 
   /** Run `body`, then log `msg` with execution metrics and extras.
-    * Derived extras (`Any => Any` values) are applied to the result —
-    * the callable-extra behavior of the reference decorator
-    * (logging.py:95-99). */
+    * Derived extras are applied to the result — the callable-extra
+    * behavior of the reference decorator (logging.py:95-99). Mark them
+    * explicitly with [[JsonLogger.Derived]]; a bare function value is
+    * also applied, EXCEPT when it is a collection (Scala Map/Seq/Set
+    * all extend Function1 — those are logged as plain values). */
   def timed[T](
       msg: String,
       function: String = "block",
@@ -71,7 +73,9 @@ class JsonLogger(
     }
     if (duration) fields += ("duration" -> elapsed)
     extra.foreach {
-      case (k, f: Function1[_, _]) =>
+      case (k, JsonLogger.Derived(f)) =>
+        fields += (k -> f(result))
+      case (k, f: Function1[_, _]) if !f.isInstanceOf[Iterable[_]] =>
         fields += (k -> f.asInstanceOf[Any => Any](result))
       case kv => fields += kv
     }
@@ -81,6 +85,11 @@ class JsonLogger(
 }
 
 object JsonLogger {
+
+  /** Explicit marker for a result-derived extra in [[JsonLogger.timed]]
+    * — unambiguous where a bare function value would collide with
+    * collection types (Map/Seq/Set extend Function1). */
+  final case class Derived(f: Any => Any)
 
   private val TsFormat = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 

@@ -44,12 +44,14 @@ object DedupQueries {
     * pipeline author, not buried in an operator. */
   private def explodedShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    // ONE Generate evaluation per row: the (count, gram) structs come
+    // pre-paired, so neither a filter nor a size() projection
+    // re-evaluates the shingle expression (explode of an empty array
+    // already drops gram-less docs).
+    Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id",
-        Similarity.wordNgrams(TextFunctions.wsTokens($"text"), 3).as("grams"))
-      .filter(size($"grams") > 0)
-      .select($"doc_id", size($"grams").as("s"), explode($"grams").as("gram_str"))
-      .select($"doc_id", $"s", xxhash64($"gram_str").as("gram"))
+        explode(Similarity.wordNgramStructs(TextFunctions.wsTokens($"text"), 3)).as("x"))
+      .select($"doc_id", $"x.s".as("s"), xxhash64($"x.gram").as("gram"))
   }
 
   /** Per-doc sorted hashed-shingle arrays (for exact jaccard verify). */
@@ -75,7 +77,7 @@ object DedupQueries {
     * deterministically (the raw table has no exact duplicates). */
   private def doubledCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val docs = Tables.widened(Tables.documents(spark, dir)).select($"doc_id", $"text")
     docs.union(docs.select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
   }
 
@@ -177,7 +179,7 @@ object DedupQueries {
     import spark.implicits._
     val maxHamming = 3
 
-    val ex = Tables.documents(spark, dir)
+    val ex = Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("tok"))
       .select($"doc_id", xxhash64($"tok").as("h"))
 
@@ -221,7 +223,7 @@ object DedupQueries {
     graft.functions.CosineSimilarity.ensureRegistered(spark)
     val tau = 0.99
 
-    val base = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val base = Tables.widened(Tables.embeddings(spark, dir)).select($"vec_id", $"embedding")
     // perturb: flip alternate dims by ±2% — cosine vs source ≈ 0.9996
     val perturbed = base.select(
       ($"vec_id" + 1000000L).as("vec_id"),

@@ -17,6 +17,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Labels plus convergence status: `converged=false` means the
+    * iteration cap was hit with label changes still pending, i.e. some
+    * component with diameter > maxIter+1 is still split. */
+  final case class Result(labels: DataFrame, converged: Boolean, iterations: Int)
+
   /** @param edges DataFrame with long columns (src, dst), undirected
     *              (either orientation; both are added internally)
     * @return (id, component) — component = min id reachable within
@@ -24,9 +29,17 @@ object ConnectedComponents {
     *         returned frame is PERSISTED (unpersisting before the
     *         caller materializes would re-execute the iterative
     *         lineage); long-lived sessions should unpersist it once
-    *         consumed.
+    *         consumed. Logs a warning if the iteration cap was hit
+    *         before convergence; use [[labelWithStatus]] to branch on
+    *         it, or `strict = true` there to fail instead.
     */
-  def label(edges: DataFrame, maxIter: Int = 8): DataFrame = {
+  def label(edges: DataFrame, maxIter: Int = 8): DataFrame =
+    labelWithStatus(edges, maxIter).labels
+
+  /** As [[label]], surfacing convergence. `strict = true` throws
+    * IllegalStateException on non-convergence instead of returning
+    * partially-propagated components. */
+  def labelWithStatus(edges: DataFrame, maxIter: Int = 8, strict: Boolean = false): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -74,6 +87,12 @@ object ConnectedComponents {
     }
     adj.unpersist()
     e.unpersist()
-    labels
+    if (!converged) {
+      val msg = s"connected components did not converge within $maxIter iterations; " +
+        "labels are partially propagated (some high-diameter component is still split)"
+      if (strict) { labels.unpersist(); throw new IllegalStateException(msg) }
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    Result(labels, converged, i)
   }
 }

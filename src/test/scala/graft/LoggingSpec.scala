@@ -53,7 +53,10 @@ class LoggingSpec extends AnyFunSuite {
     val Seq(j) = capture { lg =>
       out = lg.timed("done", function = "work",
         extra = Seq(
-          "rows" -> ((r: Any) => r.asInstanceOf[Int] * 10),
+          "rows" -> JsonLogger.Derived(r => r.asInstanceOf[Int] * 10),
+          "bare_fn" -> ((r: Any) => r.asInstanceOf[Int] + 1),
+          "tags" -> Seq("a", "b"), // collections extend Function1: stay values
+          "attrs" -> Map("k" -> 1),
           "static" -> "tag")) { 42 }
     }
     assert(out === 42) // result passes through
@@ -61,6 +64,9 @@ class LoggingSpec extends AnyFunSuite {
     assert((j \ "extra" \ "duration").isInstanceOf[JDouble])
     assert((j \ "extra" \ "memory" \ "peak").isInstanceOf[JInt])
     assert(j \ "extra" \ "rows" === JInt(420)) // derived from result
+    assert(j \ "extra" \ "bare_fn" === JInt(43))
+    assert(j \ "extra" \ "tags" === JArray(List(JString("a"), JString("b"))))
+    assert(j \ "extra" \ "attrs" \ "k" === JInt(1))
     assert(j \ "extra" \ "static" === JString("tag"))
   }
 
