@@ -9,15 +9,37 @@ import graft.text.TextFunctions
 
 class DedupSpec extends AnyFunSuite with SparkSpec {
 
-  test("connected components: chain, clique, singleton-free") {
+  test("connected components: chain, clique, singleton-free (both paths agree)") {
     import spark.implicits._
     // components: {1,2,3,4,5} (chain), {10,11,12} (triangle), {20,21}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("src", "dst")
-    val got = ConnectedComponents.label(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default path: driver union-find (edge count under the threshold)
+    val uf = ConnectedComponents.labelWithStatus(edges)
+    assert(uf.converged)
+    assert(uf.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    // distributed label-propagation path, forced
+    val lp = ConnectedComponents.labelWithStatus(edges, driverThreshold = -1L)
+    assert(lp.converged)
+    assert(lp.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+  }
+
+  test("connected components: distributed path surfaces non-convergence on a long chain") {
+    import spark.implicits._
+    // a 30-vertex chain has diameter 29 > maxIter+1: labels must be
+    // reported unconverged (and strict mode must throw)
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = ConnectedComponents.labelWithStatus(chain, maxIter = 3, driverThreshold = -1L)
+    assert(!r.converged)
+    assertThrows[IllegalStateException] {
+      ConnectedComponents.labelWithStatus(chain, maxIter = 3, strict = true, driverThreshold = -1L)
+    }
+    // the driver path is exact on the same input
+    val uf = ConnectedComponents.labelWithStatus(chain)
+    assert(uf.converged)
+    assert(uf.labels.collect().map(_.getLong(1)).toSet === Set(1L))
   }
 
   test("prefix-filtered jaccard join == brute force (sf0.001 documents)") {
