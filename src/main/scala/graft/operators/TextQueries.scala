@@ -16,7 +16,7 @@ object TextQueries {
   /** Per-document whitespace + BPE-ish token counts (SQL oracle). */
   def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id",
         tokenCountWs($"text").cast("long").as("n_ws"),
         tokenCountBpe($"text").cast("long").as("n_bpe"))
@@ -28,7 +28,7 @@ object TextQueries {
     * boundaries (SQL oracle). */
   def textQualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id",
         length($"text").cast("long").as("n_chars"),
         punctRatioBp($"text").as("punct_bp"),
@@ -41,7 +41,7 @@ object TextQueries {
     * SQL-expressible compactly). */
   def textLanguageId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id", $"lang", languageId($"text").as("pred_lang"))
       .groupBy($"lang", $"pred_lang")
       .agg(count(lit(1)).as("n"))
@@ -52,9 +52,14 @@ object TextQueries {
     * digest of the selected hashes (rows oracle). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", fingerprint($"text").as("fp"))
-      .select($"doc_id", size($"fp").as("n_fp"), xxhash64($"fp").as("fp_digest"))
+    // bind the fingerprint array so projection collapse cannot
+    // re-evaluate it for each of the two derived columns
+    val fpStats = graft.similarity.Similarity.bound(fingerprint($"text")) { fp =>
+      struct(size(fp).as("n_fp"), xxhash64(fp).as("fp_digest"))
+    }
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", fpStats.as("x"))
+      .select($"doc_id", $"x.n_fp".as("n_fp"), $"x.fp_digest".as("fp_digest"))
       .orderBy($"doc_id")
   }
 }

@@ -69,16 +69,17 @@ object TextFunctions {
     * differs between engines exactly at .00005 edges). All terms fit a
     * long; the final floor() sits on a double whose value is ≥1e-9
     * away from the nearest integer, so it cannot misround. */
-  def qualityScoreBp(text: Column): Column = {
-    val c = greatest(length(text), lit(1)).cast("long")
-    val m = least(length(text), lit(500)).cast("long")
-    val t = greatest(size(wsTokens(text)), lit(1)).cast("long")
-    val h = stopHitCount(wsTokens(text), EnStop).cast("long")
-    val p = punctCount(text).cast("long")
-    val n = lit(2L) * m * t * c + lit(750L) * h * c + lit(750L) * (c - p) * t
-    val d = lit(2500L) * t * c
-    floor((lit(10000L) * n + d / lit(2L)) / d).cast("long")
-  }
+  def qualityScoreBp(text: Column): Column =
+    graft.similarity.Similarity.bound(wsTokens(text)) { toks =>
+      val c = greatest(length(text), lit(1)).cast("long")
+      val m = least(length(text), lit(500)).cast("long")
+      val t = greatest(size(toks), lit(1)).cast("long")
+      val h = stopHitCount(toks, EnStop).cast("long")
+      val p = punctCount(text).cast("long")
+      val n = lit(2L) * m * t * c + lit(750L) * h * c + lit(750L) * (c - p) * t
+      val d = lit(2500L) * t * c
+      floor((lit(10000L) * n + d / lit(2L)) / d).cast("long")
+    }
 
   /** `punctRatio` in exact integer basis points (see qualityScoreBp). */
   def punctRatioBp(text: Column): Column = {
@@ -104,13 +105,13 @@ object TextFunctions {
     * language whose stopword-hit ratio (CJK char ratio for zh) is
     * highest; ties break to the lexicographically last language —
     * array_max over (score, lang) structs is total and deterministic. */
-  def languageId(text: Column): Column = {
-    val tokens = wsTokens(text)
-    val scored = LangStops.map { case (lang, stops) =>
-      struct(tokenHitRatio(tokens, stops).as("score"), lit(lang).as("lang"))
-    } :+ struct(cjkRatio(text).as("score"), lit("zh").as("lang"))
-    array_max(array(scored: _*)).getField("lang")
-  }
+  def languageId(text: Column): Column =
+    graft.similarity.Similarity.bound(wsTokens(text)) { tokens =>
+      val scored = LangStops.map { case (lang, stops) =>
+        struct(tokenHitRatio(tokens, stops).as("score"), lit(lang).as("lang"))
+      } :+ struct(cjkRatio(text).as("score"), lit("zh").as("lang"))
+      array_max(array(scored: _*)).getField("lang")
+    }
 
   /** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken —
     * SIGMOD'03 "local algorithms for document fingerprinting"):
@@ -125,9 +126,13 @@ object TextFunctions {
     val grams = transform(
       upTo(length(text) - lit(k - 1)),
       i => xxhash64(text.substr(i, lit(k))))
-    val mins = transform(
-      upTo(size(grams) - lit(w - 1)),
-      i => array_min(slice(grams, i, lit(w))))
-    sort_array(array_distinct(mins))
+    // bind the gram-hash array once: referenced inside the window-min
+    // lambda, it would otherwise re-hash the whole document per window
+    graft.similarity.Similarity.bound(grams) { gs =>
+      val mins = transform(
+        upTo(size(gs) - lit(w - 1)),
+        i => array_min(slice(gs, i, lit(w))))
+      sort_array(array_distinct(mins))
+    }
   }
 }
