@@ -47,6 +47,7 @@ object SparkEntry {
     "ann_ivf_topk"             -> (IvfQueries.annIvfTopk _),
     "events_windowed_agg"      -> (EventQueries.eventsWindowedAgg _),
     "events_sessionize"        -> (EventQueries.eventsSessionize _),
+    "events_asof_orders"       -> (EventQueries.eventsAsofOrders _),
     "multimodal_pipeline"      -> (MultimodalQueries.multimodalPipeline _),
   )
 
@@ -276,6 +277,57 @@ object SparkEntry {
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the right side is deduped per (custkey, orderdate) on both engines
+    // so "most recent order" is unambiguous; DuckDB's native ASOF LEFT
+    // JOIN states the same backward-inclusive semantics
+    "events_asof_orders" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, epoch_ns(o_orderdate) AS otn, o_orderpriority
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                             ORDER BY o_orderkey DESC) = 1),
+        |j AS (
+        |  SELECT e.value, epoch_ns(e.ts) AS tsn, o.otn, o.o_orderpriority
+        |  FROM events e ASOF LEFT JOIN ord o
+        |    ON e.user_id = o.o_custkey AND epoch_ns(e.ts) >= o.otn)
+        |SELECT coalesce(o_orderpriority, 'NONE') AS priority, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  CAST(sum((tsn - otn) // 1000000000) AS BIGINT) AS sum_age_s
+        |FROM j GROUP BY priority ORDER BY priority""".stripMargin,
+
+    // language_id restated: per-language stopword-hit ratio (CJK char
+    // ratio for zh), argmax with ties to the lexicographically last
+    // language — the same IEEE divisions on the same integer operands,
+    // so the comparison is exact cross-engine
+    "text_language_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, lang, 'en' AS cand,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS DOUBLE) / greatest(len(t), 1) AS score FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'de',
+        |    CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], x))) AS DOUBLE) / greatest(len(t), 1) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'fr',
+        |    CAST(len(list_filter(t, x -> list_contains(['le','la','les','et','est','une','que','pour','dans','pas'], x))) AS DOUBLE) / greatest(len(t), 1) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'es',
+        |    CAST(len(list_filter(t, x -> list_contains(['el','la','los','y','es','una','que','por','con','para'], x))) AS DOUBLE) / greatest(len(t), 1) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'zh',
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) / greatest(length(text), 1) FROM toks),
+        |best AS (
+        |  SELECT doc_id, lang, cand,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+        |  FROM scores)
+        |SELECT lang, cand AS pred_lang, count(*) AS n
+        |FROM best WHERE rn = 1
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
     "events_sessionize" ->
       """WITH lagd AS (

@@ -43,6 +43,31 @@ object EventQueries {
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
     sessionizeEvents(Tables.events(spark, dir))
 
+  /** As-of join gate: attach each event's user's most recent order at
+    * or before the event time (backward inclusive), then aggregate by
+    * the matched order's priority. The right side is deduped to one row
+    * per (custkey, orderdate) first — same-date order ties would make
+    * "the most recent order" ambiguous across engines — keeping the max
+    * orderkey (deterministic). Times meet as epoch nanos. */
+  def eventsAsofOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts", $"value")
+    val ord = Tables.orders(spark, dir)
+      // orderdate is TIMESTAMP_NTZ; in this UTC session the cast is the
+      // identity wall-clock, matching DuckDB's naive epoch_ns exactly
+      .select($"o_custkey", (unix_micros($"o_orderdate".cast("timestamp")) * 1000L).as("otn"),
+        $"o_orderkey", $"o_orderpriority")
+    val perDay = Window.partitionBy($"o_custkey", $"otn").orderBy($"o_orderkey".desc)
+    val dedup = ord.withColumn("rn", row_number().over(perDay)).filter($"rn" === 1).drop("rn")
+
+    AsofJoin.backward(ev, dedup, "user_id", "ts", "o_custkey", "otn", rightAlias = "o")
+      .groupBy(coalesce($"o.o_orderpriority", lit("NONE")).as("priority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("sum_value"),
+        sum(expr("(ts - o.otn) div 1000000000")).cast("long").as("sum_age_s"))
+      .orderBy($"priority")
+  }
+
   /** Core batch sessionizer over any (user_id, ts:nanos, event_id)
     * frame — the batch twin of streaming.EventStreams.sessionize
     * (equivalence spec-tested on shared input). */
