@@ -27,6 +27,7 @@ object SparkEntry {
     "q_semijoin_priority"      -> (Analytics.qSemijoinPriority _),
     "q_antijoin_parts"         -> (Analytics.qAntijoinParts _),
     "q_rollup_sales"           -> (Analytics.qRollupSales _),
+    "q_range_join"             -> (Analytics.qRangeJoin _),
     "io_dsv_roundtrip"         -> (IoQueries.ioDsvRoundtrip _),
     "io_jsonlines_roundtrip"   -> (IoQueries.ioJsonlinesRoundtrip _),
     "io_partitioned_roundtrip" -> (IoQueries.ioPartitionedRoundtrip _),
@@ -143,6 +144,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(floor(l_extendedprice / l_quantity)) AS BIGINT) AS sum_unit_floor,
+        |  count(DISTINCT p_partkey) AS n_parts
+        |FROM lineitem JOIN part
+        |  ON l_extendedprice / l_quantity BETWEEN p_retailprice - 2 AND p_retailprice + 2
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     // io_* oracles aggregate the ORIGINAL parquet: a hash match proves
     // the write→read roundtrip through the format was lossless.

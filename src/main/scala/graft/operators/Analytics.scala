@@ -167,4 +167,24 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
+
+  /** Range join: every lineitem unit price matched into the ±2 price
+    * band around each part's retail price, via the bucketed equi-join
+    * in [[RangeJoin]] (a bare BETWEEN join would plan as
+    * BroadcastNestedLoop). Aggregates are integer-exact (floor sums)
+    * so the cross-engine hash is order-insensitive. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val unitPrices = Tables.lineitem(spark, dir)
+      .select(($"l_extendedprice" / $"l_quantity").as("unit_price"))
+    val bands = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand",
+        ($"p_retailprice" - 2.0).as("lo"), ($"p_retailprice" + 2.0).as("hi"))
+    RangeJoin.pointInInterval(unitPrices, "unit_price", bands, "lo", "hi", bucketWidth = 4.0)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"unit_price")).cast("long").as("sum_unit_floor"),
+        countDistinct($"p_partkey").as("n_parts"))
+      .orderBy($"p_brand")
+  }
 }

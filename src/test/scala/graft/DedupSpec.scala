@@ -63,6 +63,77 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty, "corpus should contain near-dup pairs")
   }
 
+  test("minhash-LSH clusters: no false positives, high recall vs exact jaccard (sf0.001)") {
+    import spark.implicits._
+    val tau = 0.7
+    // exact near-dup pairs (same trigram/jaccard definition the
+    // pipeline verifies with) — small corpus, brute force is fine here
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id",
+        Similarity.wordNgrams(TextFunctions.wsTokens($"text"), 3).as("g"))
+      .filter(size($"g") > 0)
+    val exactPairs = docs.as("a").crossJoin(docs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .withColumn("inter", size(array_intersect($"a.g", $"b.g")).cast("double"))
+      .filter($"inter" / (size($"a.g") + size($"b.g") - $"inter") >= tau)
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty)
+
+    // pipeline output: (doc, cluster_rep) for every clustered doc
+    val clusters = DedupQueries.dedupMinhashLsh(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byRep = clusters.groupBy(_._2).values.map(_.map(_._1).toSet).toSeq
+
+    // no false positives: the exact-jaccard verify step means every
+    // clustered doc shares >= tau jaccard with SOME doc in its cluster
+    val exactAdj = exactPairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    byRep.foreach { members =>
+      members.foreach { m =>
+        assert(exactAdj.getOrElse(m, Set.empty).exists(members.contains),
+          s"doc $m clustered without an exact near-dup edge inside its cluster")
+      }
+    }
+    // recall: 16 bands x 4 rows at j >= 0.7 admits a pair w.p. >= 0.988;
+    // deterministic hashes make the observed recall a fixed number
+    val clusteredPairs = byRep.flatMap(ms =>
+      ms.toSeq.sorted.combinations(2).map(p => (p(0), p(1)))).toSet
+    val recalled = exactPairs.count { case (a, b) =>
+      clusteredPairs.contains((a, b)) ||
+        byRep.exists(ms => ms.contains(a) && ms.contains(b))
+    }
+    assert(recalled.toDouble / exactPairs.size >= 0.9,
+      s"recall ${recalled.toDouble / exactPairs.size} over ${exactPairs.size} exact pairs")
+  }
+
+  test("simhash band-blocked pairs == brute-force hamming<=3 pairs (sf0.001)") {
+    import spark.implicits._
+    val got = DedupQueries.dedupSimhash(spark, sf)
+      .select($"id_a", $"id_b", $"hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same signatures (banding is pigeonhole-
+    // complete for hamming <= bands-1, so equality must be EXACT)
+    val ex = Tables.documents(spark, sf)
+      .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val bitAggs = (0 until 64).map(j =>
+      sum(shiftright($"h", j).bitwiseAND(lit(1L))).as(s"c$j"))
+    val counted = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"), bitAggs: _*)
+    val sigBits = (0 until 64).map(j =>
+      when(col(s"c$j") * 2 >= $"n", lit(1L << j)).otherwise(lit(0L)))
+    val sigs = counted.select($"doc_id",
+      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        Similarity.hamming64($"a.sig", $"b.sig").cast("long").as("d"))
+      .filter($"d" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "corpus should contain simhash near-dups")
+  }
+
   test("minhash signature similarity estimates jaccard") {
     import spark.implicits._
     val a = (1 to 60).map(i => s"tok$i")

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, AsofJoin, FilterQueries, RangeJoin}
+
+/** Plan audits: the 100 TB-relevant shapes the queries claim —
+  * predicate pushdown reaching the parquet scan, column pruning,
+  * broadcast hints restricted to fixed-size dims, and range/as-of
+  * joins planning as equi-shuffles rather than nested loops. */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def fmt(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q1: shipdate predicate pushes to the parquet scan") {
+    val s = fmt(Analytics.q1PricingSummary(spark, sf))
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$s")
+  }
+
+  test("q1: unused lineitem columns are pruned from the read schema") {
+    val s = fmt(Analytics.q1PricingSummary(spark, sf))
+    // q1 never references the orderkey/partkey/suppkey id columns
+    assert(!s.contains("l_orderkey") && !s.contains("l_partkey") && !s.contains("l_suppkey"),
+      s"scan reads columns the query never uses:\n$s")
+  }
+
+  test("compiled event filter on native columns reaches PushedFilters") {
+    val s = fmt(FilterQueries.filterEventsBasic(spark, sf))
+    val pushed = s.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("event_type"), s"filter not pushed:\n$s")
+  }
+
+  test("broadcast hints only ever cover fixed-size dims (nation/region)") {
+    val queries = Seq(
+      Analytics.q3ShippingPriority(spark, sf),
+      Analytics.q5LocalSupplierVolume(spark, sf),
+      Analytics.qWindowTopCustomers(spark, sf),
+      Analytics.qSemijoinPriority(spark, sf),
+      Analytics.qAntijoinParts(spark, sf))
+    queries.foreach { df =>
+      df.queryExecution.analyzed.foreach {
+        case h: ResolvedHint =>
+          val cols = h.child.output.map(_.name)
+          assert(cols.forall(c => c.startsWith("n_") || c.startsWith("r_")),
+            s"broadcast hint on a scaling table (columns: $cols)")
+        case _ =>
+      }
+    }
+  }
+
+  test("range join plans as an equi-join, not a nested loop") {
+    val s = fmt(Analytics.qRangeJoin(spark, sf))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$s")
+  }
+
+  test("as-of join core is a single key-shuffle") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a")).toDF("k", "t", "v")
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "t", "px")
+    val s = fmt(AsofJoin.backward(l, r, "k", "t", "k", "t"))
+    // count the "(n) Exchange" node headers in the details section —
+    // one per physical exchange operator
+    val exchanges = s.linesIterator.count(_.matches("""^\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, s"expected exactly 1 shuffle, saw $exchanges:\n$s")
+    assert(!s.contains("Join"), s"as-of must not plan a join operator:\n$s")
+  }
+
+  test("bucketed range join core shuffles both sides on the bucket key only") {
+    import spark.implicits._
+    val p = Seq((1L, 5.0)).toDF("pid", "p")
+    val i = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val s = fmt(RangeJoin.pointInInterval(p, "p", i, "lo", "hi", 4.0))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"))
+  }
+}
