@@ -35,6 +35,37 @@ object EventStreams {
   def dedupeWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static as-of enrichment — the streaming twin of
+    * operators.AsofJoin.backward for the dimension-lookup case: attach
+    * to each streaming row the most recent static row at or before its
+    * time, per key.
+    *
+    * The static side is packed ONCE into a time-sorted array per key
+    * and broadcast (it is a dimension; the streaming side never
+    * shuffles for this join). Per event the match is
+    * `try_element_at(filter(arr, t <= ts), -1)` — codegen'd
+    * higher-order functions, no per-row state. Dedupe the static side
+    * per (key, time) first if same-time rows exist, as with
+    * AsofJoin. Left-outer: unmatched rows carry a NULL struct. */
+  def asofLookup(
+      stream: DataFrame, dim: DataFrame,
+      streamKey: String, streamTime: String,
+      dimKey: String, dimTime: String,
+      alias: String = "matched"): DataFrame = {
+    val packed = dim
+      .filter(col(dimKey).isNotNull && col(dimTime).isNotNull)
+      .groupBy(col(dimKey).as("__k"))
+      .agg(sort_array(collect_list(struct(
+        col(dimTime).as("__t"),
+        struct(dim.columns.map(col).toSeq: _*).as("__p")))).as("__arr"))
+    stream
+      .join(broadcast(packed), col(streamKey) === col("__k"), "left")
+      .withColumn(alias,
+        try_element_at(filter(col("__arr"), x => x.getField("__t") <= col(streamTime)), lit(-1))
+          .getField("__p"))
+      .drop("__k", "__arr")
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(startMs: Long, lastMs: Long, n: Long)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

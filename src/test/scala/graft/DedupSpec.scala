@@ -134,6 +134,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty, "corpus should contain simhash near-dups")
   }
 
+  test("embedding-cosine clusters match brute-force cosine clustering (sf0.001)") {
+    import spark.implicits._
+    val got = DedupQueries.dedupEmbeddingCosine(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // same corpus construction, brute-force all-pairs cosine >= 0.99
+    // edges, same connected-components labeling
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val perturbed = base.select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
+        (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
+    val corpus = base.union(perturbed)
+    val edges = corpus.as("a").crossJoin(corpus.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .filter(Similarity.cosine($"a.embedding", $"b.embedding") >= 0.99)
+      .select($"a.vec_id".as("src"), $"b.vec_id".as("dst"))
+    val expected = ConnectedComponents.label(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(got === expected,
+      "LSH-candidate clustering diverged from brute-force cosine clustering")
+    assert(expected.nonEmpty, "perturbed corpus should contain near-dup pairs")
+  }
+
   test("minhash signature similarity estimates jaccard") {
     import spark.implicits._
     val a = (1 to 60).map(i => s"tok$i")

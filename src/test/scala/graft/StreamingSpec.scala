@@ -36,6 +36,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static as-of lookup agrees with the batch AsofJoin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val quotes = Seq((1L, 200L, 10.0), (1L, 300L, 11.0), (1L, 400L, 12.0), (3L, 100L, 99.0))
+      .toDF("k", "t", "px")
+    val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2"), (1L, 300L, "t3"),
+      (2L, 500L, "t4"), (1L, 990L, "t5"))
+
+    val in = MemoryStream[(Long, Long, String)]
+    val df = in.toDF().toDF("k", "t", "tag")
+    val q = EventStreams.asofLookup(df, quotes, "k", "t", "k", "t", "q").writeStream
+      .format("memory").queryName("asof_stream").outputMode(OutputMode.Append).start()
+    val got = try {
+      in.addData(trades: _*)
+      q.processAllAvailable()
+      spark.table("asof_stream").select($"tag", $"q.px")
+        .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    } finally q.stop()
+
+    val batch = graft.operators.AsofJoin
+      .backward(trades.toDF("k", "t", "tag"), quotes, "k", "t", "k", "t", "q")
+      .select($"tag", $"q.px")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got === batch)
+    assert(got("t2") === Some(10.0) && got("t1") === None)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
