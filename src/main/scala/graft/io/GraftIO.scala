@@ -48,6 +48,10 @@ object GraftIO {
     * @param chunks        target output files per partition (reference
     *                      `suffix=[...]` list length); 0 = leave as-is
     * @param maxRecordsPerFile upper bound per file (scale guard), 0 = off
+    * @param options       extra DataFrameWriter options, applied LAST so
+    *                      they can override any default here — the
+    *                      analogue of the reference's `pandas_kwargs`
+    *                      passthrough (io.py:149-173)
     */
   def write(
       df: DataFrame,
@@ -59,7 +63,8 @@ object GraftIO {
       partitionBy: Seq[String] = Nil,
       chunks: Int = 0,
       maxRecordsPerFile: Long = 0L,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
+      mode: SaveMode = SaveMode.Overwrite,
+      options: Map[String, String] = Map.empty): Unit = {
 
     // chunks per hive-partition: repartition on (partition cols, chunk
     // id) so each partition directory gets ~`chunks` files written by
@@ -97,7 +102,8 @@ object GraftIO {
 
     format match {
       case Parquet =>
-        withMax.option("compression", if (gzip) "gzip" else "snappy").parquet(path)
+        withMax.option("compression", if (gzip) "gzip" else "snappy")
+          .options(options).parquet(path)
       case Dsv =>
         withMax
           .option("sep", sep).option("header", header.toString)
@@ -107,12 +113,12 @@ object GraftIO {
           .option("escape", "\\")
           .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
           .option("compression", if (gzip) "gzip" else "none")
-          .csv(path)
+          .options(options).csv(path)
       case JsonLines =>
         withMax
           .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
           .option("compression", if (gzip) "gzip" else "none")
-          .json(path)
+          .options(options).json(path)
     }
   }
 
@@ -203,6 +209,9 @@ object GraftIO {
     * @param restorePartitions when false, hive partition columns parsed
     *               from the directory layout are dropped (reference
     *               `drop_partitions` analogue on the read side)
+    * @param options extra DataFrameReader options, applied LAST so they
+    *               can override any default here — the analogue of the
+    *               reference's `pandas_kwargs` passthrough (io.py:102-113)
     */
   def read(
       spark: SparkSession,
@@ -213,7 +222,8 @@ object GraftIO {
       header: Boolean = true,
       schema: Option[StructType] = None,
       inferSchema: Boolean = false,
-      restorePartitions: Boolean = true): DataFrame = {
+      restorePartitions: Boolean = true,
+      options: Map[String, String] = Map.empty): DataFrame = {
 
     def load(recursive: Boolean): DataFrame = {
       val reader0 = spark.read
@@ -222,7 +232,7 @@ object GraftIO {
       // the resolved schema contains only data-file columns.
       val reader = if (recursive) reader1.option("recursiveFileLookup", "true") else reader1
       format match {
-        case Parquet => reader.parquet(path)
+        case Parquet => reader.options(options).parquet(path)
         case Dsv =>
           reader
             .option("sep", sep).option("header", header.toString)
@@ -234,8 +244,8 @@ object GraftIO {
             .option("nullValue", "__graft_reserved_null__")
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
             .option("inferSchema", inferSchema.toString)
-            .csv(path)
-        case JsonLines => reader.json(path)
+            .options(options).csv(path)
+        case JsonLines => reader.options(options).json(path)
       }
     }
 

@@ -93,6 +93,22 @@ class IoSpec extends SparkSpec {
     assert(!noPart.columns.contains("parity"))
   }
 
+  test("options passthrough overrides defaults (pandas_kwargs analogue)") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None: Option[String])).toDF("id", "s")
+    val out = freshDir() + "/opts"
+    // write nulls as a custom marker, read them back through the same
+    // marker — both sides riding the options map, overriding the
+    // built-in null handling
+    GraftIO.write(df, out, GraftIO.Dsv, options = Map("nullValue" -> "__NA__"))
+    val raw = spark.read.option("sep", "\t").option("header", "true").csv(out)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(raw === Seq("a", "__NA__"))
+    val back = GraftIO.read(spark, out, GraftIO.Dsv, schema = Some(df.schema),
+      options = Map("nullValue" -> "__NA__"))
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
   test("all-string dsv read matches reference default dtype=str") {
     import spark.implicits._
     val df = Seq((1, "a"), (2, "b")).toDF("n", "s")
