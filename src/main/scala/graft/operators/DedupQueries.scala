@@ -146,7 +146,13 @@ object DedupQueries {
     val laneAggs = (0 until MinhashLanes).map(i =>
       min(xxhash64(lit(i), $"gram")).as(s"h$i")) :+
       sort_array(collect_list($"gram")).as("g")
+    // persisted: referenced FOUR times downstream (both sides of the
+    // band self-join, both sides of the verify join) and AQE's exchange
+    // reuse across those references is not guaranteed — without the
+    // cache the shingle+aggregate pipeline can execute up to 4x.
+    // Unpersisted below once the edge list is materialized.
     val sigs = ex.groupBy($"doc_id").agg(laneAggs.head, laneAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val r = MinhashLanes / MinhashBands
     val bandStructs = (0 until MinhashBands).map { b =>
@@ -165,7 +171,11 @@ object DedupQueries {
     val edges = verifyJaccard(candidates, sigs.select($"doc_id", $"g"))
       .select($"id_a".as("src"), $"id_b".as("dst"))
 
-    ConnectedComponents.label(edges)
+    // label() materializes (and persists) the edge list up front, after
+    // which nothing re-reads sigs: safe to release here
+    val labels = ConnectedComponents.label(edges)
+    sigs.unpersist()
+    labels
       .select($"id".as("doc_id"), $"component".as("cluster_rep"))
       .orderBy($"doc_id")
   }
