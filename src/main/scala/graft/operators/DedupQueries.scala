@@ -33,6 +33,12 @@ object DedupQueries {
   private val MinhashLanes = 64
   private val MinhashBands = 16 // 4 rows per band
 
+  /** Hot-bucket cap for every LSH candidate join (see
+    * Similarity.boundBuckets): far above any bucket this corpus
+    * produces — the gate results are unchanged — but at 100 TB it is
+    * the guard that keeps one degenerate bucket from going quadratic. */
+  private val MaxBucket = 10000
+
   /** Exploded word-3-gram shingles, hashed to 64 bits: one row per
     * (doc_id, gram_hash), with the doc's distinct-shingle count `s`.
     * Shared head of every near-dup pipeline. Left unpersisted on
@@ -159,8 +165,10 @@ object DedupQueries {
       val laneCols: Seq[Column] = (b * r until (b + 1) * r).map(i => col(s"h$i"))
       struct(lit(b).as("band"), xxhash64(lit(b) +: laneCols: _*).as("band_hash"))
     }
-    val buckets = sigs.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
-      .select($"doc_id", $"bb.band", $"bb.band_hash")
+    val buckets = Similarity.boundBuckets(
+      sigs.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+        .select($"doc_id", $"bb.band", $"bb.band_hash"),
+      Seq("band", "band_hash"), MaxBucket)
 
     val candidates = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
@@ -203,9 +211,11 @@ object DedupQueries {
     val sigs = counted.select($"doc_id",
       sigBits.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
 
-    val buckets = sigs.select($"doc_id", $"sig",
-        explode(Similarity.simhashBands($"sig", 4)).as("bb"))
-      .select($"doc_id", $"sig", $"bb.band", $"bb.band_bits")
+    val buckets = Similarity.boundBuckets(
+      sigs.select($"doc_id", $"sig",
+          explode(Similarity.simhashBands($"sig", 4)).as("bb"))
+        .select($"doc_id", $"sig", $"bb.band", $"bb.band_bits"),
+      Seq("band", "band_bits"), MaxBucket)
 
     buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_bits" === $"b.band_bits" &&
@@ -241,7 +251,9 @@ object DedupQueries {
         (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
     val corpus = base.union(perturbed)
 
-    val buckets = Similarity.hyperplaneBucketsDf(corpus, "vec_id", "embedding", 64, 4)
+    val buckets = Similarity.boundBuckets(
+      Similarity.hyperplaneBucketsDf(corpus, "vec_id", "embedding", 64, 4),
+      Seq("band", "band_bits"), MaxBucket)
 
     val candidates = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_bits" === $"b.band_bits" &&

@@ -192,6 +192,25 @@ object Similarity {
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
   }
 
+  /** Cap LSH bucket sizes before a candidate self-join: a degenerate
+    * bucket value shared by B rows contributes B² candidate pairs — one
+    * hot bucket (boilerplate documents, empty-ish inputs hashing alike)
+    * turns the join quadratic at scale. Buckets larger than `maxBucket`
+    * are dropped entirely (the standard LSH-dedup guard: a bounded,
+    * observable recall loss instead of an unbounded shuffle blowup —
+    * pairs in a dropped bucket usually still meet in another band).
+    * Cost: one partial-agg pass over the buckets + a broadcast
+    * anti-join against the (tiny) hot-bucket list. */
+  def boundBuckets(
+      buckets: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      maxBucket: Int): org.apache.spark.sql.DataFrame = {
+    val keys = keyCols.map(col)
+    val hot = buckets.groupBy(keys: _*).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket).drop("__bn")
+    buckets.join(broadcast(hot), keyCols, "left_anti")
+  }
+
   /** Dynamic-count bit shifts: the SQL ShiftRight/ShiftLeft expressions
     * accept an expression count; only the Scala `functions` wrappers
     * restrict it to a literal Int. */

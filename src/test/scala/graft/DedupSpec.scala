@@ -159,6 +159,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(expected.nonEmpty, "perturbed corpus should contain near-dup pairs")
   }
 
+  test("boundBuckets drops only oversized buckets") {
+    import spark.implicits._
+    // bucket (0, 7L): 5 members; bucket (1, 9L): 2 members
+    val buckets = ((1 to 5).map(i => (i.toLong, 0, 7L)) ++
+      Seq((6L, 1, 9L), (7L, 1, 9L))).toDF("id", "band", "band_hash")
+    val kept = Similarity.boundBuckets(buckets, Seq("band", "band_hash"), maxBucket = 4)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(6L, 7L))
+    // cap above every bucket: identity
+    val all = Similarity.boundBuckets(buckets, Seq("band", "band_hash"), maxBucket = 5)
+    assert(all.count() === 7)
+  }
+
   test("minhash signature similarity estimates jaccard") {
     import spark.implicits._
     val a = (1 to 60).map(i => s"tok$i")
