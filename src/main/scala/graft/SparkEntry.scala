@@ -28,6 +28,7 @@ object SparkEntry {
     "q_antijoin_parts"         -> (Analytics.qAntijoinParts _),
     "q_rollup_sales"           -> (Analytics.qRollupSales _),
     "q_range_join"             -> (Analytics.qRangeJoin _),
+    "q_group_quantiles"        -> (Analytics.qGroupQuantiles _),
     "io_dsv_roundtrip"         -> (IoQueries.ioDsvRoundtrip _),
     "io_jsonlines_roundtrip"   -> (IoQueries.ioJsonlinesRoundtrip _),
     "io_partitioned_roundtrip" -> (IoQueries.ioPartitionedRoundtrip _),
@@ -144,6 +145,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_group_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  quantile_cont(l_quantity, 0.99) AS p99,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_range_join" ->
       """SELECT p_brand, count(*) AS n,

@@ -168,6 +168,23 @@ object Analytics {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** Exact distributed quantiles of l_quantity per return flag. Spark's
+    * `percentile` sorts within the aggregation (one shuffle, group-
+    * parallel). l_quantity is integer-valued, so the linear
+    * interpolation at (n-1)p is exact in doubles and matches DuckDB's
+    * quantile_cont bit-for-bit — no rounding in query or oracle. */
+  def qGroupQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_quantity", lit(0.5)).as("p50"),
+        percentile($"l_quantity", lit(0.9)).as("p90"),
+        percentile($"l_quantity", lit(0.99)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Range join: every lineitem unit price matched into the ±2 price
     * band around each part's retail price, via the bucketed equi-join
     * in [[RangeJoin]] (a bare BETWEEN join would plan as
