@@ -31,8 +31,10 @@ object Bench {
     // the fastest; default 2 so reported numbers are steady-state plan
     // cost, not first-execution JIT/codegen compilation (per-query
     // deltas of 2-5x were all warmup, see BASELINE.md).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    require(repeat >= 1, s"SPARK_GRAFT_REPEAT must be >= 1, got $repeat")
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }

@@ -63,6 +63,11 @@ object AsofJoin {
       rightKey: String, rightTime: String,
       rightAlias: String, tolerance: Option[Long],
       forwardDir: Boolean): DataFrame = {
+    val reserved = Set("__k", "__t", "__side", "__l", "__r", "__m")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(clash.isEmpty, s"input columns collide with AsofJoin internals: ${clash.mkString(", ")}")
+    require(!left.columns.contains(rightAlias),
+      s"rightAlias '$rightAlias' collides with a left column; pass a different alias")
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
 
@@ -79,8 +84,10 @@ object AsofJoin {
 
     // ascending time for backward, descending for forward: either way
     // the right row "seen most recently" by the running window is the
-    // direction's best match, and side 0 < 1 keeps equal times inclusive
-    val timeOrd: Column = if (forwardDir) col("__t").desc else col("__t").asc
+    // direction's best match, and side 0 < 1 keeps equal times inclusive.
+    // NULL left times sort FIRST in both directions so they precede
+    // every right row and come back unmatched, per the contract.
+    val timeOrd: Column = if (forwardDir) col("__t").desc_nulls_first else col("__t").asc_nulls_first
     val w = Window.partitionBy(col("__k")).orderBy(timeOrd, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

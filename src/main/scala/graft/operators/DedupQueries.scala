@@ -208,8 +208,14 @@ object DedupQueries {
 
     val sigBits = (0 until 64).map(j =>
       when(col(s"c$j") * 2 >= $"n", lit(1L << j)).otherwise(lit(0L)))
+    // persisted: the bucket frame feeds the hot-bucket aggregation, its
+    // anti-join, and both sides of the candidate self-join — without
+    // the cache the token-explode + 65-agg pipeline can execute 4x
+    // (same hazard the minhash path persists against). Released after
+    // the verified pairs are materialized below.
     val sigs = counted.select($"doc_id",
-      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+        sigBits.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val buckets = Similarity.boundBuckets(
       sigs.select($"doc_id", $"sig",
@@ -217,14 +223,20 @@ object DedupQueries {
         .select($"doc_id", $"sig", $"bb.band", $"bb.band_bits"),
       Seq("band", "band_bits"), MaxBucket)
 
-    buckets.as("a").join(buckets.as("b"),
+    val pairs = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_bits" === $"b.band_bits" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
         Similarity.hamming64($"a.sig", $"b.sig").cast("long").as("hamming"))
       .distinct()
       .filter($"hamming" <= maxHamming)
-      .orderBy($"id_a", $"id_b")
+      // materialized + persisted so sigs can be released eagerly (the
+      // returned frame is PERSISTED — long-lived sessions should
+      // unpersist once consumed, as with ConnectedComponents.label)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    sigs.unpersist()
+    pairs.orderBy($"id_a", $"id_b")
   }
 
   /** Embedding cosine near-dup clustering. The corpus is embeddings ∪
@@ -251,9 +263,11 @@ object DedupQueries {
         (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
     val corpus = base.union(perturbed)
 
-    val buckets = Similarity.boundBuckets(
-      Similarity.hyperplaneBucketsDf(corpus, "vec_id", "embedding", 64, 4),
-      Seq("band", "band_bits"), MaxBucket)
+    // persisted for the same 4-reference reason as the simhash/minhash
+    // signature frames; released once CC has materialized the edges
+    val rawBuckets = Similarity.hyperplaneBucketsDf(corpus, "vec_id", "embedding", 64, 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = Similarity.boundBuckets(rawBuckets, Seq("band", "band_bits"), MaxBucket)
 
     val candidates = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_bits" === $"b.band_bits" &&
@@ -267,7 +281,10 @@ object DedupQueries {
       .filter(Similarity.cosine($"ea", $"eb") >= tau)
       .select($"src", $"dst")
 
-    ConnectedComponents.label(edges)
+    // label() materializes (and persists) the edge list up front
+    val labels = ConnectedComponents.label(edges)
+    rawBuckets.unpersist()
+    labels
       .select($"id".as("vec_id"), $"component".as("cluster_rep"))
       .orderBy($"vec_id")
   }

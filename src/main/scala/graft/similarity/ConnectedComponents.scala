@@ -37,13 +37,16 @@ object ConnectedComponents {
     labelWithStatus(edges, maxIter).labels
 
   /** Below this edge count the component labeling runs as a driver-side
-    * union-find instead of iterative Spark jobs. 10M edges ≈ 160 MB of
-    * longs — the same memory envelope Spark accepts for a broadcast
-    * join side. The distributed label-propagation loop costs several
-    * shuffle JOBS regardless of data size; on the small edge lists that
-    * near-dup verification emits, that fixed job latency dominates by
-    * 10× (measured 3.4 s of jobs for a 256-edge graph). */
-  val DriverUnionFindMaxEdges: Long = 10_000_000L
+    * union-find instead of iterative Spark jobs. Honest driver-memory
+    * math (not just raw longs): 2M collected Tuple2[Long,Long] (field-
+    * specialized, no boxing) ≈ 64 MB, plus a boxed HashMap of up to 4M
+    * vertex entries ≈ 300 MB transiently — comfortably inside a
+    * multi-GB driver, same order as a large broadcast side. The
+    * distributed label-propagation loop costs several shuffle JOBS
+    * regardless of data size; on the small edge lists near-dup
+    * verification emits, that fixed job latency dominates by 10×
+    * (measured 3.4 s of jobs for a 256-edge graph). */
+  val DriverUnionFindMaxEdges: Long = 2_000_000L
 
   /** As [[label]], surfacing convergence. `strict = true` throws
     * IllegalStateException on non-convergence instead of returning
@@ -134,10 +137,11 @@ object ConnectedComponents {
       root
     }
     // collect(), not toLocalIterator(): the latter launches one job PER
-    // PARTITION (32 sequential tiny jobs here); a single collect of
-    // <= threshold edges is one job and bounded at ~160 MB.
-    e.select($"src".cast("long"), $"dst".cast("long")).collect().foreach { row =>
-      val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+    // PARTITION (32 sequential tiny jobs here). Typed collect returns
+    // specialized Tuple2[Long, Long] — primitive fields, no per-row Row
+    // object or boxing.
+    e.select($"src".cast("long"), $"dst".cast("long")).as[(Long, Long)].collect().foreach { t =>
+      val (a, b) = (find(t._1), find(t._2))
       // every endpoint must appear in the map (roots map to themselves)
       parent.putIfAbsent(a, a)
       parent.putIfAbsent(b, b)

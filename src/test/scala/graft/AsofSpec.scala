@@ -81,6 +81,14 @@ class AsofSpec extends AnyFunSuite with SparkSpec {
       .select($"tag", $"q.px").collect()
       .map(row => row.getString(0) -> Option(row.get(1))).toMap
     assert(got === Map("a" -> Some(1.0), "b" -> None))
+    // forward direction: same null contract (a NULL-time left row must
+    // come back unmatched, not grab the min-time right row)
+    val lNullT = Seq((Some(1L), Some(40L), "c"), (Some(1L), None: Option[Long], "d"))
+      .toDF("k", "t", "tag")
+    val fwd = AsofJoin.forward(lNullT, r, "k", "t", "k", "t", "q")
+      .select($"tag", $"q.px").collect()
+      .map(row => row.getString(0) -> Option(row.get(1))).toMap
+    assert(fwd === Map("c" -> Some(1.0), "d" -> None))
   }
 
   test("agrees with brute-force definition on real events/orders (sf0.001)") {
