@@ -29,6 +29,7 @@ object SparkEntry {
     "q_rollup_sales"           -> (Analytics.qRollupSales _),
     "q_range_join"             -> (Analytics.qRangeJoin _),
     "q_group_quantiles"        -> (Analytics.qGroupQuantiles _),
+    "q_pivot_events"           -> (Analytics.qPivotEvents _),
     "io_dsv_roundtrip"         -> (IoQueries.ioDsvRoundtrip _),
     "io_jsonlines_roundtrip"   -> (IoQueries.ioJsonlinesRoundtrip _),
     "io_partitioned_roundtrip" -> (IoQueries.ioPartitionedRoundtrip _),
@@ -145,6 +146,17 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE date_part('dow', ts) = 0) AS "0",
+        |  count(*) FILTER (WHERE date_part('dow', ts) = 1) AS "1",
+        |  count(*) FILTER (WHERE date_part('dow', ts) = 2) AS "2",
+        |  count(*) FILTER (WHERE date_part('dow', ts) = 3) AS "3",
+        |  count(*) FILTER (WHERE date_part('dow', ts) = 4) AS "4",
+        |  count(*) FILTER (WHERE date_part('dow', ts) = 5) AS "5",
+        |  count(*) FILTER (WHERE date_part('dow', ts) = 6) AS "6"
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_group_quantiles" ->
       """SELECT l_returnflag,

@@ -185,6 +185,26 @@ object Analytics {
       .orderBy($"l_returnflag")
   }
 
+  /** Pivot: event counts by (event_type × day-of-week). The pivot
+    * VALUES are supplied explicitly — without them Spark runs an extra
+    * distinct-values job over the full input before it can even plan.
+    * Empty cells are coalesced to 0 to match SQL conditional-aggregate
+    * semantics (a pivot cell with no rows is NULL). */
+  def qPivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dows = (0 to 6).map(_.toString)
+    val pivoted = Tables.events(spark, dir)
+      // ts is epoch nanos; dayofweek is 1=Sunday..7 -> shift to 0=Sunday
+      .withColumn("dow",
+        (dayofweek(timestamp_seconds(expr("ts div 1000000000"))) - 1).cast("string"))
+      .groupBy($"event_type")
+      .pivot("dow", dows)
+      .agg(count(lit(1)))
+    pivoted
+      .select($"event_type" +: dows.map(d => coalesce(col(d), lit(0L)).as(d)): _*)
+      .orderBy($"event_type")
+  }
+
   /** Range join: every lineitem unit price matched into the ±2 price
     * band around each part's retail price, via the bucketed equi-join
     * in [[RangeJoin]] (a bare BETWEEN join would plan as
