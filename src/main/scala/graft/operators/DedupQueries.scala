@@ -264,21 +264,26 @@ object DedupQueries {
     val corpus = base.union(perturbed)
 
     // persisted for the same 4-reference reason as the simhash/minhash
-    // signature frames; released once CC has materialized the edges
+    // signature frames; released once CC has materialized the edges.
+    // The embedding rides along in the cached frame so the verify step
+    // scores directly off the self-join — no re-join against the corpus
+    // (a 64-float payload per band is cheap; the minhash path makes the
+    // opposite call because its payload is the full shingle array).
     val rawBuckets = Similarity.hyperplaneBucketsDf(corpus, "vec_id", "embedding", 64, 4)
+      .join(corpus, "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = Similarity.boundBuckets(rawBuckets, Seq("band", "band_bits"), MaxBucket)
 
-    val candidates = buckets.as("a").join(buckets.as("b"),
+    // score BEFORE the multi-band distinct: cosine is deterministic, so
+    // distinct over (src, dst, cos) == distinct over the pair, and the
+    // shuffle carries scalars instead of embedding arrays
+    val edges = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_bits" === $"b.band_bits" &&
           $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("src"), $"b.vec_id".as("dst"))
+      .select($"a.vec_id".as("src"), $"b.vec_id".as("dst"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
       .distinct()
-
-    val edges = candidates
-      .join(corpus.select($"vec_id".as("src"), $"embedding".as("ea")), "src")
-      .join(corpus.select($"vec_id".as("dst"), $"embedding".as("eb")), "dst")
-      .filter(Similarity.cosine($"ea", $"eb") >= tau)
+      .filter($"cos" >= tau)
       .select($"src", $"dst")
 
     // label() materializes (and persists) the edge list up front
