@@ -112,7 +112,13 @@ object DedupQueries {
     * candidates at sf0.1). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // persisted: the exploded-shingle pipeline feeds the document-
+    // frequency aggregate, the prefix ranking join, and the verify
+    // arrays — three executions without the cache (same reasoning as
+    // the signature persists in the other dedup paths). Released after
+    // the verified pairs are materialized.
     val ex = explodedShingles(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = ex.groupBy($"gram").agg(count(lit(1)).as("df"))
 
     // rank each doc's shingles by (df, gram); keep the rare prefix
@@ -128,11 +134,16 @@ object DedupQueries {
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
 
-    verifyJaccard(candidates, shingleArrays(ex))
+    val pairs = verifyJaccard(candidates, shingleArrays(ex))
       // jaccard in exact integer basis points (see TextFunctions.qualityScoreBp)
       .select($"id_a", $"id_b",
         floor((lit(20000L) * $"inter" + $"uni") / (lit(2L) * $"uni")).cast("long").as("j_bp"))
-      .orderBy($"id_a", $"id_b")
+      // materialized + persisted so ex can be released eagerly (the
+      // returned frame is PERSISTED, as with the simhash pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    ex.unpersist()
+    pairs.orderBy($"id_a", $"id_b")
   }
 
   /** MinHash + LSH near-dup clustering: 64 codegen'd min-aggregate
