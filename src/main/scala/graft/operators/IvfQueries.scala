@@ -34,8 +34,12 @@ object IvfQueries {
     val withVec = emb.withColumn("features",
       array_to_vector($"embedding".cast("array<double>")))
 
+    // 5 iterations: cell assignments stabilize well before centroid
+    // convergence, and IVF recall depends only on assignments (probing
+    // covers NProbe cells anyway) — halving from 10 left the recall
+    // gate green at ~60% of the train cost
     val model = new KMeans()
-      .setK(NList).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+      .setK(NList).setSeed(42L).setMaxIter(5).setFeaturesCol("features")
       .fit(withVec)
 
     // corpus annotated with its cell (at scale: the partitioning key)
