@@ -40,6 +40,12 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
+        // CacheManager matches persisted frames by canonicalized plan,
+        // so a repeat of the same query would silently reuse the
+        // previous run's persisted intermediates — clear so every
+        // timed run recomputes from the parquet sources (JIT warmth is
+        // what repeat is meant to keep; data-cache warmth is not)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
