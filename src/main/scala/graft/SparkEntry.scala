@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, IvfQueries, MultimodalQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, IvfQueries, MultimodalQueries, SampleQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -30,6 +30,7 @@ object SparkEntry {
     "q_range_join"             -> (Analytics.qRangeJoin _),
     "q_group_quantiles"        -> (Analytics.qGroupQuantiles _),
     "q_pivot_events"           -> (Analytics.qPivotEvents _),
+    "q_sample_deterministic"   -> (SampleQueries.qSampleDeterministic _),
     "io_dsv_roundtrip"         -> (IoQueries.ioDsvRoundtrip _),
     "io_jsonlines_roundtrip"   -> (IoQueries.ioJsonlinesRoundtrip _),
     "io_partitioned_roundtrip" -> (IoQueries.ioPartitionedRoundtrip _),
@@ -146,6 +147,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_sample_deterministic" ->
+      """SELECT event_type, rk, event_id FROM (
+        |  SELECT event_type, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY sha256(CAST(event_id AS VARCHAR)), event_id) AS BIGINT) AS rk
+        |  FROM events)
+        |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
 
     "q_pivot_events" ->
       """SELECT event_type,

@@ -96,7 +96,10 @@ object CosineSimilarity {
 /** SparkSessionExtensions entry point:
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       CosineSimilarity.Info, CosineSimilarity.Builder))
+    ext.injectFunction((FunctionIdentifier("graft_bottomk"),
+      BottomK.Info, BottomK.Builder))
+  }
 }
