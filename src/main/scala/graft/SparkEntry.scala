@@ -34,6 +34,7 @@ object SparkEntry {
     "io_dsv_roundtrip"         -> (IoQueries.ioDsvRoundtrip _),
     "io_jsonlines_roundtrip"   -> (IoQueries.ioJsonlinesRoundtrip _),
     "io_partitioned_roundtrip" -> (IoQueries.ioPartitionedRoundtrip _),
+    "io_orc_roundtrip"         -> (IoQueries.ioOrcRoundtrip _),
     "filter_events_basic"      -> (FilterQueries.filterEventsBasic _),
     "filter_events_nested"     -> (FilterQueries.filterEventsNested _),
     "filter_events_prefix_anybut" -> (FilterQueries.filterEventsPrefixAnybut _),
@@ -41,6 +42,7 @@ object SparkEntry {
     "text_quality_score"       -> (TextQueries.textQualityScore _),
     "text_language_id"         -> (TextQueries.textLanguageId _),
     "text_fingerprint"         -> (TextQueries.textFingerprint _),
+    "text_normalize"           -> (TextQueries.textNormalize _),
     "dedup_exact"              -> (DedupQueries.dedupExact _),
     "dedup_ngram_jaccard"      -> (DedupQueries.dedupNgramJaccard _),
     "dedup_minhash_lsh"        -> (DedupQueries.dedupMinhashLsh _),
@@ -207,6 +209,13 @@ object SparkEntry {
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "io_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(p_partkey) AS BIGINT) AS sum_pkey,
+        |  round(sum(p_retailprice), 2) AS sum_price
+        |FROM part WHERE p_size >= 25
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     // filter_* oracles restate the compiled filter document as plain SQL
     "filter_events_basic" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
@@ -261,6 +270,15 @@ object SparkEntry {
         |  CAST(floor((10000.0 * (2*m*t*c + 750*h*c + 750*(c-p)*t) + 1250.0*t*c)
         |       / (2500.0*t*c)) AS BIGINT) AS quality_bp
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(norm) AS BIGINT) AS norm_chars,
+        |  md5(norm) AS norm_md5
+        |FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // dedup_exact: oracle groups by full text (spark groups by sha256
     // digest — identical result barring a collision)

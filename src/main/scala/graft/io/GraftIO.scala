@@ -29,12 +29,14 @@ object GraftIO {
   case object Parquet extends Format { val name = "parquet" }
   case object Dsv extends Format { val name = "dsv" }
   case object JsonLines extends Format { val name = "jsonlines" }
+  case object Orc extends Format { val name = "orc" }
 
   object Format {
     def apply(name: String): Format = name match {
       case "parquet"           => Parquet
       case "dsv" | "csv" | "tsv" => Dsv
       case "jsonlines" | "json"  => JsonLines
+      case "orc"               => Orc
       case other => throw new IllegalArgumentException(s"Unsupported format: $other")
     }
   }
@@ -119,6 +121,10 @@ object GraftIO {
           .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
           .option("compression", if (gzip) "gzip" else "none")
           .options(options).json(path)
+      case Orc =>
+        // ORC has no gzip codec; zlib is the same DEFLATE stream
+        withMax.option("compression", if (gzip) "zlib" else "snappy")
+          .options(options).orc(path)
     }
   }
 
@@ -246,6 +252,7 @@ object GraftIO {
             .option("inferSchema", inferSchema.toString)
             .options(options).csv(path)
         case JsonLines => reader.options(options).json(path)
+        case Orc       => reader.options(options).orc(path)
       }
     }
 

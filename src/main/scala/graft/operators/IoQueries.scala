@@ -55,6 +55,24 @@ object IoQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** Zlib ORC roundtrip of part — the columnar alternative to parquet
+    * (same pushdown/pruning machinery on read). */
+  def ioOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand", $"p_size", $"p_retailprice")
+    val out = tmpDir("orc", dir)
+    GraftIO.write(part, out, GraftIO.Orc, gzip = true)
+    GraftIO.read(spark, out, GraftIO.Orc)
+      .filter($"p_size" >= 25) // pushdown survives the roundtrip
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"p_partkey").as("sum_pkey"),
+        round(sum($"p_retailprice"), 2).as("sum_price"))
+      .orderBy($"p_brand")
+  }
+
   /** Hive-partitioned parquet roundtrip of events, chunked output, with
     * a partition-pruned read (only 2 of the event_type dirs scanned). */
   def ioPartitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {

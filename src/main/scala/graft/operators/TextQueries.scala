@@ -48,6 +48,23 @@ object TextQueries {
       .orderBy($"lang", $"pred_lang")
   }
 
+  /** Text normalization — the canonicalization step ahead of exact
+    * dedup/caching in a training pipeline: trim, collapse whitespace
+    * runs to single spaces, casefold. Verified by an md5 digest of the
+    * normalized text (byte-identical cross-engine). */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = graft.similarity.Similarity.bound(
+      lower(regexp_replace(trim($"text"), "\\s+", " "))) { norm =>
+      struct(length(norm).cast("long").as("norm_chars"),
+        md5(norm.cast("binary")).as("norm_md5"))
+    }
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", stats.as("x"))
+      .select($"doc_id", $"x.norm_chars".as("norm_chars"), $"x.norm_md5".as("norm_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Winnowing fingerprints: per-doc fingerprint count plus a stable
     * digest of the selected hashes (rows oracle). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {

@@ -93,6 +93,18 @@ class IoSpec extends SparkSpec {
     assert(!noPart.columns.contains("parity"))
   }
 
+  test("orc roundtrip preserves values; zlib compression applied") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "", -0.25), (3L, null.asInstanceOf[String], 0.0))
+      .toDF("id", "s", "v")
+    val out = freshDir() + "/o"
+    GraftIO.write(df, out, GraftIO.Orc, gzip = true)
+    val back = GraftIO.read(spark, out, GraftIO.Orc)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    val fs = FileSystems(spark)
+    assert(fs.find(out).exists(_.endsWith(".zlib.orc")))
+  }
+
   test("options passthrough overrides defaults (pandas_kwargs analogue)") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None: Option[String])).toDF("id", "s")
