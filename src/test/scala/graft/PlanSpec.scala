@@ -59,6 +59,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"range join degenerated to a nested loop:\n$s")
   }
 
+  test("bottom-k sample aggregates partially before the shuffle") {
+    graft.functions.BottomK.ensureRegistered(spark)
+    val s = fmt(graft.operators.SampleQueries.qSampleDeterministic(spark, sf))
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the
+    // partial/final pair proves map-side combine (only k rows per
+    // task per group cross the wire)
+    val objAggs = s.linesIterator.count(_.matches("""^\(\d+\) ObjectHashAggregate.*"""))
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$s")
+    assert(s.contains("partial_graft_bottomk"), s"no partial aggregation:\n$s")
+  }
+
+  test("orc read pushes the size filter to the scan") {
+    // write once so the read side exists
+    val df = graft.operators.IoQueries.ioOrcRoundtrip(spark, sf)
+    val s = fmt(df)
+    assert(s.contains("PushedFilters: [IsNotNull(p_size), GreaterThanOrEqual(p_size"),
+      s"orc pushdown missing:\n$s")
+  }
+
   test("as-of join core is a single key-shuffle") {
     import spark.implicits._
     val l = Seq((1L, 10L, "a")).toDF("k", "t", "v")
