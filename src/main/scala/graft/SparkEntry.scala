@@ -54,6 +54,7 @@ object SparkEntry {
     "events_windowed_agg"      -> (EventQueries.eventsWindowedAgg _),
     "events_sessionize"        -> (EventQueries.eventsSessionize _),
     "events_asof_orders"       -> (EventQueries.eventsAsofOrders _),
+    "events_attribution"       -> (EventQueries.eventsAttribution _),
     "multimodal_pipeline"      -> (MultimodalQueries.multimodalPipeline _),
   )
 
@@ -352,6 +353,30 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  CAST(sum((tsn - otn) // 1000000000) AS BIGINT) AS sum_age_s
         |FROM j GROUP BY priority ORDER BY priority""".stripMargin,
+
+    // the tolerance-bounded as-of: most-recent-click-or-null, nulled
+    // when older than 1h (equivalent to "within 1h": any other click is
+    // older than the most recent one)
+    "events_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id AS c_user, epoch_ns(ts) AS c_ts
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT event_id, user_id, value, epoch_ns(ts) AS tsn
+        |  FROM events WHERE event_type = 'purchase'),
+        |j0 AS (
+        |  SELECT p.event_id, p.value, p.tsn, c.c_ts AS raw_cts
+        |  FROM purch p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.c_user AND p.tsn >= c.c_ts),
+        |j AS (
+        |  SELECT event_id, value, tsn,
+        |    CASE WHEN raw_cts IS NOT NULL AND tsn - raw_cts <= 3600000000000
+        |         THEN raw_cts END AS c_ts
+        |  FROM j0)
+        |SELECT (c_ts IS NOT NULL) AS attributed, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  CAST(sum((tsn - c_ts) // 1000000000) AS BIGINT) AS sum_lag_s
+        |FROM j GROUP BY attributed ORDER BY attributed""".stripMargin,
 
     // language_id restated: per-language stopword-hit ratio (CJK char
     // ratio for zh), argmax with ties to the lexicographically last

@@ -68,6 +68,31 @@ object EventQueries {
       .orderBy($"priority")
   }
 
+  /** Attribution: each purchase matched to the user's most recent
+    * click at most 1 hour earlier — the as-of join's TOLERANCE path
+    * (batch twin of the stream-stream interval join in
+    * streaming.EventStreams.attributionJoin). Right side deduped per
+    * (user, ts) as in eventsAsofOrders. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val perInstant = Window.partitionBy($"c_user", $"c_ts").orderBy($"c_id".desc)
+    val dedupClicks = clicks.withColumn("rn", row_number().over(perInstant))
+      .filter($"rn" === 1).drop("rn")
+
+    AsofJoin.backward(purchases, dedupClicks, "user_id", "ts", "c_user", "c_ts",
+        rightAlias = "c", tolerance = Some(HourNs))
+      .groupBy(($"c".isNotNull).as("attributed"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("sum_value"),
+        sum(expr("(ts - c.c_ts) div 1000000000")).cast("long").as("sum_lag_s"))
+      .orderBy($"attributed")
+  }
+
   /** Core batch sessionizer over any (user_id, ts:nanos, event_id)
     * frame — the batch twin of streaming.EventStreams.sessionize
     * (equivalence spec-tested on shared input). */

@@ -66,6 +66,33 @@ object EventStreams {
       .drop("__k", "__arr")
   }
 
+  /** Stream-stream interval join: purchases attributed to the same
+    * user's clicks at most `lagMinutes` earlier. Both sides carry
+    * watermarks and the join predicate bounds the event-time gap, so
+    * Spark can evict click state once the purchase watermark passes
+    * click_ts + lag — without the time bound the state store grows
+    * forever. Batch twin: operators.EventQueries.eventsAttribution
+    * (which keeps only the MOST RECENT qualifying click via as-of;
+    * stream-stream join emits every qualifying click — the streaming
+    * engine cannot know "most recent" until the watermark closes, so
+    * the refinement to newest-only is a downstream aggregation). */
+  def attributionJoin(
+      clicks: DataFrame, purchases: DataFrame,
+      lagMinutes: Int = 60): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lagMinutes MINUTES"))
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(startMs: Long, lastMs: Long, n: Long)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

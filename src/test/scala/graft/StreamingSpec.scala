@@ -63,6 +63,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got("t2") === Some(10.0) && got("t1") === None)
   }
 
+  test("stream-stream attribution join bounds matches to the time window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = EventStreams.attributionJoin(cdf, pdf, lagMinutes = 60).writeStream
+      .format("memory").queryName("attr").outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        (1L, ts(1000), 101L), // 55 min before the purchase: in window
+        (1L, ts(900), 102L),  // 155 min before: outside
+        (2L, ts(1050), 103L)) // wrong purchase user
+      purchases.addData((1L, ts(1055), 201L, 9.99))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .select($"purchase_id", $"click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((201L, 101L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
