@@ -121,6 +121,19 @@ class IoSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
   }
 
+  test("schema evolution: mergeSchema option unions parquet batch schemas") {
+    import spark.implicits._
+    val out = freshDir() + "/evolve"
+    GraftIO.write(Seq((1L, "a")).toDF("id", "s"), out + "/b1", GraftIO.Parquet)
+    GraftIO.write(Seq((2L, 3.5)).toDF("id", "v"), out + "/b2", GraftIO.Parquet)
+    val merged = GraftIO.read(spark, out + "/*", GraftIO.Parquet,
+      options = Map("mergeSchema" -> "true"))
+    assert(merged.columns.toSet === Set("id", "s", "v"))
+    assert(merged.count() === 2)
+    val row1 = merged.filter($"id" === 1L).collect()(0)
+    assert(row1.getAs[String]("s") === "a" && row1.isNullAt(row1.fieldIndex("v")))
+  }
+
   test("all-string dsv read matches reference default dtype=str") {
     import spark.implicits._
     val df = Seq((1, "a"), (2, "b")).toDF("n", "s")
