@@ -277,7 +277,7 @@ object SparkEntry {
         |  CAST(length(norm) AS BIGINT) AS norm_chars,
         |  md5(norm) AS norm_md5
         |FROM (SELECT doc_id,
-        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |        lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
 

@@ -35,6 +35,7 @@ case class BottomK(
   extends TypedImperativeAggregate[BottomK.Buffer] with ImplicitCastInputTypes {
 
   private lazy val k: Int = {
+    require(kExpr.foldable, "graft_bottomk: k must be a literal")
     val v = kExpr.eval(null)
     require(v != null && v.asInstanceOf[Int] > 0, "graft_bottomk: k must be a positive literal")
     v.asInstanceOf[Int]
@@ -53,20 +54,24 @@ case class BottomK(
   override def update(buf: BottomK.Buffer, input: InternalRow): BottomK.Buffer = {
     val key = keyExpr.eval(input)
     val value = valueExpr.eval(input)
-    if (key != null && value != null)
-      buf.offer(key.asInstanceOf[UTF8String].toString, value.asInstanceOf[Long], k)
+    if (key != null && value != null) {
+      // defensive copy: getBytes may return the UNDERLYING buffer of a
+      // reused input row, which mutates after this call returns
+      val kb = key.asInstanceOf[UTF8String].getBytes
+      buf.offer(java.util.Arrays.copyOf(kb, kb.length), value.asInstanceOf[Long], k)
+    }
     buf
   }
 
   override def merge(buf: BottomK.Buffer, other: BottomK.Buffer): BottomK.Buffer = {
-    other.entries.foreach { case (ky, v) => buf.offer(ky, v, k) }
+    other.entries.foreach { e => buf.offer(e.key, e.value, k) }
     buf
   }
 
   override def eval(buf: BottomK.Buffer): Any = {
-    val sorted = buf.entries.sortBy(identity)
-    val rows: Array[Any] = sorted.map { case (ky, v) =>
-      InternalRow(UTF8String.fromString(ky), v): Any
+    val sorted = buf.entries.sorted(BottomK.EntryOrdering)
+    val rows: Array[Any] = sorted.map { e =>
+      InternalRow(UTF8String.fromBytes(e.key), e.value): Any
     }.toArray
     new GenericArrayData(rows): ArrayData
   }
@@ -75,7 +80,11 @@ case class BottomK(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.entries.length)
-    buf.entries.foreach { case (ky, v) => out.writeUTF(ky); out.writeLong(v) }
+    buf.entries.foreach { e =>
+      // length-prefixed raw bytes: writeUTF caps at 65535 UTF-8 bytes
+      // and would crash on long keys
+      out.writeInt(e.key.length); out.write(e.key); out.writeLong(e.value)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -83,7 +92,13 @@ case class BottomK(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val b = new BottomK.Buffer
     val n = in.readInt()
-    (1 to n).foreach(_ => b.entries += ((in.readUTF(), in.readLong())))
+    (1 to n).foreach { _ =>
+      val len = in.readInt()
+      val key = new Array[Byte](len)
+      in.readFully(key)
+      b.entries += BottomK.Entry(key, in.readLong())
+    }
+    b.refreshWorst() // offer() needs the threshold restored
     b
   }
 
@@ -97,25 +112,51 @@ case class BottomK(
 
 object BottomK {
 
-  /** Size-capped buffer of (key, value) pairs, smallest kept. A sorted
-    * ArrayBuffer with a binary-search threshold check: k is small (a
-    * sample size), so O(k) insertion beats heap constant factors and
-    * serializes trivially. */
-  final class Buffer {
-    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    private var worst: (String, Long) = null
+  /** One sample entry: key as RAW UTF-8 BYTES so ordering is unsigned
+    * byte-lexicographic — the collation Spark's UTF8String sort and
+    * DuckDB's VARCHAR sort use. Java String compareTo orders by UTF-16
+    * code units, which DISAGREES for supplementary-plane characters
+    * and would break the documented rank-window equivalence. */
+  final case class Entry(key: Array[Byte], value: Long)
 
-    def offer(key: String, value: Long, k: Int): Unit = {
-      val e = (key, value)
+  val EntryOrdering: Ordering[Entry] = new Ordering[Entry] {
+    override def compare(a: Entry, b: Entry): Int = {
+      val n = math.min(a.key.length, b.key.length)
+      var i = 0
+      while (i < n) {
+        val d = (a.key(i) & 0xff) - (b.key(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      val d = a.key.length - b.key.length
+      if (d != 0) d else java.lang.Long.compare(a.value, b.value)
+    }
+  }
+
+  /** Size-capped buffer of entries, smallest kept. A flat ArrayBuffer
+    * with a cached worst-entry threshold: k is small (a sample size),
+    * so O(k) replacement beats heap constant factors and serializes
+    * trivially. */
+  final class Buffer {
+    val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    private var worst: Entry = null
+
+    def offer(key: Array[Byte], value: Long, k: Int): Unit = {
+      val e = Entry(key, value)
       if (entries.length < k) {
         entries += e
-        if (worst == null || Ordering[(String, Long)].gt(e, worst)) worst = e
-      } else if (Ordering[(String, Long)].lt(e, worst)) {
+        if (worst == null || EntryOrdering.gt(e, worst)) worst = e
+      } else if (EntryOrdering.lt(e, worst)) {
         val i = entries.indexOf(worst)
         entries(i) = e
-        worst = entries.max
+        worst = entries.max(EntryOrdering)
       }
     }
+
+    /** Restore the threshold after deserialization (offer() relies on
+      * it once the buffer is full). */
+    def refreshWorst(): Unit =
+      if (entries.nonEmpty) worst = entries.max(EntryOrdering)
   }
 
   val Info: ExpressionInfo = new ExpressionInfo(

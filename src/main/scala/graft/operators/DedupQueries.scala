@@ -41,13 +41,12 @@ object DedupQueries {
 
   /** Exploded word-3-gram shingles, hashed to 64 bits: one row per
     * (doc_id, gram_hash), with the doc's distinct-shingle count `s`.
-    * Shared head of every near-dup pipeline. Left unpersisted on
-    * purpose: caching this mid-plan was measured SLOWER than
-    * recomputing it per consumer (cache writes inside the one wide
-    * job serialize against 32 concurrent readers), and the whole
-    * pipeline executes in a single job per query. At 100 TB the
-    * equivalent decision is an explicit checkpoint table, made by the
-    * pipeline author, not buried in an operator. */
+    * Shared head of every near-dup pipeline. Persistence is the
+    * CALLER's decision, per consumption pattern: the minhash path
+    * persists its downstream signature aggregate (4 references), the
+    * ngram path persists this frame directly (3 references), and at
+    * 100 TB the equivalent decision is an explicit checkpoint table,
+    * made by the pipeline author, not buried in this helper. */
   private def explodedShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // ONE Generate evaluation per row: the (count, gram) structs come

@@ -54,8 +54,11 @@ object TextQueries {
     * normalized text (byte-identical cross-engine). */
   def textNormalize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // explicit class, not \s: Java's \s includes vertical tab \x0B,
+    // RE2's (the oracle engine's) does not — state the same class in
+    // both engines so the digests cannot diverge on exotic whitespace
     val stats = graft.similarity.Similarity.bound(
-      lower(regexp_replace(trim($"text"), "\\s+", " "))) { norm =>
+      lower(regexp_replace(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+", " "))) { norm =>
       struct(length(norm).cast("long").as("norm_chars"),
         md5(norm.cast("binary")).as("norm_md5"))
     }

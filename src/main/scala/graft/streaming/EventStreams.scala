@@ -75,7 +75,10 @@ object EventStreams {
     * (which keeps only the MOST RECENT qualifying click via as-of;
     * stream-stream join emits every qualifying click — the streaming
     * engine cannot know "most recent" until the watermark closes, so
-    * the refinement to newest-only is a downstream aggregation). */
+    * the refinement to newest-only is a downstream aggregation).
+    * LEFT-OUTER like the batch twin: an unattributed purchase is
+    * emitted with NULL click columns once the watermark passes its
+    * join window (an inner join would silently drop its revenue). */
   def attributionJoin(
       clicks: DataFrame, purchases: DataFrame,
       lagMinutes: Int = 60): DataFrame = {
@@ -90,7 +93,8 @@ object EventStreams {
     p.join(c,
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lagMinutes MINUTES"))
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lagMinutes MINUTES"),
+      "leftOuter")
   }
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)

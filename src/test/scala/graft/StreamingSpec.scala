@@ -77,12 +77,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         (1L, ts(1000), 101L), // 55 min before the purchase: in window
         (1L, ts(900), 102L),  // 155 min before: outside
         (2L, ts(1050), 103L)) // wrong purchase user
-      purchases.addData((1L, ts(1055), 201L, 9.99))
+      purchases.addData(
+        (1L, ts(1055), 201L, 9.99),
+        (3L, ts(1060), 202L, 5.00)) // no clicks at all for user 3
       q.processAllAvailable()
-      val got = spark.table("attr")
+      val matched = spark.table("attr").filter($"click_id".isNotNull)
         .select($"purchase_id", $"click_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got === Set((201L, 101L)))
+      assert(matched === Set((201L, 101L)))
+      // left-outer: the unattributed purchase emits with NULL click
+      // columns once both watermarks pass its join window
+      clicks.addData((9L, ts(2000), 901L))
+      purchases.addData((9L, ts(2000), 902L, 1.0))
+      q.processAllAvailable()
+      val unmatched = spark.table("attr").filter($"click_id".isNull)
+        .select($"purchase_id").collect().map(_.getLong(0)).toSet
+      assert(unmatched === Set(202L), s"unattributed purchase not emitted: $unmatched")
     } finally q.stop()
   }
 
