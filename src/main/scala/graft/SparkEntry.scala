@@ -56,6 +56,7 @@ object SparkEntry {
     "events_asof_orders"       -> (EventQueries.eventsAsofOrders _),
     "events_attribution"       -> (EventQueries.eventsAttribution _),
     "multimodal_pipeline"      -> (MultimodalQueries.multimodalPipeline _),
+    "multimodal_meta"          -> (MultimodalQueries.multimodalMeta _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -410,6 +411,19 @@ object SparkEntry {
         |SELECT lang, cand AS pred_lang, count(*) AS n
         |FROM best WHERE rn = 1
         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    // the SQL-expressible half of the media pipeline: sizes, frame
+    // sampling, resize plan (same double arithmetic both engines)
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST((doc_id % 300 + 1 + 9) // 10 AS BIGINT) AS frames_sampled,
+        |  CAST(ceil((doc_id % 640 + 32) *
+        |    least(1.0, 256.0 / greatest(doc_id % 640 + 32, doc_id % 480 + 32))) AS BIGINT) AS out_width,
+        |  CAST(ceil((doc_id % 480 + 32) *
+        |    least(1.0, 256.0 / greatest(doc_id % 640 + 32, doc_id % 480 + 32))) AS BIGINT) AS out_height
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH lagd AS (

@@ -16,12 +16,27 @@ import graft.multimodal.Multimodal.MediaRow
   */
 object MultimodalQueries {
 
-  def multimodalPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** SQL-verifiable slice of the media pipeline: payload sizes, frame
+    * sampling, and the resize plan are plain arithmetic over metadata,
+    * so this half of the pipeline gets a full hash gate (the byte-level
+    * feature digest in `multimodalPipeline` stays rows-only). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val media = mediaCorpus(spark, dir)
+    val resized = Multimodal.resizePlan(media.toDF(), maxSide = 256)
+    resized
+      .select($"media_id", $"kind",
+        length($"payload").cast("long").as("n_bytes"),
+        (($"n_frames" + 9) / 10).cast("long").as("frames_sampled"),
+        $"out_width".cast("long").as("out_width"),
+        $"out_height".cast("long").as("out_height"))
+      .orderBy($"media_id")
+  }
 
-    val media = Tables.documents(spark, dir).select(
+  private def mediaCorpus(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
         $"doc_id".as("media_id"),
-        // deterministic kind assignment: image/audio/video round-robin
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
         encode($"text", "UTF-8").as("payload"),
@@ -30,6 +45,12 @@ object MultimodalQueries {
         lit(16000).as("sample_rate"),
         (pmod($"doc_id", lit(300)) + 1).cast("int").as("n_frames"))
       .as[MediaRow]
+  }
+
+  def multimodalPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val media = mediaCorpus(spark, dir)
 
     val features = Multimodal.decodeAndFeaturize(media)
 
