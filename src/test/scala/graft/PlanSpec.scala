@@ -78,6 +78,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"orc pushdown missing:\n$s")
   }
 
+  test("compiled filter on a GraftIO hive layout prunes partitions at the scan") {
+    import spark.implicits._
+    import graft.io.GraftIO
+    val df = Seq((1L, "purchase", 10.0), (2L, "click", 5.0), (3L, "view", 1.0))
+      .toDF("id", "event_type", "value")
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    GraftIO.write(df, out, GraftIO.Parquet, partitionBy = Seq("event_type"))
+    val back = GraftIO.read(spark, out, GraftIO.Parquet)
+    val filtered = back.filter(
+      graft.filtering.EventFilter.compile("""[{"event_type": ["purchase"]}]""", back))
+    val s = fmt(filtered)
+    // the compiled equality lands in PartitionFilters (directory
+    // pruning), not just a post-scan filter
+    val pf = s.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("event_type"), s"no partition pruning:\n$s")
+    assert(filtered.collect().map(_.getAs[Long]("id")).toSeq === Seq(1L))
+  }
+
   test("as-of join core is a single key-shuffle") {
     import spark.implicits._
     val l = Seq((1L, 10L, "a")).toDF("k", "t", "v")
