@@ -60,7 +60,7 @@ object Multimodal {
         var digest = 1125899906842597L
         var j = 0
         while (j < hist.length) { digest = digest * 31 + hist(j); j += 1 }
-        val frames = frameSampleCount(m.n_frames, every = 10)
+        val frames = frameSampleCount(m.n_frames)
         MediaFeatures(
           m.media_id, m.kind, m.payload.length.toLong, digest,
           if (m.payload.length == 0) 0L else sum * 10000L / m.payload.length,
@@ -69,9 +69,13 @@ object Multimodal {
     }
   }
 
+  /** Sampling stride shared by the pipeline and the metadata gate
+    * query (and restated in its SQL oracle). */
+  val FrameStride = 10
+
   /** Deterministic frame-sampling plan: every `every`-th frame,
     * always including frame 0 for non-empty media. */
-  def frameSampleCount(nFrames: Int, every: Int): Int =
+  def frameSampleCount(nFrames: Int, every: Int = FrameStride): Int =
     if (nFrames <= 0) 0 else (nFrames + every - 1) / every
 
   /** Resize metadata transform (pure column math — the pixel work

@@ -27,7 +27,9 @@ object MultimodalQueries {
     resized
       .select($"media_id", $"kind",
         length($"payload").cast("long").as("n_bytes"),
-        (($"n_frames" + 9) / 10).cast("long").as("frames_sampled"),
+        // column form of Multimodal.frameSampleCount (shared stride)
+        (($"n_frames" + (Multimodal.FrameStride - 1)) / Multimodal.FrameStride)
+          .cast("long").as("frames_sampled"),
         $"out_width".cast("long").as("out_width"),
         $"out_height".cast("long").as("out_height"))
       .orderBy($"media_id")
