@@ -43,6 +43,7 @@ object SparkEntry {
     "text_language_id"         -> (TextQueries.textLanguageId _),
     "text_fingerprint"         -> (TextQueries.textFingerprint _),
     "text_normalize"           -> (TextQueries.textNormalize _),
+    "text_repetition"          -> (TextQueries.textRepetition _),
     "dedup_exact"              -> (DedupQueries.dedupExact _),
     "dedup_ngram_jaccard"      -> (DedupQueries.dedupNgramJaccard _),
     "dedup_minhash_lsh"        -> (DedupQueries.dedupMinhashLsh _),
@@ -281,6 +282,25 @@ object SparkEntry {
         |        lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // docs with < 2 tokens produce no bigrams and are absent on both
+    // sides; coverage in integer basis points
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |counts AS (
+        |  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(floor((20000 * max(c) + sum(c)) / (2.0 * sum(c))) AS BIGINT) AS top_bigram_bp
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // dedup_exact: oracle groups by full text (spark groups by sha256
     // digest — identical result barring a collision)

@@ -68,6 +68,27 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Repetition statistics (the Gopher-style boilerplate signal): how
+    * much of each document its single most frequent word bigram covers.
+    * Heavily templated/spammy text shows high coverage. One groupBy
+    * per (doc, gram) then per doc — key cardinality scales with the
+    * corpus, map-side partial aggregation does the heavy lifting.
+    * Integer basis points, no float rounding in the gate. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigrams = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id",
+        explode(graft.similarity.Similarity.wordNgramsAll(wsTokens($"text"), 2)).as("g"))
+    bigrams
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top"), sum($"c").as("total"))
+      .select($"doc_id",
+        $"total".cast("long").as("n_bigrams"),
+        floor((lit(20000L) * $"top" + $"total") / (lit(2L) * $"total"))
+          .cast("long").as("top_bigram_bp"))
+      .orderBy($"doc_id")
+  }
+
   /** Winnowing fingerprints: per-doc fingerprint count plus a stable
     * digest of the selected hashes (rows oracle). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {

@@ -36,6 +36,15 @@ object Similarity {
         concat_ws(" ", slice(ts, i, lit(n)))))
     }
 
+  /** As [[wordNgrams]] but KEEPING duplicates — repetition statistics
+    * need the multiset (how often the most common n-gram repeats). */
+  def wordNgramsAll(tokens: Column, n: Int): Column =
+    bound(tokens) { ts =>
+      val idx = when(size(ts) - lit(n - 1) < 1, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), size(ts) - lit(n - 1)))
+      transform(idx, i => concat_ws(" ", slice(ts, i, lit(n))))
+    }
+
   /** Word n-grams paired with the doc's distinct-gram count:
     * array<struct<s, gram>>, built so ONE Generate(explode) evaluation
     * yields every (count, gram) row — callers otherwise re-evaluate the
