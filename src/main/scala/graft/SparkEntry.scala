@@ -44,6 +44,7 @@ object SparkEntry {
     "text_fingerprint"         -> (TextQueries.textFingerprint _),
     "text_normalize"           -> (TextQueries.textNormalize _),
     "text_repetition"          -> (TextQueries.textRepetition _),
+    "text_curate"              -> (TextQueries.textCurate _),
     "dedup_exact"              -> (DedupQueries.dedupExact _),
     "dedup_ngram_jaccard"      -> (DedupQueries.dedupNgramJaccard _),
     "dedup_minhash_lsh"        -> (DedupQueries.dedupMinhashLsh _),
@@ -282,6 +283,60 @@ object SparkEntry {
         |        lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // the curation pipeline composed from the already-verified pieces:
+    // quality formula, language argmax, normalization digest
+    "text_curate" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(floor((10000.0 * (2*m*t*c + 750*h*c + 750*(c-p)*t) + 1250.0*t*c)
+        |         / (2500.0*t*c)) AS BIGINT) AS quality_bp
+        |  FROM (SELECT doc_id,
+        |      CAST(greatest(length(text), 1) AS BIGINT) AS c,
+        |      CAST(least(length(text), 500) AS BIGINT) AS m,
+        |      CAST(greatest(len(t), 1) AS BIGINT) AS t,
+        |      CAST(len(list_filter(t, tok -> list_contains(['the','a','an','of','and','to','in','is','it','that'], tok))) AS BIGINT) AS h,
+        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS p
+        |    FROM base)),
+        |scores AS (
+        |  SELECT doc_id, 'en' AS cand,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS DOUBLE) / greatest(len(t), 1) AS score FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'de',
+        |    CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], x))) AS DOUBLE) / greatest(len(t), 1) FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'fr',
+        |    CAST(len(list_filter(t, x -> list_contains(['le','la','les','et','est','une','que','pour','dans','pas'], x))) AS DOUBLE) / greatest(len(t), 1) FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'es',
+        |    CAST(len(list_filter(t, x -> list_contains(['el','la','los','y','es','una','que','por','con','para'], x))) AS DOUBLE) / greatest(len(t), 1) FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'zh',
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) / greatest(length(text), 1) FROM base),
+        |best AS (
+        |  SELECT doc_id, cand FROM (
+        |    SELECT doc_id, cand,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+        |    FROM scores) WHERE rn = 1),
+        |kept AS (
+        |  SELECT b.doc_id,
+        |    md5(lower(regexp_replace(trim(d.text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS dg,
+        |    q.quality_bp
+        |  FROM best b JOIN q USING (doc_id) JOIN documents d USING (doc_id)
+        |  WHERE q.quality_bp >= 4000 AND b.cand = 'en'),
+        |dedup AS (
+        |  SELECT dg, min(doc_id) AS keep_id, max(quality_bp) AS qb
+        |  FROM kept GROUP BY dg)
+        |SELECT count(*) AS n_kept,
+        |  CAST(sum(qb) AS BIGINT) AS sum_quality_bp,
+        |  CAST(min(keep_id) AS BIGINT) AS min_id,
+        |  CAST(max(keep_id) AS BIGINT) AS max_id
+        |FROM dedup""".stripMargin,
 
     // docs with < 2 tokens produce no bigrams and are absent on both
     // sides; coverage in integer basis points

@@ -89,6 +89,30 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** End-to-end curation pipeline — the composition story: quality
+    * gate, language filter, then exact dedup on NORMALIZED text
+    * keeping the smallest doc_id. One map-side scoring pass plus one
+    * digest-keyed shuffle; at 100 TB every stage is the already-audited
+    * plan of its standalone gate query. */
+  def textCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = lower(regexp_replace(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+", " "))
+    val scored = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id",
+        qualityScoreBp($"text").as("quality_bp"),
+        languageId($"text").as("pred_lang"),
+        md5(norm.cast("binary")).as("norm_digest"))
+      .filter($"quality_bp" >= 4000 && $"pred_lang" === "en")
+    scored
+      .groupBy($"norm_digest")
+      .agg(min($"doc_id").as("keep_id"), max($"quality_bp").as("quality_bp"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"quality_bp").cast("long").as("sum_quality_bp"),
+        min($"keep_id").as("min_id"),
+        max($"keep_id").as("max_id"))
+  }
+
   /** Winnowing fingerprints: per-doc fingerprint count plus a stable
     * digest of the selected hashes (rows oracle). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
