@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, IvfQueries, MultimodalQueries, SampleQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, IvfQueries, MultimodalQueries, PipelineQueries, SampleQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -59,6 +59,11 @@ object SparkEntry {
     "events_attribution"       -> (EventQueries.eventsAttribution _),
     "multimodal_pipeline"      -> (MultimodalQueries.multimodalPipeline _),
     "multimodal_meta"          -> (MultimodalQueries.multimodalMeta _),
+    "text_pii_redact"          -> (PipelineQueries.textPiiRedact _),
+    "text_decontaminate"       -> (PipelineQueries.textDecontaminate _),
+    "events_funnel"            -> (PipelineQueries.eventsFunnel _),
+    "embed_centroid"           -> (PipelineQueries.embedCentroid _),
+    "dedup_incremental"        -> (PipelineQueries.dedupIncremental _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -499,6 +504,118 @@ object SparkEntry {
         |  CAST(ceil((doc_id % 480 + 32) *
         |    least(1.0, 256.0 / greatest(doc_id % 640 + 32, doc_id % 480 + 32))) AS BIGINT) AS out_height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // PII injection derived from (source, doc_id) exactly as in the
+    // Spark query; md5 of the redacted text proves byte parity
+    "text_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text || ' contact ' || source || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || '.7 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |      '\b555-\d{4}\b', '<PHONE>', 'g') AS r
+        |  FROM inj)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t, '\b555-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(length(r) AS BIGINT) AS red_chars,
+        |  md5(r) AS red_md5
+        |FROM red ORDER BY doc_id""".stripMargin,
+
+    // eval set = doc_id % 20 == 0; corpus docs sharing any word 5-gram
+    // with it are contaminated; coverage in integer basis points
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 3),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM toks WHERE len(t) >= 5),
+        |eg AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0),
+        |cg AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 20 != 0),
+        |hits AS (
+        |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM cg c JOIN eg e USING (gram) GROUP BY c.doc_id),
+        |sizes AS (
+        |  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams
+        |  FROM grams WHERE doc_id % 20 != 0)
+        |SELECT h.doc_id, s.n_grams, h.n_hits,
+        |  CAST(floor((20000 * h.n_hits + s.n_grams) / (2.0 * s.n_grams)) AS BIGINT) AS contam_bp
+        |FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id""".stripMargin,
+
+    // running-min windows state the same stage ordering; ties broken
+    // by event_id on both engines
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_id, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS rv,
+        |    ts
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *,
+        |    min(CASE WHEN event_type = 'click' AND rv IS NOT NULL THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS rc
+        |  FROM s1),
+        |u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS uv,
+        |    max(CASE WHEN event_type = 'click' AND rv IS NOT NULL THEN 1 ELSE 0 END) AS uc,
+        |    max(CASE WHEN event_type = 'purchase' AND rc IS NOT NULL THEN 1 ELSE 0 END) AS up
+        |  FROM s2 GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(uv) AS BIGINT) AS n_view,
+        |  CAST(sum(uc) AS BIGINT) AS n_click_after_view,
+        |  CAST(sum(up) AS BIGINT) AS n_purchase_after_click
+        |FROM u""".stripMargin,
+
+    // quantize each float to an exact integer (identical IEEE
+    // float→double→floor on both engines), then integer sums
+    "embed_centroid" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': i - 1, 'v': embedding[i]})) AS s
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, s.dim AS dim,
+        |    CAST(floor(CAST(s.v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM ex)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |  count(*) AS n, CAST(sum(vq) AS BIGINT) AS sum_e6,
+        |  CAST(floor((2.0 * sum(vq) + count(*)) / (2.0 * count(*))) AS BIGINT) AS mean_e6
+        |FROM q GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // batch = re-ingested (% 3 == 0, must drop) + edited (% 7 == 1,
+    // must survive); digest = md5 of normalized text as in text_normalize
+    "dedup_incremental" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS digest,
+        |    md5(lower(regexp_replace(trim(text || ' edited v2'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS digest_v2
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 2000000 AS batch_id, digest FROM norm WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, digest_v2 FROM norm WHERE doc_id % 7 = 1),
+        |kept AS (
+        |  SELECT b.batch_id, b.digest FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM norm n WHERE n.digest = b.digest))
+        |SELECT CAST(min(batch_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM kept GROUP BY digest ORDER BY keep_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH lagd AS (

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.Similarity
+import graft.text.TextFunctions._
+
+/** Round-3 additions to the training-data-pipeline suite: PII
+  * redaction, benchmark decontamination, funnel analysis, embedding
+  * centroids, and incremental (batch-vs-index) dedup. Every query has
+  * a DuckDB oracle stating the same computation, and every plan is
+  * audited for the 100 TB shape (map-side where possible, one
+  * key-shuffle where not, broadcasts only for genuinely small sides).
+  *
+  * The `documents` test texts contain no real PII, so the PII and
+  * incremental-dedup queries DERIVE their inputs deterministically
+  * from the table (same derivation stated in the oracle SQL) — the
+  * pipeline under test is identical to what would run on real data.
+  */
+object PipelineQueries {
+
+  /** PII detection + redaction over documents. Input: text with a
+    * deterministic PII-bearing suffix derived from (source, doc_id) —
+    * an email, an IPv4, and a 555-prefixed phone number per row.
+    * Output: per-type match counts and an md5 digest of the redacted
+    * text (hash-verifies the rewrite byte-for-byte cross-engine).
+    * Plan: pure map-side expression pipeline, zero shuffle. */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val injected = concat(
+      $"text", lit(" contact "), $"source", $"doc_id".cast("string"),
+      lit("@example.com from 10."), ($"doc_id" % 256).cast("string"),
+      lit("."), ($"doc_id" % 100).cast("string"),
+      lit(".7 call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    val stats = Similarity.bound(injected) { inj =>
+      Similarity.bound(redactPii(inj)) { red =>
+        struct(
+          piiCount(inj, EmailRe).as("n_email"),
+          piiCount(inj, Ipv4Re).as("n_ip"),
+          piiCount(inj, PhoneRe).as("n_phone"),
+          length(red).cast("long").as("red_chars"),
+          md5(red.cast("binary")).as("red_md5"))
+      }
+    }
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", stats.as("x"))
+      .select($"doc_id", $"x.n_email".as("n_email"), $"x.n_ip".as("n_ip"),
+        $"x.n_phone".as("n_phone"), $"x.red_chars".as("red_chars"),
+        $"x.red_md5".as("red_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 5-gram with the held-out eval set (docs with doc_id % 20 == 0 —
+    * the stand-in for a benchmark suite). The standard
+    * training-data hygiene pass (eval n-gram overlap, cf. GPT-3
+    * appendix / Dolma decontamination), sized to this corpus (5-grams;
+    * 13-grams at web scale).
+    *
+    * Plan shape at 100 TB: the eval side is a BENCHMARK — small by
+    * nature, independent of corpus scale — so its distinct n-grams
+    * broadcast; the corpus side is map-side explode + broadcast
+    * semi-join + partial-agg groupBy(doc_id). The corpus is never
+    * shuffled except by the final per-doc count (combiner-reduced). */
+  def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.widened(Tables.documents(spark, dir))
+    val grams = docs.select($"doc_id",
+      explode(Similarity.wordNgrams(wsTokens($"text"), 5)).as("g"))
+    val evalGrams = grams.filter($"doc_id" % 20 === 0).select($"g").distinct()
+    val corpusGrams = grams.filter($"doc_id" % 20 =!= 0)
+    val perDoc = docs.filter($"doc_id" % 20 =!= 0)
+      .select($"doc_id",
+        size(Similarity.wordNgrams(wsTokens($"text"), 5)).cast("long").as("n_grams"))
+    corpusGrams
+      .join(broadcast(evalGrams), "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      .join(perDoc, "doc_id")
+      .select($"doc_id", $"n_grams", $"n_hits".cast("long").as("n_hits"),
+        floor((lit(20000L) * $"n_hits" + $"n_grams") / (lit(2L) * $"n_grams"))
+          .cast("long").as("contam_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Ordered funnel analysis over the events stream: view → click →
+    * purchase, where each stage must happen at or after the previous
+    * stage's first occurrence for that user. Counts users reaching
+    * each stage.
+    *
+    * Plan: one shuffle on user_id; both running-min windows and the
+    * per-user aggregate reuse that single partitioning (user_id
+    * cardinality scales with the data — no low-cardinality window
+    * skew), then a single-row global roll-up. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s1 = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("rv", min(when($"event_type" === "view", $"ts")).over(w))
+    val s2 = s1.withColumn("rc",
+      min(when($"event_type" === "click" && $"rv".isNotNull, $"ts")).over(w))
+    s2.groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "view", 1L).otherwise(0L)).as("uv"),
+        max(when($"event_type" === "click" && $"rv".isNotNull, 1L).otherwise(0L)).as("uc"),
+        max(when($"event_type" === "purchase" && $"rc".isNotNull, 1L).otherwise(0L)).as("up"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum($"uv").as("n_view"),
+        sum($"uc").as("n_click_after_view"),
+        sum($"up").as("n_purchase_after_click"))
+  }
+
+  /** Per-label embedding centroids: element-wise mean over the
+    * embedding column, computed on values quantized to exact integers
+    * (floor(v·1e6 + 0.5) — float→double→floor is bit-identical across
+    * engines, so the gate has no float-summation-order noise; exact up
+    * to 2^53/1e6 ≈ 9e9 rows per cell at this scale of values).
+    *
+    * Plan: posexplode is MAP-SIDE (64× row fan-out never shuffles);
+    * the groupBy(label, dim) partial-aggregates in the same task down
+    * to |labels|·64 rows per task before the only shuffle. */
+  def embedCentroid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quantized = Tables.widened(Tables.embeddings(spark, dir))
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"label", $"dim",
+        floor($"v".cast("double") * lit(1000000.0) + lit(0.5)).cast("long").as("vq"))
+    quantized
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"vq").as("sum_e6"))
+      .select($"label".cast("long").as("label"), $"dim".cast("long").as("dim"),
+        $"n", $"sum_e6",
+        floor((lit(2.0) * $"sum_e6" + $"n") / (lit(2.0) * $"n")).cast("long").as("mean_e6"))
+      .orderBy($"label", $"dim")
+  }
+
+  /** Incremental dedup — the production shape: dedup an INCOMING batch
+    * against the digest index of the already-ingested corpus, not the
+    * corpus against itself. The batch is derived from the table: docs
+    * with doc_id % 3 == 0 re-ingested verbatim (must all drop against
+    * the index) plus docs with doc_id % 7 == 1 re-sent with edited
+    * text (genuinely new content — must survive). Keyed on the md5 of
+    * normalized text; within-batch duplicates keep the smallest id.
+    *
+    * Plan: one shuffle on the digest for the anti-join + one for the
+    * within-batch groupBy (AQE-coalesced); the index side streams —
+    * at 100 TB the index probe is exactly the exact-dedup plan. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def digestOf(text: org.apache.spark.sql.Column) =
+      md5(lower(regexp_replace(trim(text), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary"))
+    val docs = Tables.widened(Tables.documents(spark, dir))
+    val index = docs.select(digestOf($"text").as("digest"))
+    val batch = docs.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 2000000L).as("batch_id"), digestOf($"text").as("digest"))
+      .union(docs.filter($"doc_id" % 7 === 1)
+        .select(($"doc_id" + 3000000L).as("batch_id"),
+          digestOf(concat($"text", lit(" edited v2"))).as("digest")))
+    batch
+      .join(index, Seq("digest"), "left_anti")
+      .groupBy($"digest")
+      .agg(min($"batch_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+}

@@ -113,6 +113,30 @@ object TextFunctions {
       array_max(array(scored: _*)).getField("lang")
     }
 
+  /** PII patterns used by detection/redaction. RE2-compatible subset
+    * (no lookaround, no backrefs) so the DuckDB oracle can state the
+    * SAME pattern text: `\b`, `\d`, and non-capturing groups mean the
+    * same thing in Java regex and RE2. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\b555-\\d{4}\\b"
+
+  /** Count of matches of `re` in `text`. */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Redact emails, IPv4 addresses, and (test-prefix) phone numbers to
+    * typed placeholders. Email first: its character class overlaps the
+    * IP pattern's digits-and-dots, so the order is part of the
+    * contract. Pure map-side codegen — redaction at 100 TB is a linear
+    * scan, zero shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken —
     * SIGMOD'03 "local algorithms for document fingerprinting"):
     * hash all k-char grams, slide a window of w hashes, keep each

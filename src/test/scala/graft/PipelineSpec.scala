@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.PipelineQueries
+import graft.text.TextFunctions
+
+/** Semantic invariants + plan audits for the round-3 pipeline
+  * operators (PII redaction, decontamination, funnel, centroids,
+  * incremental dedup). The cross-engine value check is the DuckDB
+  * oracle gate; these specs pin the properties the oracle can't state
+  * (e.g. "no PII survives redaction", "funnel stages are monotone").
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redaction removes every PII match it counted") {
+    val red = PipelineQueries.textPiiRedact(spark, sf)
+    // every row carries exactly one injected instance of each type
+    val bad = red.filter($"n_email" < 1 || $"n_ip" < 1 || $"n_phone" < 1).count()
+    assert(bad === 0)
+    // re-scanning the redacted text finds nothing (rebuild the redacted
+    // text the same way the query does)
+    val injected = concat(
+      $"text", lit(" contact "), $"source", $"doc_id".cast("string"),
+      lit("@example.com from 10."), ($"doc_id" % 256).cast("string"),
+      lit("."), ($"doc_id" % 100).cast("string"),
+      lit(".7 call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    val leftover = Tables.documents(spark, sf)
+      .select(TextFunctions.redactPii(injected).as("r"))
+      .filter(
+        TextFunctions.piiCount($"r", TextFunctions.EmailRe) > 0 ||
+        TextFunctions.piiCount($"r", TextFunctions.Ipv4Re) > 0 ||
+        TextFunctions.piiCount($"r", TextFunctions.PhoneRe) > 0)
+      .count()
+    assert(leftover === 0)
+  }
+
+  test("redaction on PII-free text is the identity") {
+    val df = Seq("hello plain world", "no pii here at all").toDF("t")
+      .select($"t", TextFunctions.redactPii($"t").as("r"))
+    assert(df.filter($"t" =!= $"r").count() === 0)
+  }
+
+  test("decontamination flags exactly the docs sharing a 5-gram with the eval set") {
+    // brute force: cross-check via an unbucketed exact computation
+    val docs = Tables.documents(spark, sf)
+    val grams = docs.select($"doc_id",
+      graft.similarity.Similarity.wordNgrams(TextFunctions.wsTokens($"text"), 5).as("g"))
+    val evalSet = grams.filter($"doc_id" % 20 === 0).select(explode($"g").as("gram"))
+      .distinct().as[String].collect().toSet
+    val expected = grams.filter($"doc_id" % 20 =!= 0)
+      .select($"doc_id", $"g").as[(Long, Seq[String])].collect()
+      .filter { case (_, gs) => gs.exists(evalSet.contains) }
+      .map { case (id, gs) => id -> gs.count(evalSet.contains).toLong }
+      .toMap
+    val got = PipelineQueries.textDecontaminate(spark, sf)
+      .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("funnel stage counts are monotone and bounded by user count") {
+    val row = PipelineQueries.eventsFunnel(spark, sf).collect().head
+    val (users, v, c, p) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(users > 0 && v <= users && c <= v && p <= c,
+      s"non-monotone funnel: users=$users view=$v click=$c purchase=$p")
+    assert(v > 0 && c > 0 && p > 0, "degenerate funnel: a stage has zero users")
+  }
+
+  test("funnel ignores clicks before the first view") {
+    val df = Seq(
+      // user 1: click BEFORE view, purchase after view but no click after view
+      (1L, 1L, "click", "2024-01-01 00:00:01"),
+      (1L, 2L, "view", "2024-01-01 00:00:02"),
+      (1L, 3L, "purchase", "2024-01-01 00:00:03"),
+      // user 2: full ordered funnel
+      (2L, 4L, "view", "2024-01-01 00:00:01"),
+      (2L, 5L, "click", "2024-01-01 00:00:02"),
+      (2L, 6L, "purchase", "2024-01-01 00:00:03"))
+      .toDF("user_id", "event_id", "event_type", "s")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = PipelineQueries.eventsFunnel(spark, dir).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      === ((2L, 2L, 1L, 1L)))
+  }
+
+  test("centroid quantized means match a driver-side computation") {
+    val exp = Tables.embeddings(spark, sf)
+      .select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+      .flatMap { case (l, e) => e.zipWithIndex.map { case (v, d) =>
+        (l.toLong, d.toLong) -> math.floor(v.toDouble * 1e6 + 0.5).toLong } }
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> (vs.length.toLong, vs.map(_._2).sum) }
+    val got = PipelineQueries.embedCentroid(spark, sf)
+      .select($"label", $"dim", $"n", $"sum_e6")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (l, d, n, s) => (l, d) -> (n, s) }.toMap
+    assert(got === exp)
+  }
+
+  test("incremental dedup drops every re-ingested doc and keeps every edited doc") {
+    val docs = Tables.documents(spark, sf)
+    val kept = PipelineQueries.dedupIncremental(spark, sf)
+      .select($"keep_id").as[Long].collect().toSet
+    // no re-ingested doc (batch_id = doc_id + 2M) may survive
+    assert(kept.forall(_ >= 3000000L), s"re-ingested doc survived: ${kept.filter(_ < 3000000L)}")
+    // edited docs survive except within-batch duplicates (same edited
+    // digest); count distinct edited digests instead of raw ids
+    val editedDistinct = docs.filter($"doc_id" % 7 === 1)
+      .select(md5(lower(regexp_replace(trim(concat($"text", lit(" edited v2"))),
+        "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary")).as("d"))
+      .distinct().count()
+    assert(kept.size === editedDistinct)
+  }
+
+  test("map-side pipeline queries add no shuffle; centroid/funnel shuffle once on their key") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(
+        df.queryExecution.explainString(FormattedMode).linesIterator
+          .filter(_.trim.startsWith("Exchange")).mkString("\n")).length
+    // PII redaction: a global sort for the stable dump is the only exchange
+    assert(exchanges(PipelineQueries.textPiiRedact(spark, sf)) <= 1)
+    // centroid: one shuffle for (label, dim) agg + the output sort
+    assert(exchanges(PipelineQueries.embedCentroid(spark, sf)) <= 2)
+    // funnel: one shuffle on user_id (window + user-agg share it) + the
+    // single-row global agg
+    assert(exchanges(PipelineQueries.eventsFunnel(spark, sf)) <= 3)
+  }
+}
