@@ -128,6 +128,43 @@ object GraftIO {
     }
   }
 
+  /** Bucketed table write — the co-located-join layout for 100 TB
+    * fact-fact joins: both sides bucketed (and sorted) on the join key
+    * into the same bucket count join with NO shuffle and NO sort —
+    * Spark reads matching buckets pairwise. Bucketing requires catalog
+    * metadata, so this writes a TABLE (with an explicit data `path`),
+    * not a bare directory; `spark.table(table)` reads it back
+    * bucket-aware.
+    *
+    * At 100 TB this is the difference between re-shuffling the fact
+    * table on every join and shuffling it ONCE at ingest: size
+    * `buckets` so a bucket's largest key-slice fits an executor
+    * (buckets × target-file-size ≈ table size).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCols: Seq[String],
+      buckets: Int,
+      sortCols: Seq[String] = Nil,
+      format: Format = Parquet,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "`bucketCols` must not be empty")
+    // Align write tasks with buckets (repartition uses the same
+    // Murmur3 HashPartitioning as the bucket-id function): each bucket
+    // becomes exactly ONE file instead of tasks×buckets small files,
+    // and the reader can trust per-bucket sortedness — with multiple
+    // files per bucket Spark must re-sort before a merge join, which
+    // forfeits half the point of the layout.
+    val aligned = df.repartition(buckets, bucketCols.map(col): _*)
+    val w0 = aligned.write.mode(mode).option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w1.format(format.name match { case "dsv" => "csv"; case "jsonlines" => "json"; case f => f })
+      .saveAsTable(table)
+  }
+
   /** Custom output-partition naming: (prefix, partitionCols,
     * partitionValues, suffix) => path. The reference's
     * `partition_transformer` (io.py:27-33, tests/test_io.py:248-270). */
