@@ -97,6 +97,36 @@ object EventStreams {
       "leftOuter")
   }
 
+  /** Streaming incremental dedup — the twin of
+    * operators.PipelineQueries.dedupIncremental for continuous
+    * ingestion: drop stream rows whose `digestCol` already exists in
+    * the static index, and within-stream duplicates inside the
+    * watermark horizon.
+    *
+    * Stream-static LEFT ANTI is not a supported streaming join, so the
+    * index probe is a stream-static left-outer against the deduped
+    * index keyed by digest, filtered to non-matches — the supported
+    * plan with identical semantics. At 100 TB the index side would be
+    * fronted by a broadcast Bloom filter (definitive lookup only on
+    * filter hits); the logical shape here is unchanged by that.
+    *
+    * `tsCol` bounds the within-stream dedup state: digests older than
+    * the watermark are evicted (a re-send after the horizon is the
+    * batch layer's job — the standard lambda split). */
+  def dedupAgainstIndex(
+      stream: DataFrame, index: DataFrame,
+      digestCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val idx = index.select(col(digestCol).as("__idx_digest")).distinct()
+      .withColumn("__hit", lit(1))
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(digestCol)
+      .join(idx, col(digestCol) === col("__idx_digest"), "left")
+      .filter(col("__hit").isNull)
+      .drop("__idx_digest", "__hit")
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(startMs: Long, lastMs: Long, n: Long)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

@@ -172,4 +172,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(ids.sorted === Seq(100L, 101L, 102L))
     } finally q.stop()
   }
+
+  test("streaming incremental dedup drops indexed and repeated digests") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = Seq("d1", "d2").toDF("digest")
+    val in = MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF().toDF("ts", "digest", "payload")
+    val q = EventStreams.dedupAgainstIndex(df, index, "digest", "ts").writeStream
+      .format("memory").queryName("inc_dedup").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (ts(1), "d1", "already-indexed"),   // dropped: in the static index
+        (ts(2), "d3", "new-a"),             // kept
+        (ts(3), "d3", "new-a-repeat"),      // dropped: within-stream duplicate
+        (ts(4), "d4", "new-b"))             // kept
+      q.processAllAvailable()
+      val got = spark.table("inc_dedup").select($"payload").as[String].collect().toSet
+      assert(got === Set("new-a", "new-b"))
+    } finally q.stop()
+  }
 }
