@@ -31,6 +31,7 @@ object SparkEntry {
     "q_group_quantiles"        -> (Analytics.qGroupQuantiles _),
     "q_pivot_events"           -> (Analytics.qPivotEvents _),
     "q_sample_deterministic"   -> (SampleQueries.qSampleDeterministic _),
+    "q_sketch_stats"           -> (Analytics.qSketchStats _),
     "io_dsv_roundtrip"         -> (IoQueries.ioDsvRoundtrip _),
     "io_jsonlines_roundtrip"   -> (IoQueries.ioJsonlinesRoundtrip _),
     "io_partitioned_roundtrip" -> (IoQueries.ioPartitionedRoundtrip _),

@@ -185,6 +185,30 @@ object Analytics {
       .orderBy($"l_returnflag")
   }
 
+  /** Sketch aggregates — the 100 TB path where q_group_quantiles'
+    * exact group-parallel sort becomes the bottleneck: HyperLogLog++
+    * distinct counts and QuantileSummaries approximate percentiles.
+    * Both sketches are MERGEABLE, so the plan is an ordinary
+    * partial-agg shuffle moving one fixed-size sketch per (task,
+    * group) instead of the column's values. Accuracy is a parameter
+    * (2% rsd / 1000th-rank here); SketchSpec pins the error bounds
+    * against the exact aggregates. Rows-only in the gate — DuckDB's
+    * approximation algorithms differ by design. */
+  def qSketchStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", 0.02).as("approx_users"),
+        percentile_approx($"value", array(lit(0.5), lit(0.95)), lit(1000)).as("pq"),
+        count(lit(1)).as("n"))
+      .select($"event_type", $"approx_users",
+        round($"pq".getItem(0), 2).as("p50_approx"),
+        round($"pq".getItem(1), 2).as("p95_approx"),
+        $"n")
+      .orderBy($"event_type")
+  }
+
   /** Pivot: event counts by (event_type × day-of-week). The pivot
     * VALUES are supplied explicitly — without them Spark runs an extra
     * distinct-values job over the full input before it can even plan.
