@@ -85,4 +85,31 @@ class RobustnessSpec extends AnyFunSuite with SparkSpec {
     val df = Seq(("a", 1)).toDF("k", "v")
     assert(df.filter(EventFilter.compile("""[{"k": "scalar-ignored"}]""", df)).count() === 1)
   }
+
+  test("jsonlines read surfaces corrupt records instead of failing the scan") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("corrupt").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "part-0.json"),
+      "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"b\": \"y\"}\nnot json at all\n")
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (the default): the bad line lands in the corrupt
+    // column with data columns null — the scan never throws
+    // (cached: Spark disallows queries touching ONLY the corrupt
+    // column against the raw scan — UNSUPPORTED_FEATURE otherwise)
+    val permissive = GraftIO.read(spark, dir, GraftIO.JsonLines,
+      schema = Some(schema),
+      options = Map("columnNameOfCorruptRecord" -> "_corrupt_record")).cache()
+    try {
+      assert(permissive.count() === 3)
+      assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 1)
+      assert(permissive.filter(col("a").isNotNull).count() === 2)
+    } finally permissive.unpersist()
+    // DROPMALFORMED via options passthrough: bad lines vanish
+    val dropped = GraftIO.read(spark, dir, GraftIO.JsonLines,
+      schema = Some(StructType(schema.fields.take(2))),
+      options = Map("mode" -> "DROPMALFORMED"))
+    assert(dropped.count() === 2)
+  }
 }
