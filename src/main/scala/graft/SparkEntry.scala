@@ -63,6 +63,7 @@ object SparkEntry {
     "text_pii_redact"          -> (PipelineQueries.textPiiRedact _),
     "text_decontaminate"       -> (PipelineQueries.textDecontaminate _),
     "events_funnel"            -> (PipelineQueries.eventsFunnel _),
+    "events_retention"         -> (PipelineQueries.eventsRetention _),
     "embed_centroid"           -> (PipelineQueries.embedCentroid _),
     "dedup_incremental"        -> (PipelineQueries.dedupIncremental _),
   )
@@ -582,6 +583,19 @@ object SparkEntry {
         |  CAST(sum(uc) AS BIGINT) AS n_click_after_view,
         |  CAST(sum(up) AS BIGINT) AS n_purchase_after_click
         |FROM u""".stripMargin,
+
+    // epoch-aligned integer week buckets; `//` and Spark's `div` agree
+    // on non-negative longs
+    "events_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events),
+        |coh AS (
+        |  SELECT user_id, week,
+        |    min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM wk)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM coh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // quantize each float to an exact integer (identical IEEE
     // float→double→floor on both engines), then integer sums

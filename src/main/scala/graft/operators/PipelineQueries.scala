@@ -139,6 +139,25 @@ object PipelineQueries {
       .orderBy($"label", $"dim")
   }
 
+  /** Cohort retention: users grouped by the week of their first event,
+    * counted per week-offset of later activity — the classic retention
+    * matrix, complementing the funnel (ordered stages) with longevity.
+    * Weeks are epoch-aligned integer buckets (ts is epoch nanos).
+    *
+    * Plan: one shuffle on user_id for the cohort window, then the
+    * count-distinct pair of shuffles on (cohort, offset) — every key
+    * scales with the data, no low-cardinality skew. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables.events(spark, dir)
+      .select($"user_id", expr("ts div 604800000000000").cast("long").as("week"))
+      .withColumn("cohort_week", min($"week").over(w))
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   /** Incremental dedup — the production shape: dedup an INCOMING batch
     * against the digest index of the already-ingested corpus, not the
     * corpus against itself. The batch is derived from the table: docs

@@ -117,6 +117,29 @@ class PipelineSpec extends SparkSpec {
     assert(kept.size === editedDistinct)
   }
 
+  test("retention: offset-0 cell covers every user of its cohort; later cells never exceed it") {
+    val rows = PipelineQueries.eventsRetention(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCohort = rows.groupBy(_._1)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).map(_._3).getOrElse(0L)).sum === users,
+      "offset-0 cells must partition the full user population by cohort")
+    byCohort.foreach { case (c, cells) =>
+      val base = cells.find(_._2 == 0L).map(_._3).getOrElse(0L)
+      cells.foreach { case (_, off, n) =>
+        assert(n <= base, s"cohort $c offset $off has $n users > cohort size $base")
+      }
+    }
+  }
+
+  test("decontamination joins the eval n-grams as a broadcast, never a shuffle of the corpus") {
+    val s = PipelineQueries.textDecontaminate(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(s.contains("BroadcastHashJoin"), s"eval-gram join must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin") || s.indexOf("SortMergeJoin") > s.indexOf("BroadcastHashJoin"),
+      s"corpus-side gram join degenerated to a shuffle join:\n$s")
+  }
+
   test("map-side pipeline queries add no shuffle; centroid/funnel shuffle once on their key") {
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =
       "Exchange".r.findAllIn(
