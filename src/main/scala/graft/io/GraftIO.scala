@@ -149,6 +149,9 @@ object GraftIO {
       buckets: Int,
       sortCols: Seq[String] = Nil,
       format: Format = Parquet,
+      gzip: Boolean = false,
+      sep: String = "\t",
+      header: Boolean = true,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketCols.nonEmpty, "`bucketCols` must not be empty")
     // Align write tasks with buckets (repartition uses the same
@@ -161,8 +164,23 @@ object GraftIO {
     val w0 = aligned.write.mode(mode).option("path", path)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
-    w1.format(format.name match { case "dsv" => "csv"; case "jsonlines" => "json"; case f => f })
-      .saveAsTable(table)
+    // same per-format options as write(): a bucketed dsv table must be
+    // byte-compatible with every other dsv this library writes
+    val w2 = format match {
+      case Parquet => w1.format("parquet")
+        .option("compression", if (gzip) "gzip" else "snappy")
+      case Dsv => w1.format("csv")
+        .option("sep", sep).option("header", header.toString)
+        .option("escape", "\\")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .option("compression", if (gzip) "gzip" else "none")
+      case JsonLines => w1.format("json")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .option("compression", if (gzip) "gzip" else "none")
+      case Orc => w1.format("orc")
+        .option("compression", if (gzip) "zlib" else "snappy")
+    }
+    w2.saveAsTable(table)
   }
 
   /** Custom output-partition naming: (prefix, partitionCols,

@@ -68,17 +68,17 @@ object PipelineQueries {
   def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.widened(Tables.documents(spark, dir))
+    // (gram-count, gram) structs: ONE explode carries each doc's
+    // distinct-gram total alongside every gram, so no second
+    // tokenize+shingle scan (and no join) is needed to recover it
     val grams = docs.select($"doc_id",
-      explode(Similarity.wordNgrams(wsTokens($"text"), 5)).as("g"))
+      explode(Similarity.wordNgramStructs(wsTokens($"text"), 5)).as("sg"))
+      .select($"doc_id", $"sg.s".cast("long").as("n_grams"), $"sg.gram".as("g"))
     val evalGrams = grams.filter($"doc_id" % 20 === 0).select($"g").distinct()
-    val corpusGrams = grams.filter($"doc_id" % 20 =!= 0)
-    val perDoc = docs.filter($"doc_id" % 20 =!= 0)
-      .select($"doc_id",
-        size(Similarity.wordNgrams(wsTokens($"text"), 5)).cast("long").as("n_grams"))
-    corpusGrams
+    grams.filter($"doc_id" % 20 =!= 0)
       .join(broadcast(evalGrams), "g")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
-      .join(perDoc, "doc_id")
+      .groupBy($"doc_id")
+      .agg(max($"n_grams").as("n_grams"), count(lit(1)).as("n_hits"))
       .select($"doc_id", $"n_grams", $"n_hits".cast("long").as("n_hits"),
         floor((lit(20000L) * $"n_hits" + $"n_grams") / (lit(2L) * $"n_grams"))
           .cast("long").as("contam_bp"))

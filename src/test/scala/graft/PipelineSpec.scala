@@ -136,21 +136,30 @@ class PipelineSpec extends SparkSpec {
     val s = PipelineQueries.textDecontaminate(spark, sf)
       .queryExecution.explainString(FormattedMode)
     assert(s.contains("BroadcastHashJoin"), s"eval-gram join must broadcast:\n$s")
-    assert(!s.contains("SortMergeJoin") || s.indexOf("SortMergeJoin") > s.indexOf("BroadcastHashJoin"),
-      s"corpus-side gram join degenerated to a shuffle join:\n$s")
+    // the single-scan shape has NO other join: any merge/shuffled-hash
+    // join appearing means the corpus got shuffled row-wise
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle through a join:\n$s")
   }
 
   test("map-side pipeline queries add no shuffle; centroid/funnel shuffle once on their key") {
+    // count "(n) Exchange" node headers in the details section — tree
+    // lines print as "+- Exchange (7)", which startsWith would miss
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =
-      "Exchange".r.findAllIn(
-        df.queryExecution.explainString(FormattedMode).linesIterator
-          .filter(_.trim.startsWith("Exchange")).mkString("\n")).length
-    // PII redaction: a global sort for the stable dump is the only exchange
-    assert(exchanges(PipelineQueries.textPiiRedact(spark, sf)) <= 1)
-    // centroid: one shuffle for (label, dim) agg + the output sort
-    assert(exchanges(PipelineQueries.embedCentroid(spark, sf)) <= 2)
-    // funnel: one shuffle on user_id (window + user-agg share it) + the
+      df.queryExecution.explainString(FormattedMode)
+        .linesIterator.count(_.matches("""^\(\d+\) Exchange.*"""))
+    def counts = Seq(
+      "pii" -> exchanges(PipelineQueries.textPiiRedact(spark, sf)),
+      "centroid" -> exchanges(PipelineQueries.embedCentroid(spark, sf)),
+      "funnel" -> exchanges(PipelineQueries.eventsFunnel(spark, sf)))
+    // pii: Tables.widened input spread + the stable-dump output sort —
+    // the redaction pipeline itself adds NO exchange
+    // centroid: widened spread + (label, dim) agg + output sort
+    // funnel: one user_id shuffle (windows + user-agg share it) + the
     // single-row global agg
-    assert(exchanges(PipelineQueries.eventsFunnel(spark, sf)) <= 3)
+    val expected = Map("pii" -> 2, "centroid" -> 3, "funnel" -> 2)
+    counts.foreach { case (k, n) =>
+      assert(n <= expected(k), s"$k has $n exchanges, expected <= ${expected(k)}")
+    }
   }
 }

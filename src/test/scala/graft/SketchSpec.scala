@@ -34,11 +34,19 @@ class SketchSpec extends SparkSpec {
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
     approx.foreach { case (k, p50, p95) =>
       val vs = values(k)
-      def rankOf(x: Double): Double = vs.count(_ <= x).toDouble / vs.length
-      // percentile_approx(accuracy=1000) guarantees rank error <= 1/1000;
-      // allow 1% for the rounding the query applies to the value itself
-      assert(math.abs(rankOf(p50) - 0.50) <= 0.01, s"$k p50=$p50 rank=${rankOf(p50)}")
-      assert(math.abs(rankOf(p95) - 0.95) <= 0.01, s"$k p95=$p95 rank=${rankOf(p95)}")
+      // percentile_approx(accuracy=1000) guarantees rank error <=
+      // 1/1000; the query then rounds the VALUE to 2 decimals, and on
+      // a tie-dense distribution a 0.005 value shift can move rank
+      // arbitrarily — so bound by VALUE against the exact quantile
+      // values at p±1% rank, widened by the rounding quantum (ties in
+      // rank terms would make this a data-dependent flake)
+      def exactAt(p: Double): Double = vs(((vs.length - 1) * p).toInt)
+      def check(label: String, a: Double, p: Double): Unit = {
+        val (lo, hi) = (exactAt(p - 0.01) - 0.006, exactAt(p + 0.01) + 0.006)
+        assert(a >= lo && a <= hi, s"$k $label=$a outside [$lo, $hi]")
+      }
+      check("p50", p50, 0.50)
+      check("p95", p95, 0.95)
     }
   }
 
