@@ -62,6 +62,7 @@ object SparkEntry {
     "multimodal_meta"          -> (MultimodalQueries.multimodalMeta _),
     "text_pii_redact"          -> (PipelineQueries.textPiiRedact _),
     "text_decontaminate"       -> (PipelineQueries.textDecontaminate _),
+    "text_vocab"               -> (PipelineQueries.textVocab _),
     "events_funnel"            -> (PipelineQueries.eventsFunnel _),
     "events_retention"         -> (PipelineQueries.eventsRetention _),
     "embed_centroid"           -> (PipelineQueries.embedCentroid _),
@@ -555,6 +556,16 @@ object SparkEntry {
         |SELECT h.doc_id, s.n_grams, h.n_hits,
         |  CAST(floor((20000 * h.n_hits + s.n_grams) / (2.0 * s.n_grams)) AS BIGINT) AS contam_bp
         |FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id""".stripMargin,
+
+    // top-100 terms by (tf desc, token asc) — total order, so LIMIT
+    // is deterministic on both engines
+    "text_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
 
     // running-min windows state the same stage ordering; ties broken
     // by event_id on both engines

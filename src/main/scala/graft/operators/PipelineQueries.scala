@@ -139,6 +139,21 @@ object PipelineQueries {
       .orderBy($"label", $"dim")
   }
 
+  /** Vocabulary building: corpus-wide term and document frequencies,
+    * top-100 by term frequency — the input to tokenizer training and
+    * idf weighting. Plan: map-side explode + partial-agg groupBy
+    * (vocab cardinality, not corpus size, crosses the shuffle), then
+    * TakeOrderedAndProject for the top-k (no full sort). */
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", explode(wsTokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      .orderBy($"tf".desc, $"token")
+      .limit(100)
+  }
+
   /** Cohort retention: users grouped by the week of their first event,
     * counted per week-offset of later activity — the classic retention
     * matrix, complementing the funnel (ordered stages) with longevity.

@@ -142,6 +142,34 @@ class PipelineSpec extends SparkSpec {
       s"corpus side must not shuffle through a join:\n$s")
   }
 
+  test("salted join returns exactly the rows of the plain join") {
+    val events = Tables.events(spark, sf).select($"user_id", $"event_id", $"value")
+    val users = Tables.customer(spark, sf)
+      .select($"c_custkey".as("u_key"), $"c_mktsegment")
+    val plain = events.join(users, $"user_id" === $"u_key")
+      .select($"event_id", $"c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val salted = graft.operators.SaltedJoin
+      .join(events, "user_id", users, "u_key", salt = 8)
+      .select($"event_id", $"c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("vocab top-100 matches a driver-side count") {
+    val exp = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        if (t.trim.isEmpty) Nil else t.trim.split("\\s+").toSeq.map(id -> _) }
+    val tf = exp.groupBy(_._2).map { case (tok, xs) =>
+      (tok, xs.length.toLong, xs.map(_._1).distinct.length.toLong) }
+      .toSeq.sortBy { case (tok, n, _) => (-n, tok) }.take(100)
+    val got = PipelineQueries.textVocab(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === tf)
+  }
+
   test("map-side pipeline queries add no shuffle; centroid/funnel shuffle once on their key") {
     // count "(n) Exchange" node headers in the details section — tree
     // lines print as "+- Exchange (7)", which startsWith would miss
