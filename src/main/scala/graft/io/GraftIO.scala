@@ -102,30 +102,34 @@ object GraftIO {
     val withMax = if (maxRecordsPerFile > 0)
       writer.option("maxRecordsPerFile", maxRecordsPerFile.toString) else writer
 
-    format match {
-      case Parquet =>
-        withMax.option("compression", if (gzip) "gzip" else "snappy")
-          .options(options).parquet(path)
-      case Dsv =>
-        withMax
-          .option("sep", sep).option("header", header.toString)
-          // defaults quote an empty string as `""` and write null as an
-          // unquoted empty field — which is exactly what makes the
-          // roundtrip lossless (read maps them back asymmetrically).
-          .option("escape", "\\")
-          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
-          .option("compression", if (gzip) "gzip" else "none")
-          .options(options).csv(path)
-      case JsonLines =>
-        withMax
-          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
-          .option("compression", if (gzip) "gzip" else "none")
-          .options(options).json(path)
-      case Orc =>
-        // ORC has no gzip codec; zlib is the same DEFLATE stream
-        withMax.option("compression", if (gzip) "zlib" else "snappy")
-          .options(options).orc(path)
-    }
+    applyFormat(withMax, format, gzip, sep, header).options(options).save(path)
+  }
+
+  /** The per-format writer configuration — the SINGLE definition of
+    * what this library's dsv/jsonlines/parquet/orc bytes look like,
+    * shared by `write` and `writeBucketed` so a bucketed dsv table is
+    * byte-compatible with every other dsv written here.
+    *
+    * Dsv defaults quote an empty string as `""` and write null as an
+    * unquoted empty field — which is exactly what makes the roundtrip
+    * lossless (read maps them back asymmetrically). ORC has no gzip
+    * codec; zlib is the same DEFLATE stream. */
+  private def applyFormat[T](
+      w: org.apache.spark.sql.DataFrameWriter[T],
+      format: Format, gzip: Boolean, sep: String, header: Boolean)
+      : org.apache.spark.sql.DataFrameWriter[T] = format match {
+    case Parquet => w.format("parquet")
+      .option("compression", if (gzip) "gzip" else "snappy")
+    case Dsv => w.format("csv")
+      .option("sep", sep).option("header", header.toString)
+      .option("escape", "\\")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+      .option("compression", if (gzip) "gzip" else "none")
+    case JsonLines => w.format("json")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+      .option("compression", if (gzip) "gzip" else "none")
+    case Orc => w.format("orc")
+      .option("compression", if (gzip) "zlib" else "snappy")
   }
 
   /** Bucketed table write — the co-located-join layout for 100 TB
@@ -164,23 +168,7 @@ object GraftIO {
     val w0 = aligned.write.mode(mode).option("path", path)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
-    // same per-format options as write(): a bucketed dsv table must be
-    // byte-compatible with every other dsv this library writes
-    val w2 = format match {
-      case Parquet => w1.format("parquet")
-        .option("compression", if (gzip) "gzip" else "snappy")
-      case Dsv => w1.format("csv")
-        .option("sep", sep).option("header", header.toString)
-        .option("escape", "\\")
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
-        .option("compression", if (gzip) "gzip" else "none")
-      case JsonLines => w1.format("json")
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
-        .option("compression", if (gzip) "gzip" else "none")
-      case Orc => w1.format("orc")
-        .option("compression", if (gzip) "zlib" else "snappy")
-    }
-    w2.saveAsTable(table)
+    applyFormat(w1, format, gzip, sep, header).saveAsTable(table)
   }
 
   /** Custom output-partition naming: (prefix, partitionCols,

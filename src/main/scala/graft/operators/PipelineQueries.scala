@@ -141,9 +141,13 @@ object PipelineQueries {
 
   /** Vocabulary building: corpus-wide term and document frequencies,
     * top-100 by term frequency — the input to tokenizer training and
-    * idf weighting. Plan: map-side explode + partial-agg groupBy
-    * (vocab cardinality, not corpus size, crosses the shuffle), then
-    * TakeOrderedAndProject for the top-k (no full sort). */
+    * idf weighting. Plan: map-side explode, then Spark's two-phase
+    * distinct aggregation — the FIRST shuffle carries partial-agg'd
+    * distinct (token, doc_id) pairs (per-doc distinct vocabulary, not
+    * raw token occurrences), the second only vocab cardinality — then
+    * TakeOrderedAndProject for the top-k (no full sort). Exact df is
+    * what the oracle needs; at 100 TB swap countDistinct for
+    * approx_count_distinct and the pair-level shuffle disappears. */
   def textVocab(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.widened(Tables.documents(spark, dir))
