@@ -63,6 +63,7 @@ object SparkEntry {
     "text_pii_redact"          -> (PipelineQueries.textPiiRedact _),
     "text_decontaminate"       -> (PipelineQueries.textDecontaminate _),
     "text_vocab"               -> (PipelineQueries.textVocab _),
+    "text_pack_sequences"      -> ((s: SparkSession, d: String) => PipelineQueries.textPackSequences(s, d)),
     "events_funnel"            -> (PipelineQueries.eventsFunnel _),
     "events_retention"         -> (PipelineQueries.eventsRetention _),
     "embed_centroid"           -> (PipelineQueries.embedCentroid _),
@@ -556,6 +557,31 @@ object SparkEntry {
         |SELECT h.doc_id, s.n_grams, h.n_hits,
         |  CAST(floor((20000 * h.n_hits + s.n_grams) / (2.0 * s.n_grams)) AS BIGINT) AS contam_bp
         |FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id""".stripMargin,
+
+    // concat-and-chunk packing: identical integer window arithmetic on
+    // both engines (budget 512, 8 shards, shard = doc_id % 8)
+    "text_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS grp,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, grp, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS "end"
+        |  FROM toks WHERE n_tok > 0),
+        |spans AS (
+        |  SELECT doc_id, grp, n_tok, "end", "end" - n_tok AS "start",
+        |    unnest(range(CAST(("end" - n_tok) // 512 AS BIGINT),
+        |                 CAST(("end" - 1) // 512 + 1 AS BIGINT))) AS bin
+        |  FROM pos)
+        |SELECT grp, bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least("end", (bin + 1) * 512) - greatest("start", bin * 512)) AS BIGINT) AS n_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM spans GROUP BY grp, bin ORDER BY grp, bin""".stripMargin,
 
     // top-100 terms by (tf desc, token asc) — total order, so LIMIT
     // is deterministic on both engines

@@ -158,6 +158,50 @@ object PipelineQueries {
       .limit(100)
   }
 
+  /** Sequence packing — the step that turns a curated corpus into
+    * fixed-token-budget training rows, GPT-pretraining style: within
+    * each shard, documents are concatenated in a deterministic order
+    * and cut into EXACT `budget`-token windows; a document whose
+    * tokens straddle a boundary spans both windows (downstream
+    * attention masking owns doc boundaries — standard concat-and-chunk
+    * packing; greedy no-split packing is a sequential recurrence and
+    * would serialize).
+    *
+    * Global concatenation would also serialize; docs are
+    * hash-partitioned into `groups` shards and packed WITHIN shards.
+    * One shuffle on the shard key; the cumulative-sum window is
+    * shard-parallel, never a single global partition. Output: one row
+    * per (shard, window) with the docs and token counts it packs —
+    * every window except each shard's last holds exactly `budget`
+    * tokens. */
+  def textPackSequences(
+      spark: SparkSession, dir: String,
+      budget: Long = 512, groups: Int = 8): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"grp").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = lit(budget)
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", tokenCountWs($"text").cast("long").as("n_tok"))
+      .filter($"n_tok" > 0)
+      .withColumn("grp", pmod($"doc_id", lit(groups.toLong)))
+      .withColumn("end", sum($"n_tok").over(w))
+      .withColumn("start", $"end" - $"n_tok")
+      // the doc occupies token positions [start, end) of its shard's
+      // concatenation → it touches windows floor(start/b)..floor((end-1)/b)
+      .withColumn("bin", explode(sequence(
+        ($"start" / b).cast("long"), (($"end" - 1) / b).cast("long"))))
+      .groupBy($"grp", $"bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // tokens this doc contributes to this window:
+        // min(end, (bin+1)·b) − max(start, bin·b)
+        sum(least($"end", ($"bin" + 1) * b) - greatest($"start", $"bin" * b))
+          .as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"grp", $"bin")
+  }
+
   /** Cohort retention: users grouped by the week of their first event,
     * counted per week-offset of later activity — the classic retention
     * matrix, complementing the funnel (ordered stages) with longevity.

@@ -170,6 +170,27 @@ class PipelineSpec extends SparkSpec {
     assert(got === tf)
   }
 
+  test("sequence packing: every non-final window holds exactly the budget; totals conserved") {
+    val budget = 512L
+    val rows = PipelineQueries.textPackSequences(spark, sf, budget = budget, groups = 8)
+      .select($"grp", $"bin", $"n_tokens").as[(Long, Long, Long)].collect()
+    val byShard = rows.groupBy(_._1)
+    byShard.foreach { case (g, bins) =>
+      val last = bins.map(_._2).max
+      bins.foreach { case (_, bin, n) =>
+        if (bin < last) assert(n === budget, s"shard $g window $bin has $n tokens")
+        else assert(n >= 1 && n <= budget, s"shard $g final window has $n tokens")
+      }
+      // windows are contiguous from 0
+      assert(bins.map(_._2).sorted.toSeq === (0L to last).toSeq)
+    }
+    // token conservation: packed tokens == corpus tokens
+    val total = Tables.documents(spark, sf)
+      .select(graft.text.TextFunctions.tokenCountWs($"text").cast("long").as("n"))
+      .agg(sum($"n")).collect().head.getLong(0)
+    assert(rows.map(_._3).sum === total)
+  }
+
   test("map-side pipeline queries add no shuffle; centroid/funnel shuffle once on their key") {
     // count "(n) Exchange" node headers in the details section — tree
     // lines print as "+- Exchange (7)", which startsWith would miss
