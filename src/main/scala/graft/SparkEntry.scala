@@ -32,6 +32,7 @@ object SparkEntry {
     "q_pivot_events"           -> (Analytics.qPivotEvents _),
     "q_sample_deterministic"   -> (SampleQueries.qSampleDeterministic _),
     "q_sketch_stats"           -> (Analytics.qSketchStats _),
+    "q_sample_mixture"         -> (PipelineQueries.qSampleMixture _),
     "io_dsv_roundtrip"         -> (IoQueries.ioDsvRoundtrip _),
     "io_jsonlines_roundtrip"   -> (IoQueries.ioJsonlinesRoundtrip _),
     "io_partitioned_roundtrip" -> (IoQueries.ioPartitionedRoundtrip _),
@@ -557,6 +558,16 @@ object SparkEntry {
         |SELECT h.doc_id, s.n_grams, h.n_hits,
         |  CAST(floor((20000 * h.n_hits + s.n_grams) / (2.0 * s.n_grams)) AS BIGINT) AS contam_bp
         |FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id""".stripMargin,
+
+    // deterministic per-row Bernoulli by sha256 hex prefix — identical
+    // lowercase hex and string comparison on both engines
+    "q_sample_mixture" ->
+      """SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |    (CASE WHEN lang = 'en' THEN 'ffffffff'
+        |          WHEN lang IN ('de', 'fr', 'es') THEN '80000000'
+        |          ELSE '40000000' END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // concat-and-chunk packing: identical integer window arithmetic on
     // both engines (budget 512, 8 shards, shard = doc_id % 8)

@@ -202,6 +202,30 @@ object PipelineQueries {
       .orderBy($"grp", $"bin")
   }
 
+  /** Data-mixture sampling: reweight the corpus by language with
+    * deterministic per-row Bernoulli draws — keep a doc iff the first
+    * 8 hex chars of sha256(doc_id) fall below the language's
+    * threshold. The draw is a pure function of the row (same doc kept
+    * in every run and on both engines — no RNG state, no seed
+    * coordination across executors), which is what makes mixture
+    * resampling reproducible at 100 TB. Zero shuffle: map-side filter
+    * + one aggregate. */
+  def qSampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // en kept fully; de/fr/es halved; zh quartered (weights are the
+    // operator's parameter in real use)
+    val threshold = when($"lang" === "en", lit("ffffffff"))
+      .when($"lang".isin("de", "fr", "es"), lit("80000000"))
+      .otherwise(lit("40000000"))
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"lang",
+        (substring(sha2($"doc_id".cast("string"), 256), 1, 8) < threshold)
+          .cast("long").as("kept"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"), sum($"kept").as("n_kept"))
+      .orderBy($"lang")
+  }
+
   /** Cohort retention: users grouped by the week of their first event,
     * counted per week-offset of later activity — the classic retention
     * matrix, complementing the funnel (ordered stages) with longevity.

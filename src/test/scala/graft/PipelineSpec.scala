@@ -191,6 +191,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._3).sum === total)
   }
 
+  test("mixture sampling keeps stable per-language fractions near the weights") {
+    val rows = PipelineQueries.qSampleMixture(spark, sf)
+      .select($"lang", $"n_total", $"n_kept").as[(String, Long, Long)].collect()
+    val weights = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.25)
+    rows.foreach { case (lang, total, kept) =>
+      val w = weights(lang)
+      assert(kept <= total)
+      if (w == 1.0) assert(kept === total, s"$lang full weight must keep all")
+      else {
+        // 4-sigma binomial tolerance at these counts
+        val sigma = math.sqrt(total * w * (1 - w))
+        assert(math.abs(kept - total * w) <= 4 * sigma + 1,
+          s"$lang kept $kept of $total, weight $w")
+      }
+    }
+    // determinism: a second run keeps the identical rows
+    val again = PipelineQueries.qSampleMixture(spark, sf)
+      .select($"lang", $"n_total", $"n_kept").as[(String, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
+  }
+
   test("map-side pipeline queries add no shuffle; centroid/funnel shuffle once on their key") {
     // count "(n) Exchange" node headers in the details section — tree
     // lines print as "+- Exchange (7)", which startsWith would miss
