@@ -564,7 +564,7 @@ object SparkEntry {
     "q_sample_mixture" ->
       """SELECT lang, count(*) AS n_total,
         |  CAST(sum(CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) <
-        |    (CASE WHEN lang = 'en' THEN 'ffffffff'
+        |    (CASE WHEN lang = 'en' THEN 'gggggggg'
         |          WHEN lang IN ('de', 'fr', 'es') THEN '80000000'
         |          ELSE '40000000' END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

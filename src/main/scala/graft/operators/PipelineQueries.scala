@@ -208,13 +208,19 @@ object PipelineQueries {
     * threshold. The draw is a pure function of the row (same doc kept
     * in every run and on both engines — no RNG state, no seed
     * coordination across executors), which is what makes mixture
-    * resampling reproducible at 100 TB. Zero shuffle: map-side filter
-    * + one aggregate. */
+    * resampling reproducible at 100 TB. The keep-decision is map-side;
+    * only the per-language summary aggregate (|languages| rows) and
+    * the output sort shuffle.
+    *
+    * Full weight uses a sentinel above every hex prefix ("g" > "f")
+    * so the strict `<` genuinely keeps ALL rows — `< "ffffffff"`
+    * would drop a doc whose prefix is exactly ffffffff (p = 2^-32,
+    * expected at billions of docs). */
   def qSampleMixture(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // en kept fully; de/fr/es halved; zh quartered (weights are the
     // operator's parameter in real use)
-    val threshold = when($"lang" === "en", lit("ffffffff"))
+    val threshold = when($"lang" === "en", lit("gggggggg"))
       .when($"lang".isin("de", "fr", "es"), lit("80000000"))
       .otherwise(lit("40000000"))
     Tables.widened(Tables.documents(spark, dir))

@@ -194,7 +194,10 @@ class PipelineSpec extends SparkSpec {
   test("mixture sampling keeps stable per-language fractions near the weights") {
     val rows = PipelineQueries.qSampleMixture(spark, sf)
       .select($"lang", $"n_total", $"n_kept").as[(String, Long, Long)].collect()
+    // default mirrors the operator's otherwise-branch (0.25) so an
+    // unexpected language asserts meaningfully instead of key-crashing
     val weights = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.25)
+      .withDefaultValue(0.25)
     rows.foreach { case (lang, total, kept) =>
       val w = weights(lang)
       assert(kept <= total)
