@@ -67,6 +67,7 @@ object SparkEntry {
     "text_pack_sequences"      -> ((s: SparkSession, d: String) => PipelineQueries.textPackSequences(s, d)),
     "events_funnel"            -> (PipelineQueries.eventsFunnel _),
     "events_retention"         -> (PipelineQueries.eventsRetention _),
+    "events_anomaly"           -> (PipelineQueries.eventsAnomaly _),
     "embed_centroid"           -> (PipelineQueries.embedCentroid _),
     "dedup_incremental"        -> (PipelineQueries.dedupIncremental _),
   )
@@ -631,6 +632,30 @@ object SparkEntry {
         |  CAST(sum(uc) AS BIGINT) AS n_click_after_view,
         |  CAST(sum(up) AS BIGINT) AS n_purchase_after_click
         |FROM u""".stripMargin,
+
+    // exact integer z-test on value cents: (n·v − s)² > 9(nq − s²),
+    // HUGEINT here, decimal(38,0) in Spark — both exact, no float
+    // boundary
+    "events_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS q
+        |  FROM c GROUP BY event_type),
+        |f AS (
+        |  SELECT c.event_type, c.event_id,
+        |    CASE WHEN (CAST(m.n AS HUGEINT) * c.v - m.s) * (CAST(m.n AS HUGEINT) * c.v - m.s)
+        |        > 9 * (CAST(m.n AS HUGEINT) * m.q - CAST(m.s AS HUGEINT) * m.s)
+        |      THEN 1 ELSE 0 END AS out
+        |  FROM c JOIN m USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(out) AS BIGINT) AS n_outliers,
+        |  CAST(min(CASE WHEN out = 1 THEN event_id END) AS BIGINT) AS min_outlier_id,
+        |  CAST(max(CASE WHEN out = 1 THEN event_id END) AS BIGINT) AS max_outlier_id
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // epoch-aligned integer week buckets; `//` and Spark's `div` agree
     // on non-negative longs

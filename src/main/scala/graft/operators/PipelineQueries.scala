@@ -202,6 +202,36 @@ object PipelineQueries {
       .orderBy($"grp", $"bin")
   }
 
+  /** Per-group outlier detection: flag events whose value deviates
+    * more than 3σ from their type's mean. The z-test is evaluated in
+    * EXACT integer algebra on value cents — `(n·v − s)² > 9(nq − s²)`
+    * with s = Σv, q = Σv² — so the cross-engine gate has no
+    * float-boundary cases (Spark does the big products in
+    * decimal(38,0), DuckDB in HUGEINT; both exact).
+    *
+    * Plan: one tiny moments aggregate per type (|types| rows,
+    * broadcast back), map-side flagging, final per-type summary —
+    * the event stream itself is never shuffled unflagged. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_type", $"event_id", round($"value" * 100).cast("long").as("v"))
+    val stats = e.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"), sum($"v" * $"v").as("q"))
+    val dec = "decimal(38,0)"
+    val dev = ($"n" * $"v" - $"s").cast(dec)
+    val lhs = dev * dev
+    val rhs = lit(9).cast(dec) *
+      ($"n".cast(dec) * $"q".cast(dec) - $"s".cast(dec) * $"s".cast(dec))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("out", (lhs > rhs).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"out").as("n_outliers"),
+        min(when($"out" === 1, $"event_id")).as("min_outlier_id"),
+        max(when($"out" === 1, $"event_id")).as("max_outlier_id"))
+      .orderBy($"event_type")
+  }
+
   /** Data-mixture sampling: reweight the corpus by language with
     * deterministic per-row Bernoulli draws — keep a doc iff the first
     * 8 hex chars of sha256(doc_id) fall below the language's

@@ -215,6 +215,27 @@ class PipelineSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
   }
 
+  test("anomaly flags agree with a driver-side 3-sigma computation") {
+    val events = Tables.events(spark, sf)
+      .select($"event_type", $"event_id", $"value").as[(String, Long, Double)].collect()
+    val expected = events.groupBy(_._1).map { case (t, es) =>
+      val cents = es.map { case (_, id, v) => id -> math.round(v * 100) }
+      val n = cents.length.toLong
+      val s = cents.map(_._2).sum
+      val q = cents.map(c => c._2 * c._2).sum
+      val out = cents.filter { case (_, v) =>
+        val dev = BigInt(n) * BigInt(v) - BigInt(s)
+        dev * dev > BigInt(9) * (BigInt(n) * BigInt(q) - BigInt(s) * BigInt(s))
+      }
+      t -> (n, out.length.toLong)
+    }
+    val got = PipelineQueries.eventsAnomaly(spark, sf)
+      .select($"event_type", $"n", $"n_outliers").as[(String, Long, Long)].collect()
+      .map { case (t, n, o) => t -> (n, o) }.toMap
+    assert(got === expected)
+    assert(got.values.exists(_._2 > 0), "expected at least one outlier in the corpus")
+  }
+
   test("map-side pipeline queries add no shuffle; centroid/funnel shuffle once on their key") {
     // count "(n) Exchange" node headers in the details section — tree
     // lines print as "+- Exchange (7)", which startsWith would miss
