@@ -68,6 +68,8 @@ object SparkEntry {
     "events_funnel"            -> (PipelineQueries.eventsFunnel _),
     "events_retention"         -> (PipelineQueries.eventsRetention _),
     "events_anomaly"           -> (PipelineQueries.eventsAnomaly _),
+    "events_paths"             -> (PipelineQueries.eventsPaths _),
+    "text_keywords"            -> (PipelineQueries.textKeywords _),
     "embed_centroid"           -> (PipelineQueries.embedCentroid _),
     "dedup_incremental"        -> (PipelineQueries.dedupIncremental _),
   )
@@ -632,6 +634,44 @@ object SparkEntry {
         |  CAST(sum(uc) AS BIGINT) AS n_click_after_view,
         |  CAST(sum(up) AS BIGINT) AS n_purchase_after_click
         |FROM u""".stripMargin,
+
+    // tf/df ranking key is one IEEE division of two exact integers —
+    // identical doubles, identical ordering, no log() divergence
+    "text_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM documents WHERE length(trim(text)) > 0)
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
+        |SELECT doc_id, rk, token, tf, df FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token) AS BIGINT) AS rk
+        |  FROM tf JOIN df USING (token))
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // same 30-minute gap sessionization as events_sessionize; path =
+    // type sequence ordered by (ts, event_id)
+    "events_paths" ->
+      """WITH lagd AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS p
+        |  FROM events),
+        |flags AS (
+        |  SELECT *, CASE WHEN p IS NULL OR tsn - p > 1800000000000 THEN 1 ELSE 0 END AS f
+        |  FROM lagd),
+        |sess AS (
+        |  SELECT *, sum(f) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags),
+        |paths AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY tsn, event_id) AS path
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions
+        |FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
 
     // exact integer z-test on value cents: (n·v − s)² > 9(nq − s²),
     // HUGEINT here, decimal(38,0) in Spark — both exact, no float

@@ -202,6 +202,59 @@ object PipelineQueries {
       .orderBy($"grp", $"bin")
   }
 
+  /** Keyword extraction: top-3 terms per document by tf/df (tf-idf
+    * with the constant corpus-size factor cancelled). The ranking key
+    * is ONE IEEE division of two exact integers — bit-identical on
+    * both engines, so the cross-engine gate needs no log() (libm ln
+    * is not guaranteed identical across engines) and no rounding.
+    *
+    * Plan: tf = groupBy(doc, token) with map-side combine; df derived
+    * from tf (already one row per doc-token); the ranking window keys
+    * on doc_id — cardinality scales with the corpus. */
+  def textKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", explode(wsTokens($"text")).as("token"))
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(($"tf".cast("double") / $"df").desc, $"token")
+    tf.join(df, "token")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk".cast("long").as("rk"), $"token", $"tf", $"df")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** Session path mining: the top-10 most frequent event-type
+    * sequences among gap-based sessions (30-minute gap, as
+    * events_sessionize). Paths are built from a sorted struct
+    * collect — (ts, event_id) is a total order, so the concatenation
+    * is deterministic. One user-key shuffle chain (session window +
+    * per-session agg share it), then a path-count aggregate whose key
+    * count is bounded by distinct paths. */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapNs = 1800000000000L
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_ts".isNull || $"ts" - $"prev_ts" > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"is_new").over(cum))
+      .groupBy($"user_id", $"session_id")
+      .agg(concat_ws(">",
+        transform(
+          sort_array(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(10)
+  }
+
   /** Per-group outlier detection: flag events whose value deviates
     * more than 3σ from their type's mean. The z-test is evaluated in
     * EXACT integer algebra on value cents — `(n·v − s)² > 9(nq − s²)`

@@ -236,6 +236,33 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "expected at least one outlier in the corpus")
   }
 
+  test("keywords: ranks are contiguous and ordered by the tf/df key") {
+    val rows = PipelineQueries.textKeywords(spark, sf)
+      .select($"doc_id", $"rk", $"tf", $"df").as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (doc, ks) =>
+      val byRank = ks.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to byRank.length).toSeq, s"doc $doc ranks")
+      assert(byRank.length <= 3)
+      // scores non-increasing down the ranks
+      val scores = byRank.map { case (_, _, tf, df) => tf.toDouble / df }
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $doc order")
+    }
+    val docsWithTokens = Tables.documents(spark, sf)
+      .filter(length(trim($"text")) > 0).count()
+    assert(rows.map(_._1).distinct.length === docsWithTokens)
+  }
+
+  test("session paths: counts descend and conserve against the sessionizer") {
+    val rows = PipelineQueries.eventsPaths(spark, sf)
+      .select($"path", $"n_sessions").as[(String, Long)].collect()
+    assert(rows.length === 10)
+    assert(rows.map(_._2).zip(rows.map(_._2).tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_._1.split(">").forall(
+      Set("view", "click", "purchase", "signup", "error"))))
+    val totalSessions = graft.operators.EventQueries.eventsSessionize(spark, sf).count()
+    assert(rows.map(_._2).sum <= totalSessions)
+  }
+
   test("map-side pipeline queries add no shuffle; centroid/funnel shuffle once on their key") {
     // count "(n) Exchange" node headers in the details section — tree
     // lines print as "+- Exchange (7)", which startsWith would miss
