@@ -67,6 +67,10 @@ class FileSystems(conf: Configuration) {
   def modified(path: String): Long =
     fs(path).getFileStatus(new Path(path)).getModificationTime
 
+  /** File length in bytes. */
+  def size(path: String): Long =
+    fs(path).getFileStatus(new Path(path)).getLen
+
   /** Creation time in epoch millis (reference `created`,
     * filesystem.py:115-116). Hadoop's FileStatus does not model
     * creation time, so: local files report the filesystem's real

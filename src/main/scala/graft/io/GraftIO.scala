@@ -171,6 +171,38 @@ object GraftIO {
     applyFormat(w1, format, gzip, sep, header).saveAsTable(table)
   }
 
+  /** Small-file compaction — the standing maintenance job of any
+    * long-lived 100 TB dataset: streaming/chunked writers accumulate
+    * files far below the efficient scan size, and every downstream
+    * query then pays per-file open/seek/footer costs. Rewrites `path`
+    * into `outPath` with files sized near `targetBytes` (estimated
+    * from the CURRENT total size, so compression ratio carries over).
+    *
+    * The rewrite targets file count via `repartition(n)` — a plain
+    * round-robin exchange is fine HERE (unlike chunk routing, no
+    * consumer depends on which file a row lands in, and the write is
+    * all-or-nothing into a fresh directory, so a task retry cannot
+    * duplicate rows in the committed output). Hive partition layouts
+    * are preserved when `partitionBy` is passed. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      format: Format = Parquet,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fss = FileSystems(spark)
+    val totalBytes = fss.find(path)
+      .filterNot(f => f.endsWith("_SUCCESS") || f.endsWith(".crc"))
+      .map(fss.size).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    val df = read(spark, path, format, restorePartitions = true)
+    write(df.repartition(nFiles.toInt), outPath, format,
+      partitionBy = partitionBy, maxRecordsPerFile = 0L)
+    nFiles
+  }
+
   /** Custom output-partition naming: (prefix, partitionCols,
     * partitionValues, suffix) => path. The reference's
     * `partition_transformer` (io.py:27-33, tests/test_io.py:248-270). */
