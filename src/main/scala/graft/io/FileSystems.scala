@@ -49,6 +49,25 @@ class FileSystems(conf: Configuration) {
     }
   }
 
+  /** Recursive (path, length) listing in ONE listing pass —
+    * `listFiles` already carries lengths, so summing sizes this way
+    * costs no per-file getFileStatus RPC (on an object store with
+    * 100k files, `find` + `size` per file would be 100k extra HEAD
+    * requests). */
+  def findStatus(path: String): Seq[(String, Long)] = {
+    val f = fs(path)
+    val p = new Path(path)
+    if (!f.exists(p)) Seq.empty
+    else if (f.getFileStatus(p).isFile)
+      Seq(p.toString -> f.getFileStatus(p).getLen)
+    else {
+      val it = f.listFiles(p, true)
+      val buf = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) { val s = it.next(); buf += (s.getPath.toString -> s.getLen) }
+      buf.result()
+    }
+  }
+
   /** Glob expansion (`*`, `?`, `[abc]`, `{a,b}`). */
   def glob(pattern: String): Seq[String] =
     fs(pattern).globStatus(new Path(pattern)) match {

@@ -192,15 +192,33 @@ object GraftIO {
       format: Format = Parquet,
       partitionBy: Seq[String] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    // in-place compaction would be data loss: read() is lazy and
+    // Overwrite deletes the target before the scan tasks ever run
+    val (inP, outP) = (new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.fs.Path(outPath))
+    require(inP.toUri.getPath != outP.toUri.getPath,
+      s"outPath must differ from path ($path): Overwrite would delete the source before reading it")
     val fss = FileSystems(spark)
-    val totalBytes = fss.find(path)
-      .filterNot(f => f.endsWith("_SUCCESS") || f.endsWith(".crc"))
-      .map(fss.size).sum
+    // one listing pass carries the lengths — no per-file RPC
+    val totalBytes = fss.findStatus(path)
+      .filterNot { case (f, _) => f.endsWith("_SUCCESS") || f.endsWith(".crc") }
+      .map(_._2).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    require(nFiles <= Int.MaxValue,
+      s"targetBytes $targetBytes implies $nFiles output files; raise the target")
     val df = read(spark, path, format, restorePartitions = true)
-    write(df.repartition(nFiles.toInt), outPath, format,
-      partitionBy = partitionBy, maxRecordsPerFile = 0L)
-    nFiles
+    if (partitionBy.isEmpty) {
+      write(df.repartition(nFiles.toInt), outPath, format)
+      nFiles
+    } else {
+      // a flat round-robin repartition before a hive write would smear
+      // every directory across every task (n × dirs tiny files) —
+      // size files PER DIRECTORY and reuse write()'s aligned chunk
+      // routing instead
+      val nDirs = math.max(1L, df.select(partitionBy.map(col): _*).distinct().count())
+      val perDir = math.max(1L, (nFiles + nDirs - 1) / nDirs)
+      write(df, outPath, format, partitionBy = partitionBy, chunks = perDir.toInt)
+      perDir * nDirs
+    }
   }
 
   /** Custom output-partition naming: (prefix, partitionCols,

@@ -93,10 +93,12 @@ object EventQueries {
       .orderBy($"attributed")
   }
 
-  /** Core batch sessionizer over any (user_id, ts:nanos, event_id)
-    * frame — the batch twin of streaming.EventStreams.sessionize
-    * (equivalence spec-tested on shared input). */
-  def sessionizeEvents(events: DataFrame): DataFrame = {
+  /** Assign gap-based session ids: adds a `session_id` column to any
+    * (user_id, ts:nanos, event_id, ...) frame, preserving the other
+    * columns. THE definition of a session (gap, tie-break order) lives
+    * here — sessionizeEvents and the path-mining query both build on
+    * it, so they cannot diverge. */
+  def withSessionIds(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -106,6 +108,16 @@ object EventQueries {
         when($"prev_ts".isNull || $"ts" - $"prev_ts" > GapNs, 1L).otherwise(0L))
       .withColumn("session_id",
         sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ts", "is_new")
+  }
+
+  /** Core batch sessionizer over any (user_id, ts:nanos, event_id)
+    * frame — the batch twin of streaming.EventStreams.sessionize
+    * (equivalence spec-tested on shared input). */
+  def sessionizeEvents(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    withSessionIds(events)
       .groupBy($"user_id", $"session_id")
       .agg(count(lit(1)).as("n"),
         expr(s"CAST((max(ts) - min(ts)) div 1000000000 AS BIGINT)").as("duration_s"))

@@ -227,23 +227,19 @@ object PipelineQueries {
   }
 
   /** Session path mining: the top-10 most frequent event-type
-    * sequences among gap-based sessions (30-minute gap, as
-    * events_sessionize). Paths are built from a sorted struct
-    * collect — (ts, event_id) is a total order, so the concatenation
-    * is deterministic. One user-key shuffle chain (session window +
-    * per-session agg share it), then a path-count aggregate whose key
-    * count is bounded by distinct paths. */
+    * sequences among gap-based sessions. Session boundaries come from
+    * EventQueries.withSessionIds — the SAME definition
+    * events_sessionize uses, so the two cannot diverge. Paths are
+    * built from a sorted struct collect — (ts, event_id) is a total
+    * order, so the concatenation is deterministic. One user-key
+    * shuffle chain (session window + per-session agg share it), then
+    * a path-count aggregate whose key count is bounded by distinct
+    * paths. */
   def eventsPaths(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val gapNs = 1800000000000L
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
-      .withColumn("is_new",
-        when($"prev_ts".isNull || $"ts" - $"prev_ts" > gapNs, 1L).otherwise(0L))
-      .withColumn("session_id", sum($"is_new").over(cum))
+    EventQueries.withSessionIds(
+      Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type"))
       .groupBy($"user_id", $"session_id")
       .agg(concat_ws(">",
         transform(

@@ -30,6 +30,32 @@ class CompactionSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("hive-partitioned compact sizes files per directory, not per task") {
+    val dir = java.nio.file.Files.createTempDirectory("compact3").toString
+    val src = s"$dir/src"; val out = s"$dir/out"
+    GraftIO.write(Tables.events(spark, sf), src,
+      partitionBy = Seq("event_type"), chunks = 8)
+    val fss = FileSystems(spark)
+    def dataFiles(p: String) = fss.find(p)
+      .filterNot(f => f.endsWith("_SUCCESS") || f.endsWith(".crc"))
+    val n = GraftIO.compact(spark, src, out, targetBytes = 1L << 30,
+      partitionBy = Seq("event_type"))
+    // 5 event types × 1 file per dir — NOT tasks × dirs
+    assert(n === 5L)
+    assert(dataFiles(out).length === 5, dataFiles(out).mkString("\n"))
+    val a = GraftIO.read(spark, src).orderBy($"event_id").collect()
+    val b = GraftIO.read(spark, out).orderBy($"event_id").collect()
+    assert(a.length === b.length)
+  }
+
+  test("compact refuses in-place operation") {
+    val dir = java.nio.file.Files.createTempDirectory("compact4").toString
+    GraftIO.write(Tables.region(spark, sf), s"$dir/d")
+    intercept[IllegalArgumentException] {
+      GraftIO.compact(spark, s"$dir/d", s"$dir/d")
+    }
+  }
+
   test("compact sizes the file count from the source bytes") {
     val dir = java.nio.file.Files.createTempDirectory("compact2").toString
     val src = s"$dir/src"; val out = s"$dir/out"
