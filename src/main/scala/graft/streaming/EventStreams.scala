@@ -131,6 +131,49 @@ object EventStreams {
   case class SessionState(startMs: Long, lastMs: Long, n: Long)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
+  case class FunnelEv(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+  case class FunnelState(viewMs: Long, clickMs: Long, purchased: Boolean)
+  case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Streaming funnel tracker — the twin of
+    * operators.PipelineQueries.eventsFunnel: per user, a monotone
+    * state machine (view → click-after-view → purchase-after-click)
+    * advanced in (ts, event_id) order within each batch. Emits the
+    * user's current stage (0-3) whenever it changes; the LAST emission
+    * per user equals the batch query's stage. State is one tiny
+    * struct per user — bounded by the user population, same envelope
+    * as sessionization. */
+  def funnelStages(events: Dataset[FunnelEv]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+
+    def stageOf(s: FunnelState): Int =
+      if (s.purchased) 3 else if (s.clickMs >= 0) 2 else if (s.viewMs >= 0) 1 else 0
+
+    def fn(userId: Long, evs: Iterator[FunnelEv],
+           state: GroupState[FunnelState]): Iterator[FunnelStage] = {
+      var s = state.getOption.getOrElse(FunnelState(-1L, -1L, purchased = false))
+      val before = stageOf(s)
+      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        e.event_type match {
+          case "view" if s.viewMs < 0 => s = s.copy(viewMs = t)
+          case "click" if s.viewMs >= 0 && s.clickMs < 0 && t >= s.viewMs =>
+            s = s.copy(clickMs = t)
+          case "purchase" if s.clickMs >= 0 && !s.purchased && t >= s.clickMs =>
+            s = s.copy(purchased = true)
+          case _ =>
+        }
+      }
+      state.update(s)
+      val after = stageOf(s)
+      if (after != before) Iterator(FunnelStage(userId, after)) else Iterator.empty
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session
     * closes when `gapMs` passes with no event (emitted immediately if a
     * later event for the user arrives, or via event-time timeout once

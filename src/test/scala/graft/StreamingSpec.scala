@@ -192,4 +192,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(got === Set("new-a", "new-b"))
     } finally q.stop()
   }
+
+  test("streaming funnel stages agree with the batch funnel query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{FunnelEv, FunnelStage}
+    val evs = Seq(
+      // user 1: click BEFORE view -> stage stops at view
+      FunnelEv(1L, ts(1), 1L, "click"),
+      FunnelEv(1L, ts(2), 2L, "view"),
+      FunnelEv(1L, ts(3), 3L, "purchase"),
+      // user 2: full ordered funnel
+      FunnelEv(2L, ts(1), 4L, "view"),
+      FunnelEv(2L, ts(2), 5L, "click"),
+      FunnelEv(2L, ts(3), 6L, "purchase"),
+      // user 3: view only
+      FunnelEv(3L, ts(1), 7L, "view"))
+
+    val in = MemoryStream[FunnelEv]
+    val q = EventStreams.funnelStages(in.toDS()).writeStream
+      .format("memory").queryName("funnel_stages").outputMode(OutputMode.Append).start()
+    val streamed = try {
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      // last emission per user = final stage
+      spark.table("funnel_stages").as[FunnelStage].collect()
+        .groupBy(_.user_id).map { case (u, ss) => u -> ss.map(_.stage).max }
+    } finally q.stop()
+
+    // batch twin over the same rows written as an events table
+    val dir = java.nio.file.Files.createTempDirectory("funnel_tw").toString
+    evs.toDF("user_id", "ts", "event_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = graft.operators.PipelineQueries.eventsFunnel(spark, dir).collect().head
+    val (nView, nClick, nPurch) = (row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(streamed.values.count(_ >= 1) === nView)
+    assert(streamed.values.count(_ >= 2) === nClick)
+    assert(streamed.values.count(_ >= 3) === nPurch)
+    assert(streamed === Map(1L -> 1, 2L -> 3, 3L -> 1))
+  }
 }
