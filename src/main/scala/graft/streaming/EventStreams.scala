@@ -132,46 +132,69 @@ object EventStreams {
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
   case class FunnelEv(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
-  case class FunnelState(viewMs: Long, clickMs: Long, purchased: Boolean)
+  case class FunnelState(viewMs: Option[Long], clickMs: Option[Long], purchased: Boolean,
+      lastMs: Long)
   case class FunnelStage(user_id: Long, stage: Int)
 
   /** Streaming funnel tracker — the twin of
     * operators.PipelineQueries.eventsFunnel: per user, a monotone
     * state machine (view → click-after-view → purchase-after-click)
     * advanced in (ts, event_id) order within each batch. Emits the
-    * user's current stage (0-3) whenever it changes; the LAST emission
-    * per user equals the batch query's stage. State is one tiny
-    * struct per user — bounded by the user population, same envelope
-    * as sessionization. */
-  def funnelStages(events: Dataset[FunnelEv]): Dataset[FunnelStage] = {
+    * user's stage once per batch in which it advanced (transitions
+    * inside one batch are coalesced to the final stage); the LAST
+    * emission per user equals the batch query's stage.
+    *
+    * Late-data contract: equality with the batch query holds for
+    * event-time-ordered arrival (the spec pins it). A late view still
+    * lowers the recorded first-view time for FUTURE clicks, but a
+    * one-pass state machine cannot retroactively re-qualify a click
+    * it already rejected — replaying history is the batch query's
+    * job (the standard lambda split). Events later than the
+    * watermark are dropped by the engine; state idle past
+    * `idleTimeoutMs` is evicted via event-time timeout, so the store
+    * is bounded by ACTIVE users, as with sessionization. */
+  def funnelStages(
+      events: Dataset[FunnelEv],
+      watermark: String = "1 hour",
+      idleTimeoutMs: Long = 7L * 24 * 3600 * 1000): Dataset[FunnelStage] = {
     import events.sparkSession.implicits._
 
     def stageOf(s: FunnelState): Int =
-      if (s.purchased) 3 else if (s.clickMs >= 0) 2 else if (s.viewMs >= 0) 1 else 0
+      if (s.purchased) 3
+      else if (s.clickMs.isDefined) 2
+      else if (s.viewMs.isDefined) 1 else 0
 
     def fn(userId: Long, evs: Iterator[FunnelEv],
            state: GroupState[FunnelState]): Iterator[FunnelStage] = {
-      var s = state.getOption.getOrElse(FunnelState(-1L, -1L, purchased = false))
-      val before = stageOf(s)
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val init = state.getOption.getOrElse(FunnelState(None, None, purchased = false, 0L))
+      var s = init
       evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
         val t = e.ts.getTime
         e.event_type match {
-          case "view" if s.viewMs < 0 => s = s.copy(viewMs = t)
-          case "click" if s.viewMs >= 0 && s.clickMs < 0 && t >= s.viewMs =>
-            s = s.copy(clickMs = t)
-          case "purchase" if s.clickMs >= 0 && !s.purchased && t >= s.clickMs =>
+          case "view" if s.viewMs.forall(t < _) => s = s.copy(viewMs = Some(t))
+          case "click" if s.viewMs.exists(t >= _) && s.clickMs.isEmpty =>
+            s = s.copy(clickMs = Some(t))
+          case "purchase" if s.clickMs.exists(t >= _) && !s.purchased =>
             s = s.copy(purchased = true)
           case _ =>
         }
+        s = s.copy(lastMs = math.max(s.lastMs, t))
       }
-      state.update(s)
-      val after = stageOf(s)
+      // skip the state-store write when nothing changed (hot stage-3
+      // users would otherwise pay a checkpoint delta every batch)
+      if (s != init || state.getOption.isEmpty) {
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMs + idleTimeoutMs)
+      }
+      val (before, after) = (stageOf(init), stageOf(s))
       if (after != before) Iterator(FunnelStage(userId, after)) else Iterator.empty
     }
 
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session

@@ -231,4 +231,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.values.count(_ >= 3) === nPurch)
     assert(streamed === Map(1L -> 1, 2L -> 3, 3L -> 1))
   }
+
+  test("streaming funnel late-data contract: late views help future clicks, never retroactively") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{FunnelEv, FunnelStage}
+    val in = MemoryStream[FunnelEv]
+    val q = EventStreams.funnelStages(in.toDS()).writeStream
+      .format("memory").queryName("funnel_late").outputMode(OutputMode.Append).start()
+    try {
+      def stages() = spark.table("funnel_late").as[FunnelStage].collect()
+        .filter(_.user_id == 9L).map(_.stage)
+      // batch 1: click before any view -> stage 1 only (view counts)
+      in.addData(FunnelEv(9L, ts(90), 1L, "click"), FunnelEv(9L, ts(100), 2L, "view"))
+      q.processAllAvailable()
+      assert(stages().max === 1)
+      // batch 2: LATE view at ts 80 — cannot retroactively qualify the
+      // ts-90 click (one-pass contract), stage stays 1
+      in.addData(FunnelEv(9L, ts(80), 3L, "view"))
+      q.processAllAvailable()
+      assert(stages().max === 1)
+      // batch 3: a NEW click after the lowered first-view time qualifies
+      in.addData(FunnelEv(9L, ts(85), 4L, "click"))
+      q.processAllAvailable()
+      assert(stages().max === 2)
+    } finally q.stop()
+  }
 }
