@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, IvfQueries, MultimodalQueries, PipelineQueries, SampleQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, CorpusQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, IvfQueries, MultimodalQueries, PipelineQueries, SampleQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -72,6 +72,9 @@ object SparkEntry {
     "text_keywords"            -> (PipelineQueries.textKeywords _),
     "embed_centroid"           -> (PipelineQueries.embedCentroid _),
     "dedup_incremental"        -> (PipelineQueries.dedupIncremental _),
+    "docs_source_stats"        -> (CorpusQueries.docsSourceStats _),
+    "text_bm25"                -> (CorpusQueries.textBm25 _),
+    "io_merge_upsert"          -> (IoQueries.ioMergeUpsert _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -744,6 +747,105 @@ object SparkEntry {
         |SELECT CAST(min(batch_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_copies
         |FROM kept GROUP BY digest ORDER BY keep_id""".stripMargin,
+
+    // blocklisted sources excluded, per-source integer stats; quality
+    // formula identical to text_quality_score's oracle
+    "docs_source_stats" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
+        |    CAST(floor((10000.0 * (2*m*t*c + 750*h*c + 750*(c-p)*t) + 1250.0*t*c)
+        |         / (2500.0*t*c)) AS BIGINT) AS q_bp
+        |  FROM (SELECT doc_id, source, lang, text,
+        |      CAST(greatest(length(text), 1) AS BIGINT) AS c,
+        |      CAST(least(length(text), 500) AS BIGINT) AS m,
+        |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS BIGINT) AS t,
+        |      CAST(len(list_filter(
+        |           CASE WHEN length(trim(text)) = 0 THEN []
+        |                ELSE string_split_regex(trim(text), '\s+') END,
+        |           tok -> list_contains(['the','a','an','of','and','to','in','is','it','that'], tok))) AS BIGINT) AS h,
+        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS p
+        |    FROM documents))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(q_bp) AS BIGINT) AS sum_quality_bp,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM q WHERE source NOT IN ('src4', 'src13', 'src7')
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // BM25 with the rational Lucene-classic idf (no ln — libm differs
+    // across engines); every float op CAST to DOUBLE so DuckDB does not
+    // fall into DECIMAL arithmetic; per-term score quantized to integer
+    // micro-points BEFORE the order-sensitive per-doc SUM
+    "text_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |hits AS (
+        |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d)
+        |  WHERE token IN ('spark', 'vector', 'stream', 'window', 'hash')
+        |  GROUP BY doc_id, dl, token),
+        |consts AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+        |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM hits GROUP BY token),
+        |scored AS (
+        |  SELECT doc_id, token, tf,
+        |    CAST(floor(
+        |      (((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |          / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) *
+        |        ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |          / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |             (CAST(0.25 AS DOUBLE) +
+        |              (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))
+        |                / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS s_e6
+        |  FROM hits JOIN dfs USING (token) CROSS JOIN consts)
+        |SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6,
+        |  count(*) AS n_terms_hit, CAST(sum(tf) AS BIGINT) AS sum_tf
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // same change derivation as the Spark side; update-then-delete on
+    // one key resolves by highest seq (delete wins)
+    "io_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice + 100.0 AS o_totalprice, 'U' AS op, 1 AS seq
+        |  FROM base WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+        |  FROM base WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', 1.0, 'I', 1
+        |  FROM base WHERE o_orderkey % 11 = 0),
+        |latest AS (
+        |  SELECT o_orderkey, op, o_orderstatus, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                                 ORDER BY seq DESC) AS rn
+        |    FROM changes) WHERE rn = 1),
+        |merged AS (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l
+        |                    WHERE l.o_orderkey = b.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM latest WHERE op != 'D')
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "events_sessionize" ->
       """WITH lagd AS (

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Corpus-curation queries over the `documents` table: per-source
+  * health stats behind a blocklist (the "which crawl sources do we
+  * keep" decision) and BM25 retrieval (the "find the docs most
+  * relevant to a probe query" primitive used for eval-set mining and
+  * targeted inspection).
+  *
+  * Both have exact DuckDB oracles: the stats are integer sums, and the
+  * BM25 score is computed with a fixed dag of IEEE +,*,/ on exact
+  * integer operands — no transcendental functions — then quantized to
+  * integer micro-points per (doc, term) BEFORE the order-sensitive
+  * SUM, so cross-engine hashes match bit-for-bit.
+  */
+object CorpusQueries {
+
+  /** Sources a curation pass has banned; stands in for the
+    * domain-blocklist of a web pipeline. Small by nature (a human- or
+    * classifier-curated list), so it broadcasts at any corpus scale. */
+  val BlockedSources: Seq[String] = Seq("src4", "src13", "src7")
+
+  /** Per-source corpus stats behind the blocklist: docs, chars, token
+    * totals, mean quality (integer basis points), languages seen.
+    * Plan: blocklist is a broadcast LEFT ANTI join (never a shuffle of
+    * the corpus); per-doc scoring is map-side codegen; one partial-agg
+    * shuffle on `source` whose cardinality is the (small) source count,
+    * with combiner reduction keeping the skew harmless. */
+  def docsSourceStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blocklist = BlockedSources.toDF("source")
+    Tables.documents(spark, dir)
+      .join(broadcast(blocklist), Seq("source"), "left_anti")
+      .select($"source", $"doc_id", $"lang",
+        length($"text").cast("long").as("chars"),
+        tokenCountWs($"text").cast("long").as("toks"),
+        qualityScoreBp($"text").as("q_bp"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"chars").as("sum_chars"),
+        sum($"toks").as("sum_tokens"),
+        sum($"q_bp").as("sum_quality_bp"),
+        countDistinct($"lang").as("n_langs"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .orderBy($"source")
+  }
+
+  /** The probe query for [[textBm25]]: chosen for spread in document
+    * frequency so the idf term actually discriminates. */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "vector", "stream", "window", "hash")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+
+  /** BM25 top-k retrieval for a fixed probe-term set.
+    *
+    * Score per (doc, term): idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the Lucene-classic rational idf (N−df+0.5)/(df+0.5) instead
+    * of its log — same ranking for a single-term contribution, and
+    * crucially expressible without `ln`, whose libm implementations
+    * differ across engines by ulps. Every operand (tf, df, dl, N) is an
+    * exact integer, so the float dag is bit-identical cross-engine; the
+    * per-term score is quantized to integer micro-points BEFORE the
+    * per-doc SUM (integer addition is associative — double addition is
+    * not, and Spark/DuckDB will not sum in the same order).
+    *
+    * Plan shape at 100 TB: tokens are exploded and FILTERED TO THE
+    * QUERY TERMS map-side — only (doc, query-term) hits ever reach a
+    * shuffle, a |Q|-fold reduction before any exchange. Doc length
+    * comes from the same single scan (no second pass). df and avgdl
+    * are tiny aggregates broadcast back; final top-k is
+    * TakeOrderedAndProject (per-partition k, then merge k·P rows on
+    * the driver — never a global sort). */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", wsTokens($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+      .filter($"dl" > 0)
+
+    // one scan: per-doc length + per-(doc, query-term) tf
+    val hits = docs
+      .select($"doc_id", $"dl", explode($"toks").as("token"))
+      .filter($"token".isin(Bm25QueryTerms: _*))
+      .groupBy($"doc_id", $"dl", $"token")
+      .agg(count(lit(1)).as("tf"))
+
+    // global constants: corpus size and average doc length (tiny agg)
+    val consts = docs.agg(
+      count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    // per-term document frequency (|Q| rows)
+    val dfs = hits.groupBy($"token").agg(count(lit(1)).as("df"))
+
+    val scored = hits
+      .join(broadcast(dfs), "token")
+      .crossJoin(broadcast(consts))
+      .select($"doc_id", $"token", $"tf", $"df",
+        // fixed evaluation order; every input an exact integer
+        (((($"n_docs" - $"df") + lit(0.5)) / ($"df" + lit(0.5))) *
+          (($"tf" * lit(Bm25K1 + 1.0)) /
+            ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+              (lit(Bm25B) * $"dl") / ($"sum_dl".cast("double") / $"n_docs")))))
+          .as("s"))
+      .select($"doc_id", $"token", $"tf", $"df",
+        floor($"s" * lit(1e6) + lit(0.5)).cast("long").as("s_e6"))
+
+    scored.groupBy($"doc_id")
+      .agg(sum($"s_e6").as("bm25_e6"),
+        count(lit(1)).as("n_terms_hit"),
+        sum($"tf").as("sum_tf"))
+      .orderBy($"bm25_e6".desc, $"doc_id")
+      .limit(Bm25TopK)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.io.GraftIO
+import graft.io.{GraftIO, Merge}
 
 /** Correctness-gate queries for the I/O layer (SURVEY §2.2): write a
   * table out through GraftIO in each format, read it back, aggregate.
@@ -71,6 +71,39 @@ object IoQueries {
         sum($"p_partkey").as("sum_pkey"),
         round(sum($"p_retailprice"), 2).as("sum_price"))
       .orderBy($"p_brand")
+  }
+
+  /** CDC merge of a derived change batch into orders (Merge.merge):
+    * updates (every 5th key gets +100 totalprice), deletes (every 7th
+    * key ≡ 3), inserts (new keys for every 11th), with a same-batch
+    * update-then-delete conflict resolved by sequence number (keys
+    * hitting both rules land as deletes — seq 2 beats seq 1). The
+    * aggregate hashes the merged state, so a match proves every rule
+    * applied exactly once. */
+  def ioMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val updates = base.filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        ($"o_totalprice" + lit(100.0)).as("o_totalprice"),
+        lit("U").as("op"), lit(1L).as("seq"))
+    val deletes = base.filter($"o_orderkey" % 7 === 3)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        lit("D").as("op"), lit(2L).as("seq"))
+    val inserts = base.filter($"o_orderkey" % 11 === 0)
+      .select(($"o_orderkey" + lit(10000000L)).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+        lit("I").as("op"), lit(1L).as("seq"))
+    val merged = Merge.merge(base,
+      updates.unionByName(deletes).unionByName(inserts),
+      keys = Seq("o_orderkey"), opCol = "op", seqCol = Some("seq"))
+    merged.groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"o_orderkey").as("sum_okey"),
+        round(sum($"o_totalprice"), 2).as("sum_price"))
+      .orderBy($"o_orderstatus")
   }
 
   /** Hive-partitioned parquet roundtrip of events, chunked output, with
