@@ -50,10 +50,11 @@ class JsonLogger(
 
   /** Run `body`, then log `msg` with execution metrics and extras.
     * Derived extras are applied to the result — the callable-extra
-    * behavior of the reference decorator (logging.py:95-99). Mark them
-    * explicitly with [[JsonLogger.Derived]]; a bare function value is
-    * also applied, EXCEPT when it is a collection (Scala Map/Seq/Set
-    * all extend Function1 — those are logged as plain values). */
+    * behavior of the reference decorator (logging.py:95-99). They MUST
+    * be marked explicitly with [[JsonLogger.Derived]]: matching on bare
+    * `Function1` is a trap (Scala Map/Seq/Set and PartialFunction all
+    * extend it), so unmarked values — functions included — are always
+    * logged as plain values. */
   def timed[T](
       msg: String,
       function: String = "block",
@@ -75,8 +76,6 @@ class JsonLogger(
     extra.foreach {
       case (k, JsonLogger.Derived(f)) =>
         fields += (k -> f(result))
-      case (k, f: Function1[_, _]) if !f.isInstanceOf[Iterable[_]] =>
-        fields += (k -> f.asInstanceOf[Any => Any](result))
       case kv => fields += kv
     }
     info(msg, fields.result(): _*)
@@ -87,8 +86,9 @@ class JsonLogger(
 object JsonLogger {
 
   /** Explicit marker for a result-derived extra in [[JsonLogger.timed]]
-    * — unambiguous where a bare function value would collide with
-    * collection types (Map/Seq/Set extend Function1). */
+    * — the ONLY way an extra is applied to the block result. A bare
+    * function value would collide with collection types (Map/Seq/Set
+    * and PartialFunction all extend Function1), so it is never invoked. */
   final case class Derived(f: Any => Any)
 
   private val TsFormat = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")

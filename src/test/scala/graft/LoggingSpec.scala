@@ -56,6 +56,7 @@ class LoggingSpec extends AnyFunSuite {
           "rows" -> JsonLogger.Derived(r => r.asInstanceOf[Int] * 10),
           "bare_fn" -> ((r: Any) => r.asInstanceOf[Int] + 1),
           "tags" -> Seq("a", "b"), // collections extend Function1: stay values
+          "partial" -> ({ case 1 => "one" }: PartialFunction[Any, String]),
           "attrs" -> Map("k" -> 1),
           "static" -> "tag")) { 42 }
     }
@@ -64,7 +65,10 @@ class LoggingSpec extends AnyFunSuite {
     assert((j \ "extra" \ "duration").isInstanceOf[JDouble])
     assert((j \ "extra" \ "memory" \ "peak").isInstanceOf[JInt])
     assert(j \ "extra" \ "rows" === JInt(420)) // derived from result
-    assert(j \ "extra" \ "bare_fn" === JInt(43))
+    // unmarked functions (and PartialFunction) are VALUES, never applied
+    // — only the explicit Derived wrapper derives from the result
+    assert((j \ "extra" \ "bare_fn").isInstanceOf[JString])
+    assert((j \ "extra" \ "partial").isInstanceOf[JString])
     assert(j \ "extra" \ "tags" === JArray(List(JString("a"), JString("b"))))
     assert(j \ "extra" \ "attrs" \ "k" === JInt(1))
     assert(j \ "extra" \ "static" === JString("tag"))
