@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, CorpusQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, IvfQueries, MultimodalQueries, PipelineQueries, SampleQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, IvfQueries, MultimodalQueries, PipelineQueries, SampleQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -75,6 +75,9 @@ object SparkEntry {
     "docs_source_stats"        -> (CorpusQueries.docsSourceStats _),
     "text_bm25"                -> (CorpusQueries.textBm25 _),
     "io_merge_upsert"          -> (IoQueries.ioMergeUpsert _),
+    "text_chunk_rag"           -> (CurationQueries.textChunkRag _),
+    "dedup_substring"          -> (CurationQueries.dedupSubstring _),
+    "split_train_test"         -> (CurationQueries.splitTrainTest _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -846,6 +849,67 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // overlapping 64-token windows, stride 48; md5 of the space-rejoined
+    // window proves byte-identical chunk content cross-engine.
+    // range(0, n, 48) == sequence(0, n-1, 48): same start set
+    "text_chunk_rag" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |spans AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks)
+        |SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(t, s + 1, least(s + 64, len(t)))) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(list_slice(t, s + 1, least(s + 64, len(t))), ' ')) AS chunk_md5
+        |FROM spans ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // 20-token span digests over documents ∪ tail-truncated copies of
+    // doc_id % 5 == 0 (tokens from position 10); a span is duplicated
+    // when >= 2 distinct docs contain it; coverage in basis points
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |corpus AS (
+        |  SELECT doc_id, t FROM toks
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, list_slice(t, 10, len(t)) FROM toks
+        |  WHERE doc_id % 5 = 0),
+        |c2 AS (SELECT * FROM corpus WHERE len(t) >= 20),
+        |spans AS (
+        |  SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 19), ' ')) AS span
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 18)) AS i FROM c2)),
+        |freq AS (SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  CAST(floor((20000 * sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) + count(*))
+        |       / (2.0 * count(*))) AS BIGINT) AS dup_bp
+        |FROM spans s JOIN freq f USING (span) WHERE s.doc_id < 1000000
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // split decided by the cluster REPRESENTATIVE's hash draw (min
+    // doc_id per normalized-text digest), so duplicate twins never
+    // straddle train/test; same sha256 hex prefix draw as
+    // q_sample_mixture
+    "split_train_test" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, text FROM documents),
+        |dgs AS (
+        |  SELECT doc_id, lang,
+        |    md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS dg
+        |  FROM corpus),
+        |reps AS (SELECT dg, min(doc_id) AS rep FROM dgs GROUP BY dg),
+        |assigned AS (
+        |  SELECT d.lang, r.rep,
+        |    CASE WHEN substr(sha256(CAST(r.rep AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'train' ELSE 'test' END AS split
+        |  FROM dgs d JOIN reps r USING (dg))
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
+        |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "events_sessionize" ->
       """WITH lagd AS (

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions
+
+/** Round-4 corpus-curation operators: RAG chunking, exact-substring
+  * duplication measurement, and leakage-safe train/test splitting.
+  *
+  * All three are pure map-side or digest-keyed — no corpus text ever
+  * crosses a shuffle:
+  *  - chunking is a per-row explode (zero shuffle);
+  *  - substring dedup shuffles 16-byte span digests, never spans;
+  *  - the split shuffles 16-byte content digests, never documents.
+  */
+object CurationQueries {
+
+  /** RAG-style chunking: overlapping 64-token windows advancing by
+    * 48 tokens (overlap = 16). A document
+    * shorter than one window yields exactly one chunk; the final chunk
+    * of a longer document may be short. `chunk_md5` digests the
+    * space-rejoined window, so the gate proves byte-identical chunk
+    * content cross-engine.
+    *
+    * Scale: one Generate per document, no shuffle at all — the chunker
+    * is a map over the corpus, exactly what feeds an embedding or
+    * indexing stage downstream. Chunk boundaries depend only on the
+    * document itself, so the operation is embarrassingly parallel at
+    * any corpus size.
+    */
+  def textChunkRag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 64
+    val S = 48
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", TextFunctions.wsTokens($"text").as("t"))
+      .filter(size($"t") > 0)
+      .select($"doc_id", $"t",
+        explode(sequence(lit(0), size($"t") - 1, lit(S))).as("s"))
+      .select($"doc_id", ($"s" / S).cast("long").as("chunk_idx"),
+        slice($"t", $"s" + 1, lit(W)).as("ctoks"))
+      .select($"doc_id", $"chunk_idx",
+        size($"ctoks").cast("long").as("n_tok"),
+        md5(concat_ws(" ", $"ctoks")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Exact duplicated-substring measurement — the span-level dedup
+    * signal of Lee et al.'s "Deduplicating Training Data Makes Language
+    * Models Better" (suffix-array substring dedup), re-expressed for a
+    * shuffle engine: every 20-token window is hashed, window
+    * digests are frequency-counted corpus-wide, and each document
+    * reports what fraction of its windows (in basis points) also occur
+    * in another document.
+    *
+    * The corpus is documents ∪ a tail-truncated copy (tokens from
+    * position 10 on) of every doc_id % 5 == 0 — partially-overlapping
+    * near-copies that exact dedup misses but span counting catches,
+    * built deterministically from the given table (the raw corpus has
+    * no repeated 20-token spans).
+    *
+    * Scale posture: the shuffle carries (digest, doc_id) pairs — 24
+    * bytes per window regardless of document size — and the per-doc
+    * aggregation re-keys on doc_id. Nothing is pairwise: cost is
+    * O(total tokens), not O(docs²). At 100 TB the same plan holds with
+    * a winnowing step (TextFunctions.fingerprint) thinning windows
+    * first; step-1 windows here keep the oracle exact.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 20
+    val toks = Tables.widened(Tables.documents(spark, dir))
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextFunctions.wsTokens($"text").as("t"))
+    val copies = toks.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        slice($"t", lit(10), greatest(size($"t") - 9, lit(0))).as("t"))
+    val corpus = toks.union(copies).filter(size($"t") >= K)
+
+    val spans = corpus
+      .select($"doc_id", $"t", explode(sequence(lit(1), size($"t") - (K - 1))).as("i"))
+      .select($"doc_id", md5(concat_ws(" ", slice($"t", $"i", lit(K)))).as("span"))
+
+    val freq = spans.groupBy($"span").agg(countDistinct($"doc_id").as("nd"))
+
+    spans.filter($"doc_id" < 1000000L)
+      .join(freq, "span")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select($"doc_id", $"n_spans", $"n_dup_spans",
+        floor((lit(20000L) * $"n_dup_spans" + $"n_spans") / (lit(2L) * $"n_spans"))
+          .cast("long").as("dup_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Leakage-safe stratified train/test split. The split decision is
+    * made per CONTENT CLUSTER, not per document: documents are grouped
+    * by normalized-text digest, each cluster's representative is its
+    * minimum doc_id, and the whole cluster follows the representative's
+    * deterministic hash draw (sha256 hex prefix < 'e6666666' ≈ 90%
+    * train). Duplicate twins therefore never straddle the split — the
+    * classic eval-contamination bug in naive per-row splits. The corpus
+    * is documents ∪ an id-shifted copy so every cluster genuinely has
+    * two members to keep together.
+    *
+    * Scale: two digest-keyed shuffles (cluster assembly, per-cluster
+    * rep join) and a tiny (lang, split) aggregate — no text movement,
+    * no window over a low-cardinality key. At 100 TB the same shape
+    * holds with the near-dup cluster labels from dedup_minhash_lsh
+    * substituted for exact digests.
+    */
+  def splitTrainTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", $"lang", $"text")
+    val corpus = docs.union(
+      docs.select(($"doc_id" + 1000000L).as("doc_id"), $"lang", $"text"))
+
+    val digests = corpus.select($"doc_id", $"lang",
+      md5(lower(regexp_replace(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary")).as("dg"))
+    val reps = digests.groupBy($"dg").agg(min($"doc_id").as("rep"))
+
+    digests.join(reps, "dg")
+      .withColumn("split",
+        when(substring(sha2($"rep".cast("string"), 256), 1, 8) < "e6666666", "train")
+          .otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"rep").as("n_clusters"))
+      .orderBy($"lang", $"split")
+  }
+}
