@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, IoQueries, IvfQueries, MultimodalQueries, PipelineQueries, SampleQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, HeavyHitterQueries, IoQueries, IvfQueries, MultimodalQueries, PipelineQueries, SampleQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -78,6 +78,8 @@ object SparkEntry {
     "text_chunk_rag"           -> (CurationQueries.textChunkRag _),
     "dedup_substring"          -> (CurationQueries.dedupSubstring _),
     "split_train_test"         -> (CurationQueries.splitTrainTest _),
+    "q_heavy_hitters"          -> (HeavyHitterQueries.qHeavyHitters _),
+    "q_bloom_prune_join"       -> (HeavyHitterQueries.qBloomPruneJoin _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -850,15 +852,18 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
-    // overlapping 64-token windows, stride 48; md5 of the space-rejoined
-    // window proves byte-identical chunk content cross-engine.
-    // range(0, n, 48) == sequence(0, n-1, 48): same start set
+    // overlapping 64-token windows, stride 48; a start is kept only if
+    // its chunk adds a new token (s = 0 or s <= n - 17); md5 of the
+    // space-rejoined window proves byte-identical chunk content
+    // cross-engine. range(0, n, 48) == sequence(0, n-1, 48): same set
     "text_chunk_rag" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents WHERE length(trim(text)) > 0),
         |spans AS (
-        |  SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks)
+        |  SELECT doc_id, t, s FROM (
+        |    SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks)
+        |  WHERE s = 0 OR s <= len(t) - 17)
         |SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
         |  CAST(len(list_slice(t, s + 1, least(s + 64, len(t)))) AS BIGINT) AS n_tok,
         |  md5(array_to_string(list_slice(t, s + 1, least(s + 64, len(t))), ' ')) AS chunk_md5
@@ -910,6 +915,26 @@ object SparkEntry {
         |SELECT lang, split, count(*) AS n_docs,
         |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
         |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // capacity 64 > corpus vocabulary, so the SpaceSaving summary is
+    // exact and the sketch pins against the exact GROUP BY; top-10 by
+    // (cnt desc, token asc) is a total order on both engines
+    "q_heavy_hitters" ->
+      """SELECT token, cnt FROM (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM documents WHERE length(trim(text)) > 0)
+        |  GROUP BY token)
+        |ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+
+    // the bloom prefilter has no false negatives and the exact join
+    // removes residual false positives, so the result IS the plain join
+    "q_bloom_prune_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "events_sessionize" ->
       """WITH lagd AS (

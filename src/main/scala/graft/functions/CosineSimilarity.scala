@@ -101,5 +101,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.Info, CosineSimilarity.Builder))
     ext.injectFunction((FunctionIdentifier("graft_bottomk"),
       BottomK.Info, BottomK.Builder))
+    ext.injectFunction((FunctionIdentifier("graft_topfreq"),
+      TopFreq.Info, TopFreq.Builder))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      BloomAgg.Info, BloomAgg.Builder))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      BloomContains.Info, BloomContains.Builder))
   }
 }

@@ -1,0 +1,241 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving heavy-hitters aggregate (Metwally et al. '05, merge per
+  * Agarwal et al. "Mergeable Summaries" '12): a fixed-capacity summary
+  * of the most frequent items, mergeable across partitions.
+  *
+  * Guarantees (capacity k over n updates):
+  *  - every item with true count > n/k is present;
+  *  - each reported `cnt` is an overestimate: true <= cnt <= true + err;
+  *  - when the summary NEVER fills (distinct values <= k, any merge
+  *    order), counts are exact and err = 0 — which is how the gate
+  *    query pins it against an exact GROUP BY oracle while the same
+  *    operator at 100 TB runs with k << distinct as a true sketch.
+  *
+  * Why a TypedImperativeAggregate: a groupBy-count + top-k shuffles one
+  * row per DISTINCT value per task — at web scale the token vocabulary
+  * is effectively unbounded (urls, ids, typos), so that shuffle grows
+  * with the vocabulary. This summary shuffles at most k entries per
+  * task, a fixed budget chosen up front, like the HLL/quantile sketches
+  * in q_sketch_stats.
+  *
+  * Merge: counts of common items add; an item absent from one side
+  * adds that side's minimum count (its maximum possible count there —
+  * the SpaceSaving invariant) to both cnt and err; the union is then
+  * trimmed back to the k largest. The minimum of a non-full summary
+  * is 0, which is what makes the never-filled case exact.
+  *
+  * SQL: `graft_topfreq(item, k)` → `array<struct<item, cnt, err>>`
+  * sorted by (cnt desc, item asc).
+  */
+case class TopFreq(
+    itemExpr: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopFreq.Buffer] with ImplicitCastInputTypes {
+
+  private lazy val k: Int = {
+    require(kExpr.foldable, "graft_topfreq: k must be a literal")
+    val v = kExpr.eval(null)
+    require(v != null && v.asInstanceOf[Int] > 0, "graft_topfreq: k must be a positive literal")
+    v.asInstanceOf[Int]
+  }
+
+  override def children: Seq[Expression] = Seq(itemExpr, kExpr)
+  // (return type inferred — AbstractDataType is private[sql])
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("item", StringType).add("cnt", LongType).add("err", LongType),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topfreq"
+
+  override def createAggregationBuffer(): TopFreq.Buffer = new TopFreq.Buffer
+
+  override def update(buf: TopFreq.Buffer, input: InternalRow): TopFreq.Buffer = {
+    val item = itemExpr.eval(input)
+    if (item != null) {
+      // defensive copy: getBytes may expose a reused row's buffer
+      val b = item.asInstanceOf[UTF8String].getBytes
+      buf.offer(java.util.Arrays.copyOf(b, b.length), 1L, 0L, k)
+    }
+    buf
+  }
+
+  override def merge(buf: TopFreq.Buffer, other: TopFreq.Buffer): TopFreq.Buffer = {
+    buf.mergeIn(other, k)
+    buf
+  }
+
+  override def eval(buf: TopFreq.Buffer): Any = {
+    val rows: Array[Any] = buf.sortedEntries.map { e =>
+      InternalRow(UTF8String.fromBytes(e.item), e.cnt, e.err): Any
+    }.toArray
+    new GenericArrayData(rows): ArrayData
+  }
+
+  override def serialize(buf: TopFreq.Buffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val entries = buf.entriesSnapshot
+    out.writeInt(entries.length)
+    entries.foreach { e =>
+      out.writeInt(e.item.length); out.write(e.item)
+      out.writeLong(e.cnt); out.writeLong(e.err)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopFreq.Buffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new TopFreq.Buffer
+    val n = in.readInt()
+    (1 to n).foreach { _ =>
+      val len = in.readInt()
+      val item = new Array[Byte](len)
+      in.readFully(item)
+      b.putRaw(item, in.readLong(), in.readLong())
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopFreq =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopFreq =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopFreq =
+    copy(itemExpr = newChildren(0), kExpr = newChildren(1))
+}
+
+object TopFreq {
+
+  /** Item bytes are raw UTF-8 so tie-break ordering is unsigned
+    * byte-lexicographic — the collation of Spark's UTF8String sort and
+    * DuckDB's VARCHAR sort (see BottomK.Entry for why not String). */
+  final case class Entry(item: Array[Byte], var cnt: Long, var err: Long)
+
+  private def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Output/trim order: largest count first, item bytes ascending on
+    * ties — a total order, so eval and trimming are deterministic. */
+  val EntryOrdering: Ordering[Entry] = new Ordering[Entry] {
+    override def compare(a: Entry, b: Entry): Int = {
+      val d = java.lang.Long.compare(b.cnt, a.cnt)
+      if (d != 0) d else byteCompare(a.item, b.item)
+    }
+  }
+
+  /** SpaceSaving summary keyed by item bytes. A wrapped-bytes HashMap
+    * gives O(1) updates; capacity is enforced by min-eviction on update
+    * and a deterministic top-k trim on merge. */
+  final class Buffer {
+    private val map = new java.util.HashMap[java.nio.ByteBuffer, Entry]()
+
+    private def keyOf(item: Array[Byte]) = java.nio.ByteBuffer.wrap(item)
+
+    def size: Int = map.size()
+
+    /** Minimum count in the summary if full (the SpaceSaving bound on
+      * any absent item's true count), else 0. */
+    def minIfFull(k: Int): Long =
+      if (map.size() < k) 0L
+      else {
+        var m = Long.MaxValue
+        map.forEach((_, e) => if (e.cnt < m) m = e.cnt)
+        m
+      }
+
+    /** Count an occurrence batch: present → add; room → insert; full →
+      * evict a minimum-count entry (the byte-smallest among minima, so
+      * eviction is deterministic) and inherit its count as error. */
+    def offer(item: Array[Byte], cnt: Long, err: Long, k: Int): Unit = {
+      val key = keyOf(item)
+      val existing = map.get(key)
+      if (existing != null) {
+        existing.cnt += cnt; existing.err += err
+      } else if (map.size() < k) {
+        map.put(key, Entry(item, cnt, err))
+      } else {
+        var victim: Entry = null
+        map.forEach { (_, e) =>
+          if (victim == null || e.cnt < victim.cnt ||
+            (e.cnt == victim.cnt && byteCompare(e.item, victim.item) < 0)) victim = e
+        }
+        map.remove(keyOf(victim.item))
+        // the new item's true count could be anything up to the
+        // victim's count: record that as overestimate error
+        map.put(key, Entry(item, victim.cnt + cnt, victim.cnt + err))
+      }
+    }
+
+    /** Insert without capacity logic (deserialization only). */
+    def putRaw(item: Array[Byte], cnt: Long, err: Long): Unit =
+      map.put(keyOf(item), Entry(item, cnt, err))
+
+    /** Mergeable-summaries combine: add counts for common items; an
+      * item absent from one side gains that side's min-if-full (its
+      * maximum possible count there) in BOTH cnt and err; then trim to
+      * the k largest by the deterministic output order. */
+    def mergeIn(other: Buffer, k: Int): Unit = {
+      val minSelf = minIfFull(k)
+      val minOther = other.minIfFull(k)
+      other.map.forEach { (key, oe) =>
+        val e = map.get(key)
+        if (e != null) { e.cnt += oe.cnt; e.err += oe.err }
+        else map.put(key, Entry(oe.item, oe.cnt + minSelf, oe.err + minSelf))
+      }
+      if (minOther > 0) map.forEach { (_, e) =>
+        if (!other.map.containsKey(java.nio.ByteBuffer.wrap(e.item))) {
+          e.cnt += minOther; e.err += minOther
+        }
+      }
+      if (map.size() > k) {
+        val keep = entriesSnapshot.sorted(EntryOrdering).take(k)
+        map.clear()
+        keep.foreach(e => map.put(keyOf(e.item), e))
+      }
+    }
+
+    def entriesSnapshot: Seq[Entry] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Entry]
+      map.forEach((_, e) => buf += e)
+      buf.toSeq
+    }
+
+    def sortedEntries: Seq[Entry] = entriesSnapshot.sorted(EntryOrdering)
+  }
+
+  val Info: ExpressionInfo = new ExpressionInfo(
+    classOf[TopFreq].getCanonicalName, null, "graft_topfreq",
+    "_FUNC_(item, k) - SpaceSaving top-k frequency summary: array<struct<item, cnt, err>> by cnt desc", "")
+
+  val Builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"graft_topfreq expects 2 arguments, got ${exprs.length}")
+    TopFreq(exprs.head, exprs(1))
+  }
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topfreq")
+    if (!registry.functionExists(id)) registry.registerFunction(id, Info, Builder)
+  }
+}

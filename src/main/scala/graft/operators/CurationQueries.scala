@@ -18,11 +18,13 @@ import graft.text.TextFunctions
 object CurationQueries {
 
   /** RAG-style chunking: overlapping 64-token windows advancing by
-    * 48 tokens (overlap = 16). A document
-    * shorter than one window yields exactly one chunk; the final chunk
-    * of a longer document may be short. `chunk_md5` digests the
-    * space-rejoined window, so the gate proves byte-identical chunk
-    * content cross-engine.
+    * 48 tokens (overlap = 16). A document shorter than one window
+    * yields exactly one chunk; the final chunk of a longer document may
+    * be short. A window start is kept only if its chunk contributes at
+    * least one NEW token (start 0, or start <= n - 17): a tail window
+    * fully contained in its predecessor's 64 tokens would embed as a
+    * pure duplicate. `chunk_md5` digests the space-rejoined window, so
+    * the gate proves byte-identical chunk content cross-engine.
     *
     * Scale: one Generate per document, no shuffle at all — the chunker
     * is a map over the corpus, exactly what feeds an embedding or
@@ -39,6 +41,7 @@ object CurationQueries {
       .filter(size($"t") > 0)
       .select($"doc_id", $"t",
         explode(sequence(lit(0), size($"t") - 1, lit(S))).as("s"))
+      .filter($"s" === 0 || $"s" <= size($"t") - (W - S + 1))
       .select($"doc_id", ($"s" / S).cast("long").as("chunk_idx"),
         slice($"t", $"s" + 1, lit(W)).as("ctoks"))
       .select($"doc_id", $"chunk_idx",

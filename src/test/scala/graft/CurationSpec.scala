@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CurationQueries
+import graft.text.TextFunctions
+
+/** Structural invariants of the curation operators — properties the
+  * hash gate can't state (it only pins equality with the oracle).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking conserves tokens: sum over chunks = n + overlap * (chunks - 1)") {
+    val chunks = CurationQueries.textChunkRag(spark, sf)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"n_tok").as("sum_tok"),
+        max($"n_tok").as("max_tok"))
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", TextFunctions.wsTokens($"text").as("t"))
+      .filter(size($"t") > 0)
+      .select($"doc_id", size($"t").cast("long").as("n"))
+    val joined = chunks.join(docs, "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, nChunks, sumTok, maxTok, n) =>
+      assert(maxTok <= 64, s"doc $id: chunk over budget")
+      // every kept chunk's predecessor fully covers the 16-token
+      // overlap region, so each token is counted once plus exactly 16
+      // double-counted tokens per chunk boundary
+      assert(sumTok === n + 16L * (nChunks - 1), s"doc $id: token conservation")
+      // start grid {0, 48, ...} with degenerate tails dropped:
+      // ceil(max(n - 16, 1) / 48) chunks
+      val expected = math.max(1L, (n - 16 + 47) / 48)
+      assert(nChunks === expected, s"doc $id: $nChunks chunks for $n tokens")
+    }
+  }
+
+  test("substring dedup: every tail-truncated twin's shared spans are flagged") {
+    val res = CurationQueries.dedupSubstring(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(res.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", size(TextFunctions.wsTokens($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    res.foreach { case (id, nSpans, nDup, bp) =>
+      val n = docs(id)
+      assert(nSpans === n - 19, s"doc $id span count")
+      assert(nDup <= nSpans)
+      assert(bp === math.floor((20000.0 * nDup + nSpans) / (2.0 * nSpans)).toLong)
+      if (id % 5 == 0 && n >= 29) {
+        // copy holds tokens 10..n => shared windows start at 10..n-19
+        assert(nDup >= n - 28, s"doc $id: twin overlap not flagged ($nDup < ${n - 28})")
+      }
+    }
+  }
+
+  test("train/test split never separates duplicate twins and stratifies ~90/10") {
+    // leakage: every digest must land in exactly one split
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    val corpus = docs.union(
+      docs.select(($"doc_id" + 1000000L).as("doc_id"), $"lang", $"text"))
+    val assigned = corpus.select($"doc_id",
+        md5(lower($"text").cast("binary")).as("dg"))
+      .withColumn("rep", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"dg")))
+      .withColumn("split",
+        when(substring(sha2($"rep".cast("string"), 256), 1, 8) < "e6666666", "train")
+          .otherwise("test"))
+    val leaky = assigned.groupBy($"dg")
+      .agg(countDistinct($"split").as("nsplits"))
+      .filter($"nsplits" > 1).count()
+    assert(leaky === 0L, "a content cluster straddles train/test")
+
+    val counts = CurationQueries.splitTrainTest(spark, sf)
+      .groupBy($"split").agg(sum($"n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    val trainFrac = counts.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.75 && trainFrac < 0.99,
+      s"train fraction $trainFrac implausible for a 90% draw")
+  }
+}
