@@ -80,6 +80,8 @@ object SparkEntry {
     "split_train_test"         -> (CurationQueries.splitTrainTest _),
     "q_heavy_hitters"          -> (HeavyHitterQueries.qHeavyHitters _),
     "q_bloom_prune_join"       -> (HeavyHitterQueries.qBloomPruneJoin _),
+    "docs_source_cap"          -> (CurationQueries.docsSourceCap _),
+    "io_schema_evolution"      -> (IoQueries.ioSchemaEvolution _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -935,6 +937,42 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // per-source best-3 by quality; the bottom-k aggregate's
+    // (10000 - q_bp, doc_id) byte key == (q_bp DESC, doc_id ASC); the
+    // quality formula is the text_quality_score closed form
+    "docs_source_cap" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor((10000.0 * (2*m*t*c + 750*h*c + 750*(c-p)*t) + 1250.0*t*c)
+        |         / (2500.0*t*c)) AS BIGINT) AS quality_bp
+        |  FROM (SELECT doc_id, source,
+        |      CAST(greatest(length(text), 1) AS BIGINT) AS c,
+        |      CAST(least(length(text), 500) AS BIGINT) AS m,
+        |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS BIGINT) AS t,
+        |      CAST(len(list_filter(
+        |           CASE WHEN length(trim(text)) = 0 THEN []
+        |                ELSE string_split_regex(trim(text), '\s+') END,
+        |           tok -> list_contains(['the','a','an','of','and','to','in','is','it','that'], tok))) AS BIGINT) AS h,
+        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS p
+        |    FROM documents))
+        |SELECT source, rk, doc_id, quality_bp FROM (
+        |  SELECT source, doc_id, quality_bp,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY quality_bp DESC, doc_id) AS BIGINT) AS rk
+        |  FROM q)
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    // oracle aggregates the SOURCE table with the generation rule
+    // (doc_id parity) restated: a hash match proves generation-1 rows
+    // read back with a null `source` and generation-2 rows keep theirs
+    "io_schema_evolution" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
+        |  count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "events_sessionize" ->
       """WITH lagd AS (

@@ -99,6 +99,36 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** Per-source document cap — "keep the best N documents per domain",
+    * the standard guard against one crawl source flooding the training
+    * mix. Runs on the `graft_bottomk` TypedImperativeAggregate with the
+    * sort key `(10000 - quality_bp, doc_id)` zero-padded so ascending
+    * byte order IS (quality desc, doc_id asc): each task keeps at most
+    * N rows per source in flight and the shuffle carries N rows per
+    * (task, source) — a rank window would shuffle the whole corpus
+    * first (same argument as q_sample_deterministic). quality_bp and
+    * doc_id ride the shuffle packed into one long; the oracle states
+    * the equivalent rank window in SQL.
+    */
+  def docsSourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.BottomK.ensureRegistered(spark)
+    val Pack = 10000000000L // quality_bp * Pack + doc_id, both recoverable
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"source", $"doc_id", TextFunctions.qualityScoreBp($"text").as("q_bp"))
+      .select($"source",
+        concat(lpad((lit(10000L) - $"q_bp").cast("string"), 5, "0"),
+          lpad($"doc_id".cast("string"), 10, "0")).as("key"),
+        ($"q_bp" * Pack + $"doc_id").as("packed"))
+      .groupBy($"source")
+      .agg(call_function("graft_bottomk", $"key", $"packed", lit(3)).as("top"))
+      .select($"source", posexplode($"top").as(Seq("pos", "s")))
+      .select($"source", ($"pos" + 1).cast("long").as("rk"),
+        ($"s.value" % Pack).as("doc_id"),
+        floor($"s.value" / Pack).cast("long").as("quality_bp"))
+      .orderBy($"source", $"rk")
+  }
+
   /** Leakage-safe stratified train/test split. The split decision is
     * made per CONTENT CLUSTER, not per document: documents are grouped
     * by normalized-text digest, each cluster's representative is its

@@ -73,6 +73,39 @@ object IoQueries {
       .orderBy($"p_brand")
   }
 
+  /** Schema-evolution read: two writer generations under one dataset
+    * root — generation 1 without a `source` column, generation 2 with
+    * it — read back as ONE frame via parquet `mergeSchema`, old rows
+    * null in the added column. This is the standing reality of any
+    * long-lived 100 TB dataset (columns get added; history is never
+    * rewritten): the union schema comes from footer resolution, not a
+    * rewrite, and per-file pruning still applies. The aggregate counts
+    * presence of the evolved column per language, so a hash match
+    * proves old rows surface as nulls and new rows carry their values.
+    *
+    * mergeSchema is an explicit opt-in (a footer read per distinct
+    * schema at planning); steady-state readers should pass the known
+    * union schema instead — exercised by the spec.
+    */
+  def ioSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val out = tmpDir("evolve", dir)
+    val v1 = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"lang", $"n_chars")
+    val v2 = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"lang", $"n_chars", $"source")
+    GraftIO.write(v1, out + "/gen=1", GraftIO.Parquet)
+    GraftIO.write(v2, out + "/gen=2", GraftIO.Parquet)
+    GraftIO.read(spark, out, GraftIO.Parquet,
+        options = Map("mergeSchema" -> "true"), restorePartitions = false)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_chars").as("sum_chars"),
+        count($"source").as("n_with_source"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
   /** CDC merge of a derived change batch into orders (Merge.merge):
     * updates (every 5th key gets +100 totalprice), deletes (every 7th
     * key ≡ 3), inserts (new keys for every 11th), with a same-batch

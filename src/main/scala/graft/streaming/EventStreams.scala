@@ -127,6 +127,23 @@ object EventStreams {
       .drop("__idx_digest", "__hit")
   }
 
+  /** Streaming heavy hitters — the SpaceSaving summary as a streaming
+    * aggregate. A mergeable fixed-size buffer is exactly what
+    * incremental state maintenance needs: each micro-batch's partial
+    * summaries merge into the stored one, state stays <= k entries, and
+    * complete-mode output re-emits the current top-k. With capacity >=
+    * distinct items the stream's counts equal the batch GROUP BY at
+    * every trigger (spec-pinned); under eviction the SpaceSaving
+    * overestimate bounds hold for the union of all batches. */
+  def topFreq(events: DataFrame, itemCol: String, k: Int = 64): DataFrame = {
+    import events.sparkSession.implicits._
+    graft.functions.TopFreq.ensureRegistered(events.sparkSession)
+    events
+      .agg(expr(s"graft_topfreq($itemCol, $k)").as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item".as("item"), $"e.cnt".as("cnt"))
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionState(startMs: Long, lastMs: Long, n: Long)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

@@ -80,4 +80,39 @@ class CurationSpec extends SparkSpec {
     assert(trainFrac > 0.75 && trainFrac < 0.99,
       s"train fraction $trainFrac implausible for a 90% draw")
   }
+
+  test("per-source cap equals the rank-window formulation") {
+    val got = CurationQueries.docsSourceCap(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"q_bp".desc, $"doc_id")
+    val window = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", TextFunctions.qualityScoreBp($"text").as("q_bp"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"source", $"rk", $"doc_id", $"q_bp")
+      .orderBy($"source", $"rk")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === window)
+  }
+
+  test("schema evolution: steady-state read with an explicit union schema, no mergeSchema") {
+    import org.apache.spark.sql.types._
+    val out = s"/tmp/graft_io/evolve_spec_${math.abs(sf.hashCode)}"
+    val docs = Tables.documents(spark, sf)
+    graft.io.GraftIO.write(docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"lang", $"n_chars"), out + "/gen=1")
+    graft.io.GraftIO.write(docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"lang", $"n_chars", $"source"), out + "/gen=2")
+    val union = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("source", StringType)))
+    // the production shape: schema known up front, no footer sweep
+    val read = graft.io.GraftIO.read(spark, out, schema = Some(union),
+      restorePartitions = false)
+    assert(read.schema.fieldNames.toSeq === union.fieldNames.toSeq)
+    assert(read.count() === docs.count())
+    assert(read.filter($"source".isNull).count() ===
+      docs.filter($"doc_id" % 2 === 0).count())
+  }
 }

@@ -257,4 +257,23 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(stages().max === 2)
     } finally q.stop()
   }
+
+  test("streaming heavy hitters track exact counts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = EventStreams.topFreq(in.toDF().toDF("item"), "item").writeStream
+      .format("memory").queryName("stream_hh").outputMode(OutputMode.Complete).start()
+    try {
+      def counts() = spark.table("stream_hh").as[(String, Long)].collect().toMap
+      in.addData("a", "b", "a", "c")
+      q.processAllAvailable()
+      assert(counts() === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+      // the stored summary merges with the next batch's partials —
+      // counts accumulate, they don't reset
+      in.addData("b", "b", "d")
+      q.processAllAvailable()
+      assert(counts() === Map("a" -> 2L, "b" -> 3L, "c" -> 1L, "d" -> 1L))
+    } finally q.stop()
+  }
 }
