@@ -113,8 +113,15 @@ case class BloomAgg(
     val v = numBitsExpr.eval(null)
     require(v != null && v.asInstanceOf[Int] >= 64,
       "graft_bloom_agg: numBits must be a literal >= 64")
-    // round up to a power of two so probe indices mask instead of mod
-    Integer.highestOneBit(math.max(1, (v.asInstanceOf[Int] + 63) / 64 * 2 - 1))
+    // round the WORD count up to a power of two so probe indices mask
+    // instead of mod; long arithmetic — int math near Int.MaxValue
+    // would overflow negative and silently collapse the filter to one
+    // word
+    val words = (v.asInstanceOf[Int].toLong + 63L) / 64L
+    val pow2 = java.lang.Long.highestOneBit(words * 2L - 1L)
+    require(pow2 <= (1L << 24),
+      s"graft_bloom_agg: numBits ${v} implies $pow2 words (> 128 MiB buffer); lower it")
+    pow2.toInt
   }
   private def mask: Long = (numWords.toLong << 6) - 1
 

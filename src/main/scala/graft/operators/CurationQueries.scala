@@ -116,6 +116,14 @@ object CurationQueries {
     val Pack = 10000000000L // quality_bp * Pack + doc_id, both recoverable
     Tables.widened(Tables.documents(spark, dir))
       .select($"source", $"doc_id", TextFunctions.qualityScoreBp($"text").as("q_bp"))
+      // the 10-digit pad and the packed long both require doc_id <
+      // 1e10; beyond that lpad TRUNCATES and the pack bleeds into the
+      // quality digits — fail loudly instead of silently mis-ranking
+      .withColumn("doc_id",
+        when($"doc_id".between(0L, Pack - 1L), $"doc_id")
+          .otherwise(raise_error(concat(
+            lit("docs_source_cap: doc_id out of packable range [0, 1e10): "),
+            $"doc_id".cast("string")))))
       .select($"source",
         concat(lpad((lit(10000L) - $"q_bp").cast("string"), 5, "0"),
           lpad($"doc_id".cast("string"), 10, "0")).as("key"),
@@ -145,7 +153,11 @@ object CurationQueries {
     * holds with the near-dup cluster labels from dedup_minhash_lsh
     * substituted for exact digests.
     */
-  def splitTrainTest(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document split assignment — the reusable core of
+    * [[splitTrainTest]]: (doc_id, lang, dg, rep, split). Exposed so
+    * callers (and the leakage spec) can check the DOCUMENT-level
+    * contract, not just the aggregate. */
+  def assignSplits(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id", $"lang", $"text")
@@ -153,13 +165,18 @@ object CurationQueries {
       docs.select(($"doc_id" + 1000000L).as("doc_id"), $"lang", $"text"))
 
     val digests = corpus.select($"doc_id", $"lang",
-      md5(lower(regexp_replace(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary")).as("dg"))
+      TextFunctions.normalizedDigest($"text").as("dg"))
     val reps = digests.groupBy($"dg").agg(min($"doc_id").as("rep"))
 
     digests.join(reps, "dg")
       .withColumn("split",
         when(substring(sha2($"rep".cast("string"), 256), 1, 8) < "e6666666", "train")
           .otherwise("test"))
+  }
+
+  def splitTrainTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assignSplits(spark, dir)
       .groupBy($"lang", $"split")
       .agg(count(lit(1)).as("n_docs"), countDistinct($"rep").as("n_clusters"))
       .orderBy($"lang", $"split")

@@ -344,7 +344,7 @@ object PipelineQueries {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def digestOf(text: org.apache.spark.sql.Column) =
-      md5(lower(regexp_replace(trim(text), "[ \\t\\n\\x0B\\f\\r]+", " ")).cast("binary"))
+      graft.text.TextFunctions.normalizedDigest(text)
     val docs = Tables.widened(Tables.documents(spark, dir))
     val index = docs.select(digestOf($"text").as("digest"))
     val batch = docs.filter($"doc_id" % 3 === 0)

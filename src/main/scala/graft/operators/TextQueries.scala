@@ -54,11 +54,10 @@ object TextQueries {
     * normalized text (byte-identical cross-engine). */
   def textNormalize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // explicit class, not \s: Java's \s includes vertical tab \x0B,
-    // RE2's (the oracle engine's) does not — state the same class in
-    // both engines so the digests cannot diverge on exotic whitespace
+    // the canonical normalization (TextFunctions.normalized): one
+    // definition shared by every digest-keyed operator and its oracle
     val stats = graft.similarity.Similarity.bound(
-      lower(regexp_replace(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+", " "))) { norm =>
+      normalized($"text")) { norm =>
       struct(length(norm).cast("long").as("norm_chars"),
         md5(norm.cast("binary")).as("norm_md5"))
     }
@@ -96,12 +95,11 @@ object TextQueries {
     * plan of its standalone gate query. */
   def textCurate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val norm = lower(regexp_replace(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+", " "))
     val scored = Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id",
         qualityScoreBp($"text").as("quality_bp"),
         languageId($"text").as("pred_lang"),
-        md5(norm.cast("binary")).as("norm_digest"))
+        normalizedDigest($"text").as("norm_digest"))
       .filter($"quality_bp" >= 4000 && $"pred_lang" === "en")
     scored
       .groupBy($"norm_digest")

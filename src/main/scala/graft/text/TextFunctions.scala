@@ -20,6 +20,20 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(wsTokens(text))
 
+  /** Canonical whitespace normalization: trim, collapse runs of the
+    * explicit class `[ \t\n\x0B\f\r]` to one space, casefold. The
+    * class is stated explicitly (not `\s`) because Java's `\s` includes
+    * vertical tab \x0B while RE2's (the DuckDB oracle engine's) does
+    * not; every operator AND oracle shares this one definition so
+    * digests stay comparable across operators. */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+  /** md5 of the normalized text — the cross-operator content identity
+    * key (text_normalize, incremental dedup, train/test splitting). */
+  def normalizedDigest(text: Column): Column =
+    md5(normalized(text).cast("binary"))
+
   /** BPE-ish token count: letter runs, digit runs, and individual
     * punctuation marks each count as one token — a cheap, deterministic
     * stand-in for a learned subword vocab (same regex on the oracle

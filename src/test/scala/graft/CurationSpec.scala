@@ -56,29 +56,39 @@ class CurationSpec extends SparkSpec {
   }
 
   test("train/test split never separates duplicate twins and stratifies ~90/10") {
-    // leakage: every digest must land in exactly one split
-    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
-    val corpus = docs.union(
-      docs.select(($"doc_id" + 1000000L).as("doc_id"), $"lang", $"text"))
-    val assigned = corpus.select($"doc_id",
-        md5(lower($"text").cast("binary")).as("dg"))
-      .withColumn("rep", min($"doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"dg")))
-      .withColumn("split",
-        when(substring(sha2($"rep".cast("string"), 256), 1, 8) < "e6666666", "train")
-          .otherwise("test"))
-    val leaky = assigned.groupBy($"dg")
+    // leakage, checked on the OPERATOR's own per-document assignments:
+    // every content digest — and every known duplicate pair (doc and
+    // its +1M twin) — must land in exactly one split
+    val assigned = CurationQueries.assignSplits(spark, sf)
+    val leakyDigests = assigned.groupBy($"dg")
       .agg(countDistinct($"split").as("nsplits"))
       .filter($"nsplits" > 1).count()
-    assert(leaky === 0L, "a content cluster straddles train/test")
+    assert(leakyDigests === 0L, "a content cluster straddles train/test")
 
-    val counts = CurationQueries.splitTrainTest(spark, sf)
-      .groupBy($"split").agg(sum($"n_docs").as("n"))
+    val pairs = assigned.filter($"doc_id" < 1000000L).as("a")
+      .join(assigned.filter($"doc_id" >= 1000000L).as("b"),
+        $"a.doc_id" === $"b.doc_id" - 1000000L)
+      .select($"a.split", $"b.split")
+      .as[(String, String)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(p => p._1 == p._2), "a duplicate twin straddles train/test")
+
+    // both splits must be populated, in ~90/10 proportion
+    val counts = assigned.groupBy($"split").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
     val total = counts.values.sum
     val trainFrac = counts.getOrElse("train", 0L).toDouble / total
+    assert(counts.getOrElse("test", 0L) > 0L)
     assert(trainFrac > 0.75 && trainFrac < 0.99,
       s"train fraction $trainFrac implausible for a 90% draw")
+
+    // the aggregate view is exactly the assignment view rolled up
+    val agg = CurationQueries.splitTrainTest(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSet
+    val rolled = assigned.groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"rep").as("n_clusters"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(agg === rolled)
   }
 
   test("per-source cap equals the rank-window formulation") {

@@ -65,11 +65,10 @@ class FrequencySpec extends SparkSpec {
     val bloom = members.toDF("x")
       .agg(expr("graft_bloom_agg(xxhash64(x), 262144)"))
       .head.getAs[Array[Byte]](0)
-    // every member hits
-    members.foreach { m =>
-      val h = Seq(m).toDF("x").select(xxhash64($"x")).head.getLong(0)
-      assert(BloomBytes.contains(bloom, h), s"false negative for $m")
-    }
+    // every member hits (hashes collected in ONE action, then probed
+    // locally — one job, not one per member)
+    val memberHashes = members.toDF("x").select(xxhash64($"x")).as[Long].collect()
+    assert(memberHashes.forall(BloomBytes.contains(bloom, _)), "false negative")
     // false-positive rate on 10k non-members stays far under 1%
     val nonMembers = (0L until 10000L).map(_ * 7L + 3L)
     val hashes = nonMembers.toDF("x").select(xxhash64($"x")).as[Long].collect()
