@@ -115,4 +115,81 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val s = fmt(RangeJoin.pointInInterval(p, "p", i, "lo", "hi", 4.0))
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"))
   }
+
+  test("RAG chunker plans with zero exchanges (map-side only, plus the output sort)") {
+    val df = graft.operators.CurationQueries.textChunkRag(spark, sf)
+    val s = fmt(df)
+    // the only exchange allowed is the rangepartitioning of the final
+    // orderBy (presentation); the chunk generation itself must not
+    // shuffle
+    val exchanges = s.linesIterator.filter(_.matches("""^\(\d+\) Exchange.*""")).toSeq
+    val nonSort = s.linesIterator.zipWithIndex
+      .count(l => l._1.matches("""^\(\d+\) Exchange hashpartitioning.*"""))
+    assert(nonSort == 0, s"chunker hash-shuffles:\n${exchanges.mkString("\n")}")
+  }
+
+  test("heavy-hitters summary aggregates partially before the shuffle") {
+    graft.functions.TopFreq.ensureRegistered(spark)
+    val s = fmt(graft.operators.HeavyHitterQueries.qHeavyHitters(spark, sf))
+    assert(s.contains("partial_graft_topfreq"), s"no partial aggregation:\n$s")
+  }
+
+  test("bloom probe filters the fact scan stage, before the join") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df = graft.operators.HeavyHitterQueries.qBloomPruneJoin(spark, sf)
+    // sparkPlan, not executedPlan: AQE wraps the tree in
+    // AdaptiveSparkPlanExec, which collect() does not descend into
+    val plan = df.queryExecution.sparkPlan
+    // find the join, then require a bloom-probing Filter in its
+    // SUBTREE: the prune must run before rows reach the join, not after
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, s"no join in:\n$plan")
+    def hasProbeBelow(p: SparkPlan): Boolean = p.collect {
+      case f: FilterExec if f.condition.toString.contains("graft_bloom_contains") => f
+    }.nonEmpty
+    assert(joins.exists(j => j.children.exists(hasProbeBelow)),
+      s"bloom probe does not sit under the join:\n$plan")
+    // and never re-checked on the join OUTPUT (pure prune): every
+    // probe filter lives in some join subtree
+    val total = plan.collect {
+      case f: FilterExec if f.condition.toString.contains("graft_bloom_contains") => f
+    }.size
+    val below = joins.map(j => j.children.map(c => c.collect {
+      case f: FilterExec if f.condition.toString.contains("graft_bloom_contains") => f
+    }.size).sum).max
+    assert(total == below, s"a bloom probe runs above the join ($total vs $below)")
+  }
+
+  test("substring dedup shuffles digests, never token arrays or text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.operators.CurationQueries.dedupSubstring(spark, sf)
+    // only key-shuffles matter: Tables.widened's round-robin spread of
+    // the raw scan is a local-mode artifact (no-op at real scale) and
+    // legitimately carries text
+    import org.apache.spark.sql.catalyst.plans.physical.{RangePartitioning, RoundRobinPartitioning}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // sparkPlan predates EnsureRequirements (no aggregate/join
+    // exchanges yet); take the adaptive plan's current inner tree
+    val phys = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = phys.collect {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] &&
+          !e.outputPartitioning.isInstanceOf[RangePartitioning] => e }
+    assert(shuffles.nonEmpty)
+    // every exchange's partition key AND row payload must be scalar
+    // digest/count columns — an array or text column in the exchange
+    // output means corpus content is crossing the wire
+    shuffles.foreach { e =>
+      val outTypes = e.output.map(_.dataType.typeName)
+      assert(!outTypes.exists(t => t.startsWith("array")),
+        s"token arrays cross a shuffle: ${e.output.map(a => a.name -> a.dataType).mkString(", ")}")
+      val names = e.output.map(_.name)
+      assert(!names.contains("text") && !names.contains("t"),
+        s"text crosses a shuffle: $names")
+    }
+  }
 }
