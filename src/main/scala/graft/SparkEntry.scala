@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, HeavyHitterQueries, IoQueries, IvfQueries, MultimodalQueries, PipelineQueries, SampleQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, HeavyHitterQueries, IoQueries, IvfQueries, MultimodalQueries, PipelineQueries, PqQueries, SampleQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -82,6 +82,8 @@ object SparkEntry {
     "q_bloom_prune_join"       -> (HeavyHitterQueries.qBloomPruneJoin _),
     "docs_source_cap"          -> (CurationQueries.docsSourceCap _),
     "io_schema_evolution"      -> (IoQueries.ioSchemaEvolution _),
+    "events_sliding_window"    -> (EventQueries.eventsSlidingWindow _),
+    "ann_pq_topk"              -> (PqQueries.annPqTopk _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -973,6 +975,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
         |  count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // 2h windows sliding every 30min: event at t covers starts
+    // k*slide, k in ((t-len)/slide, t/slide] — 4 windows each; same
+    // integer arithmetic on epoch nanos in both engines
+    "events_sliding_window" ->
+      """WITH mem AS (
+        |  SELECT event_type, value, user_id,
+        |    unnest(range(epoch_ns(ts) // 1800000000000 - 3,
+        |                 epoch_ns(ts) // 1800000000000 + 1)) AS k
+        |  FROM events)
+        |SELECT CAST(k * 1800 AS BIGINT) AS window_start_s, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM mem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_sessionize" ->
       """WITH lagd AS (

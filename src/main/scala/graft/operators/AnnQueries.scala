@@ -73,7 +73,7 @@ object AnnQueries {
     * survivors per bucket — then a final tiny window over qid only.
     * The global window never sees more than Salts*K rows per query,
     * so a hot query key cannot skew a single task at 100× scale. */
-  private def topKPerQuery(scored: DataFrame): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val partial = Window.partitionBy($"qid", pmod(xxhash64($"vid"), lit(Salts)))

@@ -34,6 +34,36 @@ object EventQueries {
       .orderBy($"bucket_start_s", $"event_type")
   }
 
+  /** Sliding-window aggregate: 2-hour windows advancing every 30
+    * minutes, so each event contributes to 4 overlapping windows. The
+    * window memberships are generated map-side (each event explodes to
+    * its covering window starts — exact integer arithmetic on epoch
+    * nanos, identical in the oracle), then ONE (window, type) aggregate
+    * shuffle; the 4× row fan-out never carries more than (start, type,
+    * value, user_id). This is the batch twin of the streaming
+    * `window(ts, len, slide)` aggregation (EventStreams.windowedCounts
+    * covers the tumbling case; the spec drives the sliding case). */
+  def eventsSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val SlideNs = 1800000000000L // 30 min
+    val Windows = 4 // len / slide
+    Tables.events(spark, dir)
+      // event at t covers window starts k*slide with t-len < k*slide
+      // <= t, i.e. k in [t div slide - 3, t div slide] (epoch nanos are
+      // far above len, so plain integer div is floor here)
+      .select($"event_type", $"value", $"user_id",
+        explode(sequence(
+          expr(s"ts div $SlideNs") - (Windows - 1),
+          expr(s"ts div $SlideNs"))).as("k"))
+      .select(($"k" * (SlideNs / 1000000000L)).as("window_start_s"),
+        $"event_type", $"value", $"user_id")
+      .groupBy($"window_start_s", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"window_start_s", $"event_type")
+  }
+
   /** Gap-based sessionization (30-min inactivity closes a session):
     * lag + cumulative-sum of session-start flags per user, then one
     * row per session. Partitioning key is user_id, whose cardinality
