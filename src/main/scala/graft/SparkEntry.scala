@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, HeavyHitterQueries, IoQueries, IvfQueries, MultimodalQueries, PipelineQueries, PqQueries, SampleQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, GraphQueries, HeavyHitterQueries, IoQueries, IvfQueries, MaintenanceQueries, MultimodalQueries, PipelineQueries, PqQueries, SampleQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -84,6 +84,11 @@ object SparkEntry {
     "io_schema_evolution"      -> (IoQueries.ioSchemaEvolution _),
     "events_sliding_window"    -> (EventQueries.eventsSlidingWindow _),
     "ann_pq_topk"              -> (PqQueries.annPqTopk _),
+    "events_gap_fill"          -> (EventQueries.eventsGapFill _),
+    "q_incremental_agg"        -> (MaintenanceQueries.qIncrementalAgg _),
+    "io_scd2_history"          -> (MaintenanceQueries.ioScd2History _),
+    "dedup_edit_blocked"       -> (DedupQueries.dedupEditBlocked _),
+    "graph_components"         -> (GraphQueries.graphComponents _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -1005,5 +1010,119 @@ object SparkEntry {
         |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
         |  count(*) AS n, CAST((max(tsn) - min(tsn)) // 1000000000 AS BIGINT) AS duration_s
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
+
+    // per-user day grid from first to last active day, forward-filled
+    // with the most recent observed daily total; exact cents end-to-end
+    "events_gap_fill" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day_no,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, day_no, CAST(sum(v) AS BIGINT) AS cents
+        |  FROM c GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS day_no
+        |  FROM (SELECT user_id, min(day_no) AS lo, max(day_no) AS hi
+        |        FROM daily GROUP BY user_id)),
+        |f AS (
+        |  SELECT g.user_id, g.day_no, d.cents,
+        |    last_value(d.cents IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM grid g LEFT JOIN daily d USING (user_id, day_no))
+        |SELECT day_no, count(*) AS n_users,
+        |  CAST(sum(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+        |  CAST(sum(filled) AS BIGINT) AS sum_filled_cents
+        |FROM f GROUP BY day_no ORDER BY day_no""".stripMargin,
+
+    // the oracle RECOMPUTES the rollup from the whole table; the Spark
+    // side merges a snapshot aggregate with a delta-batch aggregate —
+    // a hash match proves the merge algebra equals recomputation
+    "q_incremental_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // SCD2 over the io_merge_upsert change feed: every non-delete
+    // change opens a version closed by the key's next change; keys
+    // with a single change (pure inserts) are excluded on both sides
+    "io_scd2_history" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'I' AS op, 0 AS seq, o_orderstatus, price_cents FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', 1, o_orderstatus, price_cents + 10000
+        |  FROM base WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, o_orderstatus, price_cents
+        |  FROM base WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I', 1, 'N', 100
+        |  FROM base WHERE o_orderkey % 11 = 0),
+        |v AS (
+        |  SELECT *,
+        |    lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS end_seq,
+        |    count(*) OVER (PARTITION BY o_orderkey) AS n_changes
+        |  FROM changes)
+        |SELECT o_orderkey, CAST(seq AS BIGINT) AS version_seq,
+        |  CAST(end_seq AS BIGINT) AS end_seq, o_orderstatus,
+        |  CAST(price_cents AS BIGINT) AS price_cents,
+        |  (end_seq IS NULL) AS is_current
+        |FROM v WHERE op != 'D' AND n_changes >= 2
+        |ORDER BY o_orderkey, version_seq""".stripMargin,
+
+    // pigeonhole-blocked bounded edit distance: equal-length strings
+    // sharing one of 3 position-segments, levenshtein <= 2; the corpus
+    // plants a two-substitution twin of every long-enough document
+    // (byte-identical substr/concat derivation on both engines)
+    "dedup_edit_blocked" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    CASE WHEN length(text) >= 30
+        |      THEN substr(text, 1, 10) || 'Q' || substr(text, 12, 11)
+        |           || 'Z' || substr(text, 24, length(text))
+        |      ELSE text END
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len, i.idx,
+        |    CASE i.idx
+        |      WHEN 0 THEN substr(text, 1, length(text) // 3)
+        |      WHEN 1 THEN substr(text, length(text) // 3 + 1, length(text) // 3)
+        |      ELSE substr(text, 2 * (length(text) // 3) + 1, length(text)) END AS seg
+        |  FROM corpus CROSS JOIN (SELECT unnest([0, 1, 2]) AS idx) i),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM segs a JOIN segs b
+        |    ON a.idx = b.idx AND a.len = b.len AND a.seg = b.seg
+        |       AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS dist
+        |FROM cand
+        |JOIN corpus ca ON ca.doc_id = id_a
+        |JOIN corpus cb ON cb.doc_id = id_b
+        |WHERE levenshtein(ca.text, cb.text) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure over the doubling graph (i -> 2i), component
+    // = min reachable id — verifies ConnectedComponents.label exactly
+    "graph_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, doc_id * 2 AS dst FROM documents
+        |  WHERE doc_id >= 1 AND doc_id * 2 <= (SELECT max(doc_id) FROM documents)),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS id FROM und),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT reach.id, und.dst FROM reach JOIN und ON reach.r = und.src)
+        |SELECT id, CAST(min(r) AS BIGINT) AS component
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
   )
 }

@@ -249,6 +249,57 @@ object DedupQueries {
     pairs.orderBy($"id_a", $"id_b")
   }
 
+  /** Bounded edit-distance near-dup join via pigeonhole segment
+    * blocking: for distance k, split every string into k+1 contiguous
+    * position-segments — two equal-length strings within k
+    * substitutions MUST agree on at least one segment, so candidates
+    * come from an equi-join on (segment_index, segment_value, length)
+    * and only those pairs pay the O(n·m) Levenshtein verify. The
+    * operator's contract (stated identically by the oracle) is: pairs
+    * with equal length sharing a position-segment whose edit distance
+    * is <= k — exact and hash-verifiable cross-engine, with no
+    * quadratic phase anywhere. The gate corpus plants a two-
+    * substitution twin of every document (built from substr/concat so
+    * both engines derive byte-identical mutants). */
+  def dedupEditBlocked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 2
+
+    val docs = Tables.widened(Tables.documents(spark, dir)).select($"doc_id", $"text")
+    val mutated = docs.select(($"doc_id" + 1000000L).as("doc_id"),
+      when(length($"text") >= 30,
+        concat(substring($"text", 1, 10), lit("Q"),
+          expr("substring(text, 12, 11)"), lit("Z"),
+          expr("substring(text, 24, length(text))")))
+        .otherwise($"text").as("text"))
+    val corpus = docs.union(mutated)
+
+    // k+1 = 3 position-segments; the shuffle key is (idx, segment,
+    // length) — a short prefix of the text, never the whole document
+    val segs = corpus
+      .select($"doc_id", $"text", length($"text").cast("long").as("len"),
+        expr("length(text) div 3").as("third"))
+      .select($"doc_id", $"len", explode(array(
+        struct(lit(0).as("idx"), $"text".substr(lit(1), $"third").as("seg")),
+        struct(lit(1).as("idx"), $"text".substr($"third" + 1, $"third").as("seg")),
+        struct(lit(2).as("idx"), $"text".substr($"third" * 2 + 1, $"len").as("seg"))
+      )).as("x"))
+      .select($"doc_id", $"len", $"x.idx", $"x.seg")
+
+    val candidates = segs.as("a").join(segs.as("b"),
+        $"a.idx" === $"b.idx" && $"a.len" === $"b.len" &&
+          $"a.seg" === $"b.seg" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+
+    candidates
+      .join(corpus.select($"doc_id".as("id_a"), $"text".as("ta")), "id_a")
+      .join(corpus.select($"doc_id".as("id_b"), $"text".as("tb")), "id_b")
+      .select($"id_a", $"id_b", levenshtein($"ta", $"tb").cast("long").as("dist"))
+      .filter($"dist" <= k)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Embedding cosine near-dup clustering. The corpus is embeddings ∪
     * deterministically perturbed copies (the raw table has no
     * near-dup vectors — max pairwise cosine 0.51). Candidates come

@@ -123,6 +123,45 @@ object EventQueries {
       .orderBy($"attributed")
   }
 
+  /** Time-series gap fill + forward fill: each user's daily spend is
+    * densified onto a contiguous day grid from their first to their
+    * last active day, missing days forward-filled with the most recent
+    * observed value, then summarized per day. The grid is generated
+    * MAP-SIDE (`sequence` explode off each user's span — no join
+    * against a calendar table), and both the span aggregate and the
+    * fill window key on user_id, which scales with the data. Values
+    * are exact cents end-to-end, so the gate is bit-exact.
+    *
+    * Scale note: grid size is users × span-days. At 100 TB the span is
+    * bounded (a retention window), so the fan-out is a constant factor
+    * on the user dimension — same shape as the sliding-window 4×. */
+  def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val daily = Tables.events(spark, dir)
+      .select($"user_id", expr(s"ts div $DayNs").as("day_no"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"user_id", $"day_no")
+      .agg(sum($"cents").as("cents"))
+
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"day_no").as("lo"), max($"day_no").as("hi"))
+      .select($"user_id", explode(sequence($"lo", $"hi")).as("day_no"))
+
+    val byUserDay = Window.partitionBy($"user_id").orderBy($"day_no")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day_no"), "left")
+      // the first grid day per user is observed by construction (the
+      // span starts at an observed day), so the fill never sees a
+      // leading null
+      .withColumn("filled", last($"cents", ignoreNulls = true).over(byUserDay))
+      .groupBy($"day_no")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"cents".isNotNull, 1L).otherwise(0L)).as("n_observed"),
+        sum($"filled").as("sum_filled_cents"))
+      .orderBy($"day_no")
+  }
+
   /** Assign gap-based session ids: adds a `session_id` column to any
     * (user_id, ts:nanos, event_id, ...) frame, preserving the other
     * columns. THE definition of a session (gap, tie-break order) lives

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.ConnectedComponents
+
+/** Graph operators: connected components as a first-class query,
+  * hash-verified against a DuckDB recursive-CTE transitive closure.
+  *
+  * The dedup pipelines already USE ConnectedComponents for cluster
+  * assembly, but their LSH candidate edges are probabilistic, so those
+  * gates are rows-only. This gate runs the SAME labeling code over a
+  * deterministic edge set — doubling edges (i → 2i) over the document
+  * id space, which build binary-tree components of real depth (~log n,
+  * deeper than any dup clique) — so the component assignment itself is
+  * hash-checked cross-engine, closing the verification gap on the
+  * weakest link of the dedup family.
+  */
+object GraphQueries {
+
+  /** Deterministic doubling-edge set over the document ids: an edge
+    * i → 2i for every id whose double is also an id (id 0 excluded —
+    * 0 → 0 is a self-loop). Components are the odd-rooted chains
+    * {o, 2o, 4o, ...}. */
+  private def doublingEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select($"doc_id")
+    val maxId = ids.agg(max($"doc_id")).first().getLong(0)
+    ids.filter($"doc_id" >= 1 && $"doc_id" * 2 <= maxId)
+      .select($"doc_id".as("src"), ($"doc_id" * 2).as("dst"))
+  }
+
+  /** Connected components over the doubling graph: (id, component)
+    * for every vertex incident to an edge, component = minimum
+    * reachable id. Exact — the small edge list takes the driver
+    * union-find path; the distributed label-propagation path is
+    * pinned equal in GraphSpec. */
+  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ConnectedComponents.label(doublingEdges(spark, dir))
+      .select($"id", $"component")
+      .orderBy($"id")
+  }
+}

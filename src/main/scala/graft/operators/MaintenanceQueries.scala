@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Long-lived-dataset maintenance operators: the jobs that keep a
+  * 100 TB warehouse consistent as change batches arrive — slowly-
+  * changing-dimension history and incremental materialized-aggregate
+  * maintenance. Complements `GraftIO.compact` (file maintenance) and
+  * `Merge.upsert` (latest-state CDC apply, io_merge_upsert): upsert
+  * answers "what is the current row", SCD2 answers "what was the row
+  * at change k", and the incremental aggregate answers "refresh the
+  * rollup without rescanning the base".
+  *
+  * Both operators are pure key-shuffle plans: the SCD2 window
+  * partitions on the business key (cardinality scales with the data),
+  * and the aggregate merge shuffles only per-group partial states —
+  * never the base table.
+  */
+object MaintenanceQueries {
+
+  /** The io_merge_upsert change feed, restated once so the SCD2 gate
+    * derives its versions from the same synthetic CDC stream: base
+    * rows arrive as inserts at seq 0; every key % 5 == 0 gets a price
+    * update at seq 1; every key % 7 == 3 a delete at seq 2; every key
+    * % 11 == 0 spawns a brand-new key at seq 1. Prices are carried as
+    * exact cents (round-half-up of price*100, identical in DuckDB). */
+  private def changeLog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("price_cents"))
+    val inserts = base.select($"o_orderkey", lit("I").as("op"), lit(0L).as("seq"),
+      $"o_orderstatus", $"price_cents")
+    val updates = base.filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey", lit("U").as("op"), lit(1L).as("seq"),
+        $"o_orderstatus", ($"price_cents" + 10000L).as("price_cents"))
+    val deletes = base.filter($"o_orderkey" % 7 === 3)
+      .select($"o_orderkey", lit("D").as("op"), lit(2L).as("seq"),
+        $"o_orderstatus", $"price_cents")
+    val newKeys = base.filter($"o_orderkey" % 11 === 0)
+      .select(($"o_orderkey" + 10000000L).as("o_orderkey"), lit("I").as("op"),
+        lit(1L).as("seq"), lit("N").as("o_orderstatus"), lit(100L).as("price_cents"))
+    inserts.unionByName(updates).unionByName(deletes).unionByName(newKeys)
+  }
+
+  /** SCD type-2 history build: every non-delete change opens a version
+    * effective at its own seq and closed by the NEXT change on the key
+    * (update or delete alike); `end_seq` null means the version is
+    * still open, and `is_current` additionally requires that the key
+    * was not closed by a tombstone. One window over the business key —
+    * the key's change count is bounded (a handful of CDC batches), so
+    * per-partition state stays tiny at any corpus size.
+    *
+    * Output is restricted to keys with more than one change row — the
+    * keys whose history is non-trivial — keeping the gate result
+    * focused (the single-version majority is pure insert passthrough).
+    */
+  def ioScd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byKey = Window.partitionBy($"o_orderkey").orderBy($"seq")
+    val versions = changeLog(spark, dir)
+      .withColumn("end_seq", lead($"seq", 1).over(byKey))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy($"o_orderkey")))
+      .withColumn("next_op", lead($"op", 1).over(byKey))
+    versions
+      .filter($"op" =!= "D") // tombstones close history, they are not versions
+      .filter($"n_changes" >= 2)
+      .select($"o_orderkey",
+        $"seq".as("version_seq"),
+        $"end_seq",
+        $"o_orderstatus",
+        $"price_cents",
+        ($"end_seq".isNull).as("is_current"))
+      .orderBy($"o_orderkey", $"version_seq")
+  }
+
+  /** Incremental materialized-aggregate maintenance: the rollup
+    * (count, sum) by l_returnflag is refreshed by AGGREGATING ONLY THE
+    * DELTA and merging partial states with the stored snapshot —
+    * sum-of-sums and sum-of-counts — never rescanning the base. The
+    * gate splits lineitem into a base (12/13) and a delta batch (1/13),
+    * maintains the view, and the oracle recomputes from scratch over
+    * the whole table: a hash match IS the proof that the merge algebra
+    * equals recomputation. Money is summed in exact cents so the
+    * equality is bit-exact, not float-lucky. */
+  def qIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def partialAgg(df: DataFrame): DataFrame =
+      df.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity").cast("long").as("sum_qty"),
+          sum(round($"l_extendedprice" * 100).cast("long")).as("sum_price_cents"))
+
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")
+    val snapshot = partialAgg(li.filter($"l_orderkey" % 13 =!= 5))
+    val deltaAgg = partialAgg(li.filter($"l_orderkey" % 13 === 5))
+
+    snapshot.unionByName(deltaAgg)
+      .groupBy($"l_returnflag")
+      .agg(sum($"n").as("n"),
+        sum($"sum_qty").as("sum_qty"),
+        sum($"sum_price_cents").as("sum_price_cents"))
+      .orderBy($"l_returnflag")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.ConnectedComponents
+
+/** Connected-components invariants beyond the hash gate: the
+  * distributed label-propagation path must agree with the exact driver
+  * union-find, and non-convergence must be surfaced, not silent. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A graph with known components: two chains (depth > 1) + a
+    * triangle + an isolated edge. */
+  private def edges = Seq(
+    (1L, 2L), (2L, 4L), (4L, 8L),         // chain rooted at 1
+    (3L, 6L), (6L, 12L),                  // chain rooted at 3
+    (20L, 21L), (21L, 22L), (20L, 22L),   // triangle rooted at 20
+    (30L, 31L)                            // pair
+  ).toDF("src", "dst")
+
+  private def expected = Map(
+    1L -> 1L, 2L -> 1L, 4L -> 1L, 8L -> 1L,
+    3L -> 3L, 6L -> 3L, 12L -> 3L,
+    20L -> 20L, 21L -> 20L, 22L -> 20L,
+    30L -> 30L, 31L -> 30L)
+
+  test("driver union-find labels every vertex with its component minimum") {
+    val r = ConnectedComponents.labelWithStatus(edges)
+    assert(r.converged)
+    val got = r.labels.as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("distributed label propagation agrees with the union-find result") {
+    // driverThreshold = -1 forces the iterative Spark path
+    val r = ConnectedComponents.labelWithStatus(edges, maxIter = 8, driverThreshold = -1L)
+    assert(r.converged)
+    assert(r.iterations >= 1)
+    val got = r.labels.as[(Long, Long)].collect().toMap
+    r.labels.unpersist()
+    assert(got == expected)
+  }
+
+  test("hitting the iteration cap surfaces converged=false (and strict throws)") {
+    // path graph 0-1-2-...-19: diameter 19, far beyond maxIter = 2
+    val path = (0L until 19L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = ConnectedComponents.labelWithStatus(path, maxIter = 2, driverThreshold = -1L)
+    assert(!r.converged)
+    r.labels.unpersist()
+    assertThrows[IllegalStateException] {
+      ConnectedComponents.labelWithStatus(path, maxIter = 2, strict = true,
+        driverThreshold = -1L)
+    }
+  }
+
+  test("graph_components gate query: components of the doubling graph") {
+    val out = operators.GraphQueries.graphComponents(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // every component representative is odd (doubling preserves odd
+    // roots), and each vertex's rep divides it by a power of two
+    assert(out.nonEmpty)
+    out.foreach { case (id, comp) =>
+      assert(comp % 2 == 1, s"rep $comp of $id should be odd")
+      var x = id
+      while (x % 2 == 0 && x > comp) x /= 2
+      assert(x == comp, s"vertex $id should reduce to its odd root $comp")
+    }
+  }
+}
