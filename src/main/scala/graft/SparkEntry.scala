@@ -89,6 +89,7 @@ object SparkEntry {
     "io_scd2_history"          -> (MaintenanceQueries.ioScd2History _),
     "dedup_edit_blocked"       -> (DedupQueries.dedupEditBlocked _),
     "graph_components"         -> (GraphQueries.graphComponents _),
+    "io_stats_prune_scan"      -> (IoQueries.ioStatsPruneScan _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -1109,6 +1110,21 @@ object SparkEntry {
         |JOIN corpus cb ON cb.doc_id = id_b
         |WHERE levenshtein(ca.text, cb.text) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the oracle answers the same partkey-range aggregate from the
+    // ORIGINAL table; the Spark side answers it through the z-ordered
+    // copy via the stats-index-pruned read — a hash match proves the
+    // pruned scan is exact. Integer window bounds derived identically.
+    "io_stats_prune_scan" ->
+      """WITH r AS (SELECT min(l_partkey) AS lo, max(l_partkey) AS hi FROM lineitem),
+        |q AS (SELECT lo + (hi - lo) * 2 // 5 AS qlo,
+        |             lo + (hi - lo) * 3 // 5 AS qhi FROM r)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
+        |FROM lineitem, q
+        |WHERE l_partkey >= qlo AND l_partkey <= qhi
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // transitive closure over the doubling graph (i -> 2i), component
     // = min reachable id — verifies ConnectedComponents.label exactly

@@ -39,6 +39,36 @@ object IoQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Data-skipping gate: lineitem written z-ordered on (l_orderkey,
+    * l_partkey), a per-file min/max stats index built over it, and a
+    * partkey-range aggregate answered through the index-pruned read —
+    * only files whose stats can intersect the range are opened, and
+    * the residual filter restores exactness. The oracle runs the same
+    * range aggregate on the ORIGINAL table: a hash match proves the
+    * pruned scan lost nothing. PruneSpec separately asserts files are
+    * actually skipped. */
+  def ioStatsPruneScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_returnflag")
+    val out = tmpDir("zstats", dir)
+    GraftIO.writeZOrdered(li, out, Seq("l_orderkey", "l_partkey"), files = 16)
+    val index = GraftIO.buildStatsIndex(spark, out, Seq("l_orderkey", "l_partkey"))
+
+    // the middle fifth of the part-key space — a selective range on the
+    // NON-leading z dimension, where a linear layout couldn't skip
+    val r = li.agg(min($"l_partkey").cast("long"), max($"l_partkey").cast("long")).first()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (qLo, qHi) = (lo + (hi - lo) * 2 / 5, lo + (hi - lo) * 3 / 5)
+
+    GraftIO.readPruned(spark, index, "l_partkey", qLo, qHi)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_orderkey").as("sum_okey"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Gzip jsonlines roundtrip of orders. */
   def ioJsonlinesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -257,4 +257,22 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Gap-based sessionization via the BUILT-IN `session_window` — the
+    * declarative twin of [[sessionize]]: Spark merges each event's
+    * gap-length window with overlapping ones into a session, and the
+    * watermark evicts closed-session state. Prefer this when
+    * per-session aggregates are enough (the engine owns the state
+    * shape and merge); `flatMapGroupsWithState` remains for custom
+    * state. `session_end` is last-event + gap, per the built-in's
+    * convention. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy($"user_id", session_window($"ts", gap).as("w"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n", $"sum_value")
+  }
 }

@@ -59,6 +59,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"range join degenerated to a nested loop:\n$s")
   }
 
+  test("edit-blocked dedup candidates come from an equi-join, never a nested loop") {
+    val s = fmt(graft.operators.DedupQueries.dedupEditBlocked(spark, sf))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"segment blocking degenerated to a nested loop:\n$s")
+  }
+
+  test("maintenance and gap-fill queries plan as pure equi-join/key-shuffle shapes") {
+    Seq(
+      graft.operators.MaintenanceQueries.ioScd2History(spark, sf),
+      graft.operators.MaintenanceQueries.qIncrementalAgg(spark, sf),
+      graft.operators.EventQueries.eventsGapFill(spark, sf)
+    ).foreach { df =>
+      val s = fmt(df)
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"nested loop in a maintenance plan:\n$s")
+    }
+  }
+
   test("bottom-k sample aggregates partially before the shuffle") {
     graft.functions.BottomK.ensureRegistered(spark)
     val s = fmt(graft.operators.SampleQueries.qSampleDeterministic(spark, sf))

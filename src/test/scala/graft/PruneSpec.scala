@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.GraftIO
+
+/** Stats-index data skipping: the pruned read must be exact (no false
+  * negatives) while actually opening fewer files. */
+class PruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("index-pruned read equals full scan + filter and skips files") {
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val path = Files.createTempDirectory("prune").toString + "/z"
+    GraftIO.writeZOrdered(li, path, Seq("l_orderkey", "l_partkey"), files = 16)
+    val index = GraftIO.buildStatsIndex(spark, path, Seq("l_orderkey", "l_partkey"))
+    val nFiles = index.count()
+
+    val r = li.agg(min($"l_partkey").cast("long"), max($"l_partkey").cast("long")).first()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (qLo, qHi) = (lo + (hi - lo) * 2 / 5, lo + (hi - lo) * 3 / 5)
+
+    val pruned = GraftIO.readPruned(spark, index, "l_partkey", qLo, qHi)
+    val full = spark.read.parquet(path).filter($"l_partkey" >= qLo && $"l_partkey" <= qHi)
+    assert(pruned.count() == full.count())
+    assert(pruned.agg(sum($"l_orderkey"), sum($"l_quantity")).first() ==
+      full.agg(sum($"l_orderkey"), sum($"l_quantity")).first())
+
+    val opened = index
+      .filter(col("min_l_partkey") <= qHi && col("max_l_partkey") >= qLo).count()
+    assert(opened < nFiles, s"expected pruning: opened $opened of $nFiles files")
+
+    // a range outside the data prunes every file but keeps the schema
+    val none = GraftIO.readPruned(spark, index, "l_partkey", hi + 1000, hi + 2000)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == li.columns.toSeq)
+  }
+}

@@ -123,6 +123,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window sessionization agrees with flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.sessionWindowAgg(df).writeStream
+      .format("memory").queryName("sess_win").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 1000 and 1010 (one session), user 2: one event
+      in.addData((1L, ts(1000), 2.0), (1L, ts(1010), 3.0), (2L, ts(1005), 7.0))
+      q.processAllAvailable()
+      // advance the watermark past every open session's end (+30m gap)
+      in.addData((9L, ts(2000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_win")
+        .select($"user_id", $"session_start", $"session_end", $"n", $"sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3), r.getDouble(4)))
+        .toSet
+      // session_end = last event + gap (built-in convention)
+      assert(got === Set(
+        (1L, 1000L, 1040L, 2L, 5.0),
+        (2L, 1005L, 1035L, 1L, 7.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionizers agree on shared input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
