@@ -90,6 +90,8 @@ object SparkEntry {
     "dedup_edit_blocked"       -> (DedupQueries.dedupEditBlocked _),
     "graph_components"         -> (GraphQueries.graphComponents _),
     "io_stats_prune_scan"      -> (IoQueries.ioStatsPruneScan _),
+    "io_export_shards"         -> (IoQueries.ioExportShards _),
+    "events_dedup_window"      -> (EventQueries.eventsDedupWindow _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -1125,6 +1127,51 @@ object SparkEntry {
         |FROM lineitem, q
         |WHERE l_partkey >= qlo AND l_partkey <= qhi
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // shard = value of the first two md5 hex digits of the decimal doc
+    // id, mod 8 — both engines emit the same lowercase hex, and the
+    // hex→int step is spelled with strpos so no engine-specific
+    // conversion function is involved
+    "io_export_shards" ->
+      """WITH s AS (
+        |  SELECT doc_id, text, lang,
+        |    CAST((strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // the keep-chain walk (keep an occurrence only when it falls
+    // outside 1h of the LAST KEPT one) is a per-id fold — restated as
+    // a recursive CTE stepping occurrence by occurrence
+    "events_dedup_window" ->
+      """WITH RECURSIVE occ AS (
+        |  SELECT dup_id, tsn, event_id,
+        |    row_number() OVER (PARTITION BY dup_id ORDER BY tsn, event_id) AS rn
+        |  FROM (SELECT event_id % 1000 AS dup_id, epoch_ns(ts) AS tsn, event_id
+        |        FROM events)),
+        |walk(dup_id, rn, last, n, id_sum) AS (
+        |  SELECT dup_id, 0, CAST(-7200000000000 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT dup_id FROM occ)
+        |  UNION ALL
+        |  SELECT o.dup_id, o.rn,
+        |    CASE WHEN o.tsn - w.last > 3600000000000 THEN o.tsn ELSE w.last END,
+        |    CASE WHEN o.tsn - w.last > 3600000000000 THEN w.n + 1 ELSE w.n END,
+        |    CASE WHEN o.tsn - w.last > 3600000000000 THEN w.id_sum + o.event_id
+        |         ELSE w.id_sum END
+        |  FROM walk w JOIN occ o ON o.dup_id = w.dup_id AND o.rn = w.rn + 1)
+        |SELECT w.dup_id, CAST(w.n AS BIGINT) AS n_kept,
+        |  CAST(w.id_sum AS BIGINT) AS kept_id_sum
+        |FROM walk w
+        |JOIN (SELECT dup_id, max(rn) AS mx FROM occ GROUP BY dup_id) m
+        |  ON m.dup_id = w.dup_id AND m.mx = w.rn
+        |ORDER BY w.dup_id""".stripMargin,
 
     // transitive closure over the doubling graph (i -> 2i), component
     // = min reachable id — verifies ConnectedComponents.label exactly

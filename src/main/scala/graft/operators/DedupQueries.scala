@@ -253,8 +253,8 @@ object DedupQueries {
     * blocking: for distance k, split every string into k+1 contiguous
     * position-segments — two equal-length strings within k
     * substitutions MUST agree on at least one segment, so candidates
-    * come from an equi-join on (segment_index, segment_value, length)
-    * and only those pairs pay the O(n·m) Levenshtein verify. The
+    * come from an equi-join on (segment_index, segment_hash, length)
+    * and only those pairs pay the banded Levenshtein verify. The
     * operator's contract (stated identically by the oracle) is: pairs
     * with equal length sharing a position-segment whose edit distance
     * is <= k — exact and hash-verifiable cross-engine, with no
@@ -274,15 +274,19 @@ object DedupQueries {
         .otherwise($"text").as("text"))
     val corpus = docs.union(mutated)
 
-    // k+1 = 3 position-segments; the shuffle key is (idx, segment,
-    // length) — a short prefix of the text, never the whole document
+    // k+1 = 3 position-segments; the shuffle key is (idx, hash64(seg),
+    // length) — 8 bytes per segment instead of up to a third of the
+    // document. Equal segments always hash equal (no false negatives);
+    // a collision's false candidate is removed by the Levenshtein
+    // verify with 2^-64 odds of surviving it — the same digest-equality
+    // convention as dedup_exact's sha256 grouping.
     val segs = corpus
       .select($"doc_id", $"text", length($"text").cast("long").as("len"),
         expr("length(text) div 3").as("third"))
       .select($"doc_id", $"len", explode(array(
-        struct(lit(0).as("idx"), $"text".substr(lit(1), $"third").as("seg")),
-        struct(lit(1).as("idx"), $"text".substr($"third" + 1, $"third").as("seg")),
-        struct(lit(2).as("idx"), $"text".substr($"third" * 2 + 1, $"len").as("seg"))
+        struct(lit(0).as("idx"), xxhash64($"text".substr(lit(1), $"third")).as("seg")),
+        struct(lit(1).as("idx"), xxhash64($"text".substr($"third" + 1, $"third")).as("seg")),
+        struct(lit(2).as("idx"), xxhash64($"text".substr($"third" * 2 + 1, $"len")).as("seg"))
       )).as("x"))
       .select($"doc_id", $"len", $"x.idx", $"x.seg")
 

@@ -162,6 +162,44 @@ object EventQueries {
       .orderBy($"day_no")
   }
 
+  /** Windowed dedup — the BATCH twin of streaming
+    * `dropDuplicatesWithinWatermark` (EventStreams.dedupeWithinWatermark):
+    * occurrences of an id are duplicates of the KEPT occurrence if they
+    * arrive within 1 hour of it; a later occurrence past the horizon
+    * starts a fresh retention window (matching the streaming semantics,
+    * where state for an id is evicted 1 h after it was admitted). One
+    * id-key window; the horizon chain is a running comparison against
+    * the last KEPT timestamp, computed as a per-id sorted-array pass
+    * (ids repeat a handful of times; the array is bounded by the id's
+    * occurrence count, not the corpus). The gate models duplicate
+    * arrivals by re-keying event_id mod 1000. */
+  def eventsDedupWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(($"event_id" % 1000).as("dup_id"), $"ts", $"event_id", $"value")
+    // per dup_id: order occurrences by (ts, event_id); keep one, then
+    // drop everything within the horizon of the kept one; next outside
+    // occurrence is kept again. aggregate() walks the sorted occurrence
+    // array carrying (lastKeptTs, keptCount, keptTsSum, keptIdSum).
+    val HorizonNs = 3600L * 1000 * 1000 * 1000
+    ev.groupBy($"dup_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id"))).as("occ"))
+      .select($"dup_id", aggregate(
+        $"occ",
+        // initial "last kept" sits 2 horizons before epoch 0, so the
+        // first occurrence is always outside the horizon (and the
+        // subtraction cannot overflow, unlike a Long.MinValue sentinel)
+        struct(lit(-2L * HorizonNs).as("last"), lit(0L).as("n"),
+          lit(0L).as("id_sum")),
+        (acc, x) =>
+          when(x.getField("ts") - acc.getField("last") > HorizonNs,
+            struct(x.getField("ts").as("last"), (acc.getField("n") + 1L).as("n"),
+              (acc.getField("id_sum") + x.getField("event_id")).as("id_sum")))
+            .otherwise(acc)).as("r"))
+      .select($"dup_id", $"r.n".as("n_kept"), $"r.id_sum".as("kept_id_sum"))
+      .orderBy($"dup_id")
+  }
+
   /** Assign gap-based session ids: adds a `session_id` column to any
     * (user_id, ts:nanos, event_id, ...) frame, preserving the other
     * columns. THE definition of a session (gap, tie-break order) lives

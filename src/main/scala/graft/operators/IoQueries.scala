@@ -69,6 +69,37 @@ object IoQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Training-shard export: the last step of a data pipeline —
+    * documents routed to N shards by a content-independent
+    * deterministic hash of the stable id (md5 hex, restated
+    * identically in the oracle), so every rerun and every engine
+    * produces byte-identical shard membership, and shard sizes are
+    * balanced without a global sort or shuffle-by-random. The gate
+    * aggregates per-shard stats; the spec writes the shards and checks
+    * the files round-trip. One hash-key shuffle; no ordering
+    * dependence anywhere. */
+  def ioExportShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 8
+    shardAssign(Tables.documents(spark, dir), n)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_id"),
+        sum(length($"text").cast("long")).as("sum_chars"),
+        countDistinct($"lang").as("n_langs"))
+      .orderBy($"shard")
+  }
+
+  /** shard = first two md5 hex digits of the doc id, mod n — exactly
+    * expressible in DuckDB (both engines emit lowercase hex md5 of the
+    * same decimal string). */
+  private[graft] def shardAssign(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withColumn("shard",
+      (conv(substring(md5($"doc_id".cast("string")), 1, 2), 16, 10).cast("long") % n)
+        .cast("long"))
+  }
+
   /** Gzip jsonlines roundtrip of orders. */
   def ioJsonlinesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

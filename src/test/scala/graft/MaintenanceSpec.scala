@@ -61,6 +61,46 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.map(_._3).sum == rawCells)
   }
 
+  test("windowed dedup agrees with a driver-side keep-chain walk") {
+    val out = operators.EventQueries.eventsDedupWindow(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    val horizon = 3600L * 1000 * 1000 * 1000
+    val expected = Tables.events(spark, sf)
+      .select(($"event_id" % 1000).as("d"), $"ts", $"event_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (d, occs) =>
+        var last = -2L * horizon; var n = 0L; var idSum = 0L
+        occs.map(o => (o._2, o._3)).sorted.foreach { case (ts, id) =>
+          if (ts - last > horizon) { last = ts; n += 1; idSum += id }
+        }
+        d -> (n, idSum)
+      }
+    assert(out == expected)
+  }
+
+  test("shard export: deterministic assignment, files round-trip, totals conserved") {
+    val docs = Tables.documents(spark, sf)
+    val assigned = operators.IoQueries.shardAssign(docs, 8)
+    // assignment is a pure function of doc_id: recomputing gives the
+    // same shard for every doc
+    val twice = assigned.select($"doc_id", $"shard")
+      .join(operators.IoQueries.shardAssign(docs, 8)
+        .select($"doc_id", $"shard".as("shard2")), "doc_id")
+    assert(twice.filter($"shard" =!= $"shard2").count() == 0)
+
+    val base = java.nio.file.Files.createTempDirectory("shards").toString
+    io.GraftIO.write(assigned, base, partitionBy = Seq("shard"))
+    val back = spark.read.parquet(base)
+    assert(back.count() == docs.count())
+    assert(back.select(sum($"doc_id")).first().getLong(0) ==
+      docs.select(sum($"doc_id")).first().getLong(0))
+    // every shard directory exists (hash spreading over small n)
+    assert(back.select($"shard").distinct().count() == 8)
+  }
+
   test("edit-blocked dedup finds every planted two-substitution twin") {
     val pairs = DedupQueries.dedupEditBlocked(spark, sf)
       .as[(Long, Long, Long)].collect()

@@ -36,6 +36,26 @@ class RobustnessSpec extends AnyFunSuite with SparkSpec {
     assert(c1.count() === 500 && c2.count() === 500)
   }
 
+  test("z-order write survives a degenerate (constant) clustering column") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, 7L, s"r$i")).toDF("a", "c", "v")
+    val d = Files.createTempDirectory("graft_zdeg").toString + "/z"
+    // constant column: min == max → every row lands in bucket 0 on that
+    // dim; the interleave degrades to a sort on the other column
+    GraftIO.writeZOrdered(df, d, Seq("a", "c"), files = 4)
+    val back = spark.read.parquet(d)
+    assert(back.count() == 200)
+    assert(back.agg(sum($"a")).first().getLong(0) == (1 to 200).map(_.toLong).sum)
+  }
+
+  test("z-order write rejects fewer than two clustering columns") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    assertThrows[IllegalArgumentException] {
+      GraftIO.writeZOrdered(df, "/tmp/never", Seq("a"), files = 2)
+    }
+  }
+
   test("read with restorePartitions=false drops hive partition columns") {
     import spark.implicits._
     val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "part")
