@@ -845,7 +845,7 @@ object SparkEntry {
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
         |  FROM base WHERE o_orderkey % 7 = 3
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'N', 1.0, 'I', 1
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base), 'N', 1.0, 'I', 1
         |  FROM base WHERE o_orderkey % 11 = 0),
         |latest AS (
         |  SELECT o_orderkey, op, o_orderstatus, o_totalprice FROM (
@@ -1065,7 +1065,7 @@ object SparkEntry {
         |  SELECT o_orderkey, 'D', 2, o_orderstatus, price_cents
         |  FROM base WHERE o_orderkey % 7 = 3
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'I', 1, 'N', 100
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base), 'I', 1, 'N', 100
         |  FROM base WHERE o_orderkey % 11 = 0),
         |v AS (
         |  SELECT *,
@@ -1178,7 +1178,8 @@ object SparkEntry {
     "graph_components" ->
       """WITH RECURSIVE e AS (
         |  SELECT doc_id AS src, doc_id * 2 AS dst FROM documents
-        |  WHERE doc_id >= 1 AND doc_id * 2 <= (SELECT max(doc_id) FROM documents)),
+        |  WHERE doc_id >= 1
+        |    AND doc_id * 2 IN (SELECT doc_id FROM documents)),
         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
         |verts AS (SELECT DISTINCT src AS id FROM und),
         |reach(id, r) AS (

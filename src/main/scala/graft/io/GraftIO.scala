@@ -243,9 +243,15 @@ object GraftIO {
     require(statCols.nonEmpty, "statCols must not be empty")
     val aggs = statCols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(path)
+    val stats = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+    // MATERIALIZE the index: it is one row per file, but its lineage is
+    // a scan of the stat columns of the whole dataset — returned lazy,
+    // every readPruned would re-run that scan, inverting the point of
+    // the index. The localCheckpoint cuts the lineage so the build cost
+    // is paid exactly once per index, like the table it stands for.
+    stats.localCheckpoint(eager = true)
   }
 
   /** Stats-index-pruned read: keep only the files whose [min, max]

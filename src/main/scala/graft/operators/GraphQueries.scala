@@ -21,15 +21,18 @@ import graft.similarity.ConnectedComponents
 object GraphQueries {
 
   /** Deterministic doubling-edge set over the document ids: an edge
-    * i → 2i for every id whose double is also an id (id 0 excluded —
-    * 0 → 0 is a self-loop). Components are the odd-rooted chains
-    * {o, 2o, 4o, ...}. */
+    * i → 2i for every id whose double IS ITSELF a document id (a
+    * semi-join, not a max-bound check — a gapped id space must not
+    * produce edges to phantom vertices); id 0 excluded (0 → 0 is a
+    * self-loop). Components are the odd-rooted chains {o, 2o, 4o, ...}
+    * restricted to present ids. */
   private def doublingEdges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = Tables.documents(spark, dir).select($"doc_id")
-    val maxId = ids.agg(max($"doc_id")).first().getLong(0)
-    ids.filter($"doc_id" >= 1 && $"doc_id" * 2 <= maxId)
+    ids.filter($"doc_id" >= 1)
       .select($"doc_id".as("src"), ($"doc_id" * 2).as("dst"))
+      .join(ids.select($"doc_id".as("dst")), Seq("dst"), "left_semi")
+      .select($"src", $"dst")
   }
 
   /** Connected components over the doubling graph: (id, component)

@@ -185,8 +185,12 @@ object IoQueries {
     val deletes = base.filter($"o_orderkey" % 7 === 3)
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
         lit("D").as("op"), lit(2L).as("seq"))
+    // insert keys shifted above the REAL key space (max+1, one scalar
+    // aggregate) — a fixed offset would collide with existing keys at
+    // a large-enough sf and make the merge outcome key-dependent
+    val newKeyBase = base.agg(max($"o_orderkey")).first().getLong(0) + 1L
     val inserts = base.filter($"o_orderkey" % 11 === 0)
-      .select(($"o_orderkey" + lit(10000000L)).as("o_orderkey"),
+      .select(($"o_orderkey" + newKeyBase).as("o_orderkey"),
         lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
         lit("I").as("op"), lit(1L).as("seq"))
     val merged = Merge.merge(base,

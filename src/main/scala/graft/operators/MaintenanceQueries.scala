@@ -33,6 +33,11 @@ object MaintenanceQueries {
     val base = Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_orderstatus",
         round($"o_totalprice" * 100).cast("long").as("price_cents"))
+    // new synthetic keys must sit strictly above EVERY real key — a
+    // fixed offset would collide at a large-enough sf, producing
+    // duplicate (key, seq) rows and a nondeterministic lead(). One
+    // scalar aggregate (scan planning-scale, not data movement).
+    val newKeyBase = base.agg(max($"o_orderkey")).first().getLong(0) + 1L
     val inserts = base.select($"o_orderkey", lit("I").as("op"), lit(0L).as("seq"),
       $"o_orderstatus", $"price_cents")
     val updates = base.filter($"o_orderkey" % 5 === 0)
@@ -42,16 +47,16 @@ object MaintenanceQueries {
       .select($"o_orderkey", lit("D").as("op"), lit(2L).as("seq"),
         $"o_orderstatus", $"price_cents")
     val newKeys = base.filter($"o_orderkey" % 11 === 0)
-      .select(($"o_orderkey" + 10000000L).as("o_orderkey"), lit("I").as("op"),
+      .select(($"o_orderkey" + newKeyBase).as("o_orderkey"), lit("I").as("op"),
         lit(1L).as("seq"), lit("N").as("o_orderstatus"), lit(100L).as("price_cents"))
     inserts.unionByName(updates).unionByName(deletes).unionByName(newKeys)
   }
 
   /** SCD type-2 history build: every non-delete change opens a version
     * effective at its own seq and closed by the NEXT change on the key
-    * (update or delete alike); `end_seq` null means the version is
-    * still open, and `is_current` additionally requires that the key
-    * was not closed by a tombstone. One window over the business key —
+    * (update or delete alike — a tombstone closes the last version by
+    * supplying its end_seq, so `is_current` = open interval is exact
+    * without inspecting the closing op). One window over the business key —
     * the key's change count is bounded (a handful of CDC batches), so
     * per-partition state stays tiny at any corpus size.
     *
@@ -65,7 +70,6 @@ object MaintenanceQueries {
     val versions = changeLog(spark, dir)
       .withColumn("end_seq", lead($"seq", 1).over(byKey))
       .withColumn("n_changes", count(lit(1)).over(Window.partitionBy($"o_orderkey")))
-      .withColumn("next_op", lead($"op", 1).over(byKey))
     versions
       .filter($"op" =!= "D") // tombstones close history, they are not versions
       .filter($"n_changes" >= 2)

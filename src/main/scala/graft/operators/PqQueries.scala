@@ -102,8 +102,8 @@ object PqQueries {
     * melted one row per subspace, and the codebooks as a tiny frame
     * (sub, code, centroid: array<float>).
     *
-    * Training: driver-side Lloyd's over the first `TrainSample` vectors
-    * by vec_id (deterministic under any partitioning). Encoding: one
+    * Training: driver-side Lloyd's over `TrainSample` vectors chosen
+    * by hash order of vec_id (deterministic AND unbiased). Encoding: one
     * map pass over the corpus with the 4 KiB codebook broadcast — a
     * direct JVM argmin loop over 128 centroids; a Catalyst HOF argmin
     * over 128 literal arrays would be interpreted per element and
@@ -112,8 +112,13 @@ object PqQueries {
     import spark.implicits._
     val emb = Tables.widened(Tables.embeddings(spark, dir)).select($"vec_id", $"embedding")
 
+    // hash-ordered sample, NOT a vec_id prefix: real corpora correlate
+    // ids with ingest time/source, so the first-N-by-id would train the
+    // codebooks on one slice of the distribution. Ordering by a hash of
+    // the id is deterministic under any partitioning AND unbiased; the
+    // take-ordered top-N never moves more than N rows.
     val sample = Tables.embeddings(spark, dir)
-      .orderBy($"vec_id").limit(TrainSample)
+      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(TrainSample)
       .select($"embedding").as[Seq[Float]].collect().map(_.toArray)
     val codebooks: Array[Array[Array[Float]]] = (0 until M).toArray.map { s =>
       kmeansLocal(sample.map(_.slice(s * SubDim, (s + 1) * SubDim)), Ks, 5, 42L + s)

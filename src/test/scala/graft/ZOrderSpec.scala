@@ -13,11 +13,13 @@ import graft.io.GraftIO
 class ZOrderSpec extends SparkSpec {
   import spark.implicits._
 
+  // the per-file ranges come from the REAL index builder, so the
+  // pruning measured here exercises the same stats readPruned uses
   private def fileRanges(path: String, a: String, b: String): DataFrame =
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(a)).as("a_lo"), max(col(a)).as("a_hi"),
-        min(col(b)).as("b_lo"), max(col(b)).as("b_hi"))
+    GraftIO.buildStatsIndex(spark, path, Seq(a, b))
+      .select(col("file"),
+        col(s"min_$a").as("a_lo"), col(s"max_$a").as("a_hi"),
+        col(s"min_$b").as("b_lo"), col(s"max_$b").as("b_hi"))
 
   /** Files whose [lo, hi] stats overlap [qLo, qHi] — the set a
     * stats-pruning reader must open. */
