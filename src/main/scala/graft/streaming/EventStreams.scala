@@ -258,6 +258,24 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Idempotent exactly-once parquet sink for `foreachBatch` — the
+    * sink half of the streaming story. Structured Streaming guarantees
+    * foreachBatch sees each (batchId, data) at-least-once with
+    * deterministic content per id after a restart; exactly-once in the
+    * SINK is the user's job. The standard pattern, packaged: each
+    * batch writes to `path/batch_id=<id>/` with Overwrite. A
+    * redelivered batch rewrites the SAME directory with the SAME rows
+    * — idempotent by construction, no commit log to keep consistent
+    * with the data (the directory IS the commit record, and a partial
+    * write left by a crash is overwritten whole on redelivery).
+    * Readers see hive-partitioned parquet under `path`; the batch_id
+    * partition column also gives them incremental-consumption
+    * ordering for free. Returns the function to pass to
+    * `writeStream.foreachBatch`. */
+  def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
   /** Gap-based sessionization via the BUILT-IN `session_window` — the
     * declarative twin of [[sessionize]]: Spark merges each event's
     * gap-length window with overlapping ones into a session, and the

@@ -150,6 +150,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent foreachBatch sink: batch redelivery does not duplicate rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/out"
+    val sink = EventStreams.idempotentParquetSink(dir)
+
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("id", "v").writeStream.foreachBatch(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val afterRun = spark.read.parquet(dir)
+    assert(afterRun.count() == 3)
+
+    // simulate the at-least-once redelivery of batch 0 (restart from a
+    // checkpoint whose sink write wasn't acknowledged): same id, same
+    // deterministic content — the sink must converge, not append
+    sink(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), 0L)
+    val afterRedelivery = spark.read.parquet(dir)
+    assert(afterRedelivery.count() == 3, "redelivered batch must not duplicate")
+    assert(afterRedelivery.select(
+      org.apache.spark.sql.functions.sum($"id")).first().getLong(0) == 6L)
+    // batch_id arrives as a hive partition column for incremental readers
+    assert(afterRedelivery.columns.contains("batch_id"))
+  }
+
   test("batch and streaming sessionizers agree on shared input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
