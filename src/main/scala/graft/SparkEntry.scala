@@ -92,6 +92,7 @@ object SparkEntry {
     "io_stats_prune_scan"      -> (IoQueries.ioStatsPruneScan _),
     "io_export_shards"         -> (IoQueries.ioExportShards _),
     "events_dedup_window"      -> (EventQueries.eventsDedupWindow _),
+    "text_classifier_score"    -> (TextQueries.textClassifierScore _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -1145,6 +1146,24 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  count(DISTINCT lang) AS n_langs
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // hashed-feature linear inference: bucket = first two md5 hex
+    // digits of the token (strpos decode as in io_export_shards);
+    // weight = ((bucket * 2654435761) % 2001) - 1000; all integer
+    "text_classifier_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |w AS (
+        |  SELECT doc_id,
+        |    (CAST((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) AS BIGINT)
+        |      * 2654435761) % 2001 - 1000 AS w
+        |  FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(w) AS BIGINT) AS score,
+        |  (sum(w) > 0) AS accepted
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the keep-chain walk (keep an occurrence only when it falls
     // outside 1h of the LAST KEPT one) is a per-id fold — restated as

@@ -111,6 +111,34 @@ object TextQueries {
         max($"keep_id").as("max_id"))
   }
 
+  /** Hashed-feature linear classifier inference — the fastText-style
+    * quality-classifier scoring step of a curation pipeline, reduced
+    * to its Spark-shaped essence: tokens hash into 256 feature buckets
+    * (md5 hex, engine-portable), each bucket carries a fixed integer
+    * weight (a deterministic function of the bucket id — in production
+    * this is the broadcast trained-weights array; the PLUMBING is what
+    * scales, not the weights), and a document's score is the exact
+    * integer sum of its token weights. Pure map-side explode +
+    * per-doc aggregate on the doc key — no shuffle wider than the
+    * (doc, partial-sum) combine; the model lookup is arithmetic, so
+    * nothing is broadcast at all here and a real weight table would be
+    * a ~KB broadcast. Exact integers end-to-end → hash gate. */
+  def textClassifierScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // bucket = value of the first two md5 hex digits of the token;
+    // weight = ((bucket * 2654435761) mod 2001) - 1000  (range ±1000)
+    val bucket = (conv(substring(md5($"token"), 1, 2), 16, 10).cast("long"))
+    val weight = (bucket * 2654435761L) % 2001L - 1000L
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", explode(wsTokens($"text")).as("token"))
+      .select($"doc_id", weight.as("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"w").as("score"),
+        (sum($"w") > 0).as("accepted"))
+      .orderBy($"doc_id")
+  }
+
   /** Winnowing fingerprints: per-doc fingerprint count plus a stable
     * digest of the selected hashes (rows oracle). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
