@@ -1,23 +1,24 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.similarity.Similarity
+import graft.similarity.{LocalKMeans, Similarity}
 
 /** IVF (inverted-file) ANN — the coarse-quantizer scale path
   * alongside the LSH variant (SURVEY §2.5 extension).
   *
-  * Build: k-means the corpus into `nlist` cells (Spark ML KMeans —
-  * itself a distributed fixpoint of shuffle-free assign + key-shuffle
-  * recompute). Search: a query scores only the vectors whose cell
-  * centroid is among its `nprobe` nearest — at 100 TB, the corpus is
-  * written partitioned BY CELL, so a probe reads nprobe/nlist of the
-  * data and nothing else shuffles. Locally the cell assignment is a
-  * column and the probe is a broadcast semi-join on (cell).
+  * Build: the `nlist`-cell coarse quantizer trains driver-side on a
+  * hash-ordered bounded sample (LocalKMeans — the FAISS convention;
+  * a distributed fit of a 16×64-float model is pure fixed job
+  * latency), then the corpus is assigned to cells in one
+  * broadcast-centroid map pass. Search: a query scores only the
+  * vectors whose cell centroid is among its `nprobe` nearest — at
+  * 100 TB, the corpus is written partitioned BY CELL, so a probe
+  * reads nprobe/nlist of the data and nothing else shuffles. Locally
+  * the cell assignment is a column and the probe is a broadcast
+  * semi-join on (cell).
   */
 object IvfQueries {
 
@@ -25,30 +26,31 @@ object IvfQueries {
   private val NProbe = 6
   private val K = 5
   private val NQueries = 10
+  private val TrainSample = 4096
 
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.ensureRegistered(spark)
 
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val withVec = emb.withColumn("features",
-      array_to_vector($"embedding".cast("array<double>")))
 
-    // 5 iterations: cell assignments stabilize well before centroid
-    // convergence, and IVF recall depends only on assignments (probing
-    // covers NProbe cells anyway) — halving from 10 left the recall
-    // gate green at ~60% of the train cost
-    val model = new KMeans()
-      .setK(NList).setSeed(42L).setMaxIter(5).setFeaturesCol("features")
-      .fit(withVec)
+    // unbiased deterministic sample (hash order, not id order), 5
+    // Lloyd's iterations: cell assignments stabilize well before
+    // centroid convergence, and IVF recall depends only on assignments
+    // (probing covers NProbe cells anyway)
+    val sample = emb.orderBy(xxhash64($"vec_id"), $"vec_id").limit(TrainSample)
+      .select($"embedding").as[Seq[Float]].collect().map(_.toArray)
+    val centroids = LocalKMeans.train(sample, NList, 5, 42L)
 
     // corpus annotated with its cell (at scale: the partitioning key)
-    val assigned = model.transform(withVec)
-      .select($"vec_id", $"embedding", $"prediction".as("cell"))
+    // in one map pass over the broadcast centroids
+    val cb = spark.sparkContext.broadcast(centroids)
+    val cellOf = udf { (e: Seq[Float]) => LocalKMeans.assign(cb.value, e.toArray) }
+    val assigned = emb.select($"vec_id", $"embedding", cellOf($"embedding").as("cell"))
 
     // centroids as a tiny literal-backed frame (nlist × dim)
-    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat).toSeq)
+    val centers = centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq)
     }.toSeq.toDF("cell", "centroid")
 
     // each query probes its nprobe nearest cells — by EUCLIDEAN

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.similarity.Similarity
+import graft.similarity.{LocalKMeans, Similarity}
 
 /** Product-quantization ANN (Jégou et al. '11) — the memory-scale path
   * of the similarity family: each 64-float vector compresses to M=8
@@ -59,45 +59,6 @@ object PqQueries {
     * what makes training O(1) while encoding stays O(n). */
   private val TrainSample = 4096
 
-  /** Deterministic driver-side Lloyd's k-means over a bounded sample.
-    * The codebooks are tiny (16 × 8 floats per subspace) and the
-    * sample is bounded, so distributed training buys nothing: the 8
-    * iterative Spark ML fits cost ~30 jobs of pure fixed latency
-    * (measured: the whole query dropped 6.7 s → ~2 s at sf0.1 when
-    * they went away). Seeded init + fixed iteration count keep the
-    * codebooks reproducible run-to-run. Empty clusters keep their
-    * previous centroid. */
-  private def kmeansLocal(
-      points: Array[Array[Float]], k: Int, iters: Int, seed: Long): Array[Array[Float]] = {
-    require(points.length >= k, s"need >= $k training points, got ${points.length}")
-    val dim = points(0).length
-    val rnd = new scala.util.Random(seed)
-    val centroids = rnd.shuffle(points.indices.toVector).take(k)
-      .map(i => points(i).clone).toArray
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
-      points.foreach { p =>
-        var best = 0; var bestD = Double.MaxValue; var j = 0
-        while (j < k) {
-          var d = 0.0; var i = 0
-          while (i < dim) { val t = p(i) - centroids(j)(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
-        }
-        counts(best) += 1
-        val s = sums(best); var i = 0
-        while (i < dim) { s(i) += p(i); i += 1 }
-      }
-      var j = 0
-      while (j < k) {
-        if (counts(j) > 0) centroids(j) = sums(j).map(x => (x / counts(j)).toFloat)
-        j += 1
-      }
-    }
-    centroids
-  }
-
   /** (corpusCodes, centroidsDf): corpus (vec_id, embedding, sub, code)
     * melted one row per subspace, and the codebooks as a tiny frame
     * (sub, code, centroid: array<float>).
@@ -121,7 +82,7 @@ object PqQueries {
       .orderBy(xxhash64($"vec_id"), $"vec_id").limit(TrainSample)
       .select($"embedding").as[Seq[Float]].collect().map(_.toArray)
     val codebooks: Array[Array[Array[Float]]] = (0 until M).toArray.map { s =>
-      kmeansLocal(sample.map(_.slice(s * SubDim, (s + 1) * SubDim)), Ks, 5, 42L + s)
+      LocalKMeans.train(sample.map(_.slice(s * SubDim, (s + 1) * SubDim)), Ks, 5, 42L + s)
     }
 
     val cb = spark.sparkContext.broadcast(codebooks)
