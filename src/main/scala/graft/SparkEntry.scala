@@ -93,6 +93,7 @@ object SparkEntry {
     "io_export_shards"         -> (IoQueries.ioExportShards _),
     "events_dedup_window"      -> (EventQueries.eventsDedupWindow _),
     "text_classifier_score"    -> (TextQueries.textClassifierScore _),
+    "ann_mmr_rerank"           -> (AnnQueries.annMmrRerank _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */

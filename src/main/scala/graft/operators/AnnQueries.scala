@@ -20,6 +20,8 @@ object AnnQueries {
   private val K = 5
   private val NQueries = 10
   private val Salts = 32
+  private val MmrPool = 20  // candidates considered by the greedy re-rank
+  private val MmrLambda = 0.7 // relevance vs diversity trade-off
 
   /** Exact cosine top-k per query vector: broadcast queries × corpus,
     * codegen'd double-accumulated cosine, two-phase windowed top-k.
@@ -67,6 +69,93 @@ object AnnQueries {
       .distinct() // a pair may share several bands
 
     topKPerQuery(scored)
+  }
+
+  /** MMR diversity re-rank — the standard last stage of a retrieval
+    * pipeline: from each query's exact top-`MmrPool` candidates,
+    * greedily select `K` maximizing
+    * λ·sim(q,d) − (1−λ)·max_{d' selected} sim(d,d'), so near-duplicate
+    * hits don't crowd the result list. The candidate pool comes from
+    * the same broadcast-query scan + two-phase top-k as the exact
+    * path; the greedy selection is a per-query JVM fold over
+    * `MmrPool`×64 floats — grouped BY QUERY KEY, so it parallelizes
+    * across queries and each group's state is pool-bounded, corpus-
+    * independent. The corpus is perturbation-doubled (as in
+    * dedup_embedding_cosine) so real near-dup candidates exist for
+    * the diversity term to suppress; MmrSpec pins suppression and
+    * greedy-trace agreement. Rows oracle (iterative selection isn't
+    * SQL-expressible). */
+  def annMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+    val base = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val perturbed = base.select(
+      ($"vec_id" + 1000000L).as("vec_id"),
+      zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
+        (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
+    val corpus = base.union(perturbed)
+    val queries = base.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+
+    val scored = corpus.join(broadcast(queries), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("vid"), $"embedding",
+        Similarity.cosine($"qvec", $"embedding").as("sim"))
+    // pool = exact top-MmrPool (two-phase, as in topKPerQuery)
+    val partial = Window.partitionBy($"qid", pmod(xxhash64($"vid"), lit(Salts)))
+      .orderBy($"sim".desc, $"vid")
+    val fin = Window.partitionBy($"qid").orderBy($"sim".desc, $"vid")
+    val pool = scored
+      .withColumn("prk", row_number().over(partial)).filter($"prk" <= MmrPool)
+      .withColumn("rk", row_number().over(fin)).filter($"rk" <= MmrPool)
+
+    val selectUdf = udf { cands: Seq[org.apache.spark.sql.Row] =>
+      mmrSelect(cands.map(r => (r.getLong(1), r.getDouble(2),
+        r.getSeq[Float](3).toArray)), K, MmrLambda)
+    }
+    pool
+      // sort_array on (rk, ...) fixes candidate order by query rank, so
+      // the greedy tie-break is deterministic under any partitioning
+      .groupBy($"qid")
+      .agg(sort_array(collect_list(struct($"rk".cast("long").as("rk"),
+        $"vid", $"sim", $"embedding"))).as("cands"))
+      .select($"qid", posexplode(selectUdf($"cands")))
+      .select($"qid", ($"pos" + 1).cast("long").as("rk"), $"col".as("vid"))
+      // vid of the selection, re-joined for the reported exact sim
+      .join(scored.select($"qid", $"vid".as("vid"), $"sim"), Seq("qid", "vid"))
+      .select($"qid", $"rk", $"vid",
+        floor(lit(1000.0) * $"sim" + lit(0.5)).cast("long").as("sim_mbp"))
+      .orderBy($"qid", $"rk")
+  }
+
+  /** Greedy MMR over (vid, sim-to-query, embedding) candidates in
+    * query-rank order; returns selected vids in selection order.
+    * Ties go to the earlier (higher-ranked) candidate — deterministic.
+    * Pure function — spec-tested against a hand trace. */
+  private[graft] def mmrSelect(
+      cands: Seq[(Long, Double, Array[Float])], k: Int, lambda: Double): Seq[Long] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val n = cands.length
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val inSet = new Array[Boolean](n)
+    while (chosen.length < math.min(k, n)) {
+      var bestI = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!inSet(i)) {
+          var div = 0.0
+          chosen.foreach { j => val c = cos(cands(i)._3, cands(j)._3); if (c > div) div = c }
+          val score = lambda * cands(i)._2 - (1 - lambda) * div
+          if (score > bestScore) { bestScore = score; bestI = i }
+        }
+        i += 1
+      }
+      chosen += bestI; inSet(bestI) = true
+    }
+    chosen.map(i => cands(i)._1).toSeq
   }
 
   /** Two-phase top-k: partial top-k inside (qid, salt) buckets — ~k
