@@ -108,9 +108,14 @@ object AnnQueries {
       .withColumn("prk", row_number().over(partial)).filter($"prk" <= MmrPool)
       .withColumn("rk", row_number().over(fin)).filter($"rk" <= MmrPool)
 
+    // the UDF returns (vid, sim) pairs straight from the candidate
+    // structs — re-joining `scored` for the sims would re-execute the
+    // whole corpus-scoring scan a second time
     val selectUdf = udf { cands: Seq[org.apache.spark.sql.Row] =>
+      val byVid = cands.map(r => r.getLong(1) -> r.getDouble(2)).toMap
       mmrSelect(cands.map(r => (r.getLong(1), r.getDouble(2),
         r.getSeq[Float](3).toArray)), K, MmrLambda)
+        .map(vid => (vid, byVid(vid)))
     }
     pool
       // sort_array on (rk, ...) fixes candidate order by query rank, so
@@ -119,11 +124,8 @@ object AnnQueries {
       .agg(sort_array(collect_list(struct($"rk".cast("long").as("rk"),
         $"vid", $"sim", $"embedding"))).as("cands"))
       .select($"qid", posexplode(selectUdf($"cands")))
-      .select($"qid", ($"pos" + 1).cast("long").as("rk"), $"col".as("vid"))
-      // vid of the selection, re-joined for the reported exact sim
-      .join(scored.select($"qid", $"vid".as("vid"), $"sim"), Seq("qid", "vid"))
-      .select($"qid", $"rk", $"vid",
-        floor(lit(1000.0) * $"sim" + lit(0.5)).cast("long").as("sim_mbp"))
+      .select($"qid", ($"pos" + 1).cast("long").as("rk"), $"col._1".as("vid"),
+        floor(lit(1000.0) * $"col._2" + lit(0.5)).cast("long").as("sim_mbp"))
       .orderBy($"qid", $"rk")
   }
 
@@ -146,8 +148,13 @@ object AnnQueries {
       var i = 0
       while (i < n) {
         if (!inSet(i)) {
-          var div = 0.0
+          // true max-similarity diversity term (may be NEGATIVE for
+          // anti-correlated vectors — the Carbonell-Goldstein formula
+          // then REWARDS the candidate; a 0-clamp would silently
+          // deviate from the cited definition); 0.0 for the first pick
+          var div = Double.NegativeInfinity
           chosen.foreach { j => val c = cos(cands(i)._3, cands(j)._3); if (c > div) div = c }
+          if (chosen.isEmpty) div = 0.0
           val score = lambda * cands(i)._2 - (1 - lambda) * div
           if (score > bestScore) { bestScore = score; bestI = i }
         }

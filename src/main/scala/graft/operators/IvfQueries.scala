@@ -34,12 +34,10 @@ object IvfQueries {
 
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
 
-    // unbiased deterministic sample (hash order, not id order), 5
-    // Lloyd's iterations: cell assignments stabilize well before
+    // 5 Lloyd's iterations: cell assignments stabilize well before
     // centroid convergence, and IVF recall depends only on assignments
     // (probing covers NProbe cells anyway)
-    val sample = emb.orderBy(xxhash64($"vec_id"), $"vec_id").limit(TrainSample)
-      .select($"embedding").as[Seq[Float]].collect().map(_.toArray)
+    val sample = LocalKMeans.sample(emb, "vec_id", "embedding", TrainSample)
     val centroids = LocalKMeans.train(sample, NList, 5, 42L)
 
     // corpus annotated with its cell (at scale: the partitioning key)

@@ -73,14 +73,8 @@ object PqQueries {
     import spark.implicits._
     val emb = Tables.widened(Tables.embeddings(spark, dir)).select($"vec_id", $"embedding")
 
-    // hash-ordered sample, NOT a vec_id prefix: real corpora correlate
-    // ids with ingest time/source, so the first-N-by-id would train the
-    // codebooks on one slice of the distribution. Ordering by a hash of
-    // the id is deterministic under any partitioning AND unbiased; the
-    // take-ordered top-N never moves more than N rows.
-    val sample = Tables.embeddings(spark, dir)
-      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(TrainSample)
-      .select($"embedding").as[Seq[Float]].collect().map(_.toArray)
+    val sample = LocalKMeans.sample(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", TrainSample)
     val codebooks: Array[Array[Array[Float]]] = (0 until M).toArray.map { s =>
       LocalKMeans.train(sample.map(_.slice(s * SubDim, (s + 1) * SubDim)), Ks, 5, 42L + s)
     }

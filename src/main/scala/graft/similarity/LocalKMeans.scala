@@ -17,6 +17,22 @@ package graft.similarity
   */
 object LocalKMeans {
 
+  /** Deterministic unbiased training sample: the first `n` vectors in
+    * HASH order of the id — id-prefix sampling would train on one
+    * ingest block of a time/source-correlated corpus, and the
+    * take-ordered top-n never moves more than n rows. Shared by every
+    * trainer call site so the sampling policy can't silently diverge
+    * between ANN paths. */
+  def sample(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, n: Int): Array[Array[Float]] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
+      .select(col(vecCol)).as[Seq[Float]].collect().map(_.toArray)
+  }
+
   /** @return k centroids, each of `points(0).length` dims */
   def train(points: Array[Array[Float]], k: Int, iters: Int, seed: Long): Array[Array[Float]] = {
     require(points.length >= k, s"need >= $k training points, got ${points.length}")
