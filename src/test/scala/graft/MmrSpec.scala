@@ -26,6 +26,33 @@ class MmrSpec extends SparkSpec {
     assert(AnnQueries.mmrSelect(cands, 1, 0.7) == Seq(2L))
   }
 
+  test("mmrSelect invariants: subset of candidates, no repeats, size min(k, n)") {
+    val r = new scala.util.Random(5)
+    for (trial <- 1 to 20) {
+      val n = 2 + r.nextInt(15)
+      val cands = (0 until n).map { i =>
+        (100L + i, r.nextDouble(), Array.fill(4)(r.nextFloat() * 2 - 1)) }
+      val k = 1 + r.nextInt(8)
+      val got = AnnQueries.mmrSelect(cands, k, 0.7)
+      assert(got.size == math.min(k, n), s"trial $trial size")
+      assert(got.distinct.size == got.size, s"trial $trial repeats")
+      assert(got.forall(cands.map(_._1).contains), s"trial $trial unknown vid")
+      assert(got.head == cands.maxBy(c => (c._2, -c._1))._1 ||
+        got.head == cands.maxBy(_._2)._1, s"trial $trial first pick relevance")
+    }
+  }
+
+  test("negative similarity to selected REWARDS a candidate (no zero clamp)") {
+    val e1 = Array(1f, 0f)
+    val anti = Array(-1f, 0.01f) // cos to e1 ≈ -1
+    val ortho = Array(0f, 1f)    // cos to e1 = 0
+    // anti has lower relevance but its diversity term is -1 vs 0:
+    // score(anti) = .7*.5 - .3*(-1) = .65 > score(ortho) = .7*.6 = .42
+    val cands = Seq((1L, 0.9, e1), (2L, 0.6, ortho), (3L, 0.5, anti))
+    val got = AnnQueries.mmrSelect(cands, 2, 0.7)
+    assert(got == Seq(1L, 3L), s"got $got")
+  }
+
   test("gate query: planted perturbation twins never rank adjacent to their source") {
     val out = AnnQueries.annMmrRerank(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
