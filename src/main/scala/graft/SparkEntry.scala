@@ -94,6 +94,7 @@ object SparkEntry {
     "events_dedup_window"      -> (EventQueries.eventsDedupWindow _),
     "text_classifier_score"    -> (TextQueries.textClassifierScore _),
     "ann_mmr_rerank"           -> (AnnQueries.annMmrRerank _),
+    "io_scd2_asof"             -> (MaintenanceQueries.ioScd2Asof _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -1080,6 +1081,35 @@ object SparkEntry {
         |  (end_seq IS NULL) AS is_current
         |FROM v WHERE op != 'D' AND n_changes >= 2
         |ORDER BY o_orderkey, version_seq""".stripMargin,
+
+    // AS OF seq 1 over the same change feed: the version whose
+    // interval contains t (open end = infinity), tombstones excluded
+    // as versions but still closing intervals via lead()
+    "io_scd2_asof" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'I' AS op, 0 AS seq, o_orderstatus, price_cents FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', 1, o_orderstatus, price_cents + 10000
+        |  FROM base WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 2, o_orderstatus, price_cents
+        |  FROM base WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base), 'I', 1, 'N', 100
+        |  FROM base WHERE o_orderkey % 11 = 0),
+        |v AS (
+        |  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS end_seq
+        |  FROM changes)
+        |SELECT o_orderstatus, count(*) AS n_keys,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+        |FROM v
+        |WHERE op != 'D' AND seq <= 1 AND (end_seq IS NULL OR end_seq > 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // pigeonhole-blocked bounded edit distance: equal-length strings
     // sharing one of 3 position-segments, levenshtein <= 2; the corpus

@@ -82,6 +82,30 @@ object MaintenanceQueries {
       .orderBy($"o_orderkey", $"version_seq")
   }
 
+  /** Point-in-time (AS OF) lookup over the SCD2 history — the read
+    * side of slowly-changing dimensions: the state of every key as of
+    * change seq 1 is the version whose validity interval contains it
+    * (version_seq <= t < end_seq, open end = ∞). Runs on the FULL
+    * history (no n_changes gate — single-version keys are part of the
+    * world state), one interval filter + aggregate; the aggregate by
+    * status keeps the gate result compact while the hash still covers
+    * every key's resolved version via the sums. */
+  def ioScd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asOfSeq = 1L
+    val byKey = Window.partitionBy($"o_orderkey").orderBy($"seq")
+    changeLog(spark, dir)
+      .withColumn("end_seq", lead($"seq", 1).over(byKey))
+      .filter($"op" =!= "D")
+      .filter($"seq" <= asOfSeq &&
+        ($"end_seq".isNull || $"end_seq" > asOfSeq))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_keys"),
+        sum($"o_orderkey").as("sum_key"),
+        sum($"price_cents").as("sum_price_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Incremental materialized-aggregate maintenance: the rollup
     * (count, sum) by l_returnflag is refreshed by AGGREGATING ONLY THE
     * DELTA and merging partial states with the stored snapshot —

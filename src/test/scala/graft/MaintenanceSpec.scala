@@ -35,6 +35,18 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("as-of lookup covers every live key exactly once at the probe time") {
+    // at seq 1 nothing is deleted yet (tombstones land at seq 2), so
+    // the as-of state must hold exactly one version per key: all base
+    // keys plus all synthetic new keys
+    val nKeys = MaintenanceQueries.ioScd2Asof(spark, sf)
+      .agg(sum($"n_keys")).first().getLong(0)
+    val base = Tables.orders(spark, sf).select($"o_orderkey").distinct().count()
+    val newKeys = Tables.orders(spark, sf)
+      .filter($"o_orderkey" % 11 === 0).select($"o_orderkey").distinct().count()
+    assert(nKeys == base + newKeys, s"as-of state: $nKeys vs ${base + newKeys}")
+  }
+
   test("incremental aggregate merge equals direct recomputation in-engine") {
     val merged = MaintenanceQueries.qIncrementalAgg(spark, sf)
     val direct = Tables.lineitem(spark, sf)
