@@ -68,8 +68,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("maintenance and gap-fill queries plan as pure equi-join/key-shuffle shapes") {
     Seq(
       graft.operators.MaintenanceQueries.ioScd2History(spark, sf),
+      graft.operators.MaintenanceQueries.ioScd2Asof(spark, sf),
       graft.operators.MaintenanceQueries.qIncrementalAgg(spark, sf),
-      graft.operators.EventQueries.eventsGapFill(spark, sf)
+      graft.operators.EventQueries.eventsGapFill(spark, sf),
+      graft.operators.EventQueries.eventsDedupWindow(spark, sf),
+      graft.operators.IoQueries.ioExportShards(spark, sf),
+      graft.operators.TextQueries.textClassifierScore(spark, sf)
     ).foreach { df =>
       val s = fmt(df)
       assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
