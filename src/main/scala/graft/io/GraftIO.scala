@@ -268,9 +268,22 @@ object GraftIO {
       index: DataFrame,
       pruneCol: String,
       lo: Long,
-      hi: Long): DataFrame = {
-    val files = index
-      .filter(col(s"min_$pruneCol") <= hi && col(s"max_$pruneCol") >= lo)
+      hi: Long): DataFrame =
+    readPrunedMulti(spark, index, Map(pruneCol -> (lo, hi)))
+
+  /** Conjunction form: a file survives only if its stats can satisfy
+    * EVERY column's range — with a z-ordered layout the per-column
+    * prunings compose multiplicatively, which is the point of
+    * clustering more than one dimension. */
+  def readPrunedMulti(
+      spark: SparkSession,
+      index: DataFrame,
+      ranges: Map[String, (Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "ranges must not be empty")
+    val pred = ranges.map { case (c, (lo, hi)) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+    }.reduce(_ && _)
+    val files = index.filter(pred)
       .select("file").collect().map(_.getString(0))
     val base =
       if (files.isEmpty) {
@@ -279,7 +292,12 @@ object GraftIO {
         val any = index.select("file").limit(1).collect().map(_.getString(0))
         spark.read.parquet(any: _*).limit(0)
       } else spark.read.parquet(files: _*)
-    base.filter(col(pruneCol) >= lo && col(pruneCol) <= hi)
+    // residual filter per column restores exactness (stats admit false
+    // positives, never false negatives)
+    val residual = ranges.map { case (c, (lo, hi)) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    base.filter(residual)
   }
 
   /** Small-file compaction — the standing maintenance job of any

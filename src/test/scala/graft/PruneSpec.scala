@@ -36,5 +36,21 @@ class PruneSpec extends SparkSpec {
     val none = GraftIO.readPruned(spark, index, "l_partkey", hi + 1000, hi + 2000)
     assert(none.count() == 0)
     assert(none.columns.toSeq == li.columns.toSeq)
+
+    // conjunction pruning: both dimensions constrained — prunings
+    // compose (never open more files than either single-column prune)
+    val ro = li.agg(min($"l_orderkey").cast("long"), max($"l_orderkey").cast("long")).first()
+    val (oLo, oHi) = (ro.getLong(0), ro.getLong(1))
+    val (qoLo, qoHi) = (oLo + (oHi - oLo) * 2 / 5, oLo + (oHi - oLo) * 3 / 5)
+    val both = GraftIO.readPrunedMulti(spark, index,
+      Map("l_partkey" -> (qLo, qHi), "l_orderkey" -> (qoLo, qoHi)))
+    val fullBoth = spark.read.parquet(path)
+      .filter($"l_partkey" >= qLo && $"l_partkey" <= qHi &&
+        $"l_orderkey" >= qoLo && $"l_orderkey" <= qoHi)
+    assert(both.count() == fullBoth.count())
+    val openedBoth = index.filter(
+      col("min_l_partkey") <= qHi && col("max_l_partkey") >= qLo &&
+        col("min_l_orderkey") <= qoHi && col("max_l_orderkey") >= qoLo).count()
+    assert(openedBoth <= opened, s"conjunction must not open more files: $openedBoth > $opened")
   }
 }
