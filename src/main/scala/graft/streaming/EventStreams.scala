@@ -258,6 +258,39 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  case class CdcChange(key: Long, seq: Long, op: String, value: Double)
+  case class CdcState(seq: Long, op: String, value: Double)
+  case class CdcUpdate(key: Long, seq: Long, live: Boolean, value: Double)
+
+  /** Streaming CDC apply — the streaming twin of `io.Merge.merge`:
+    * per-key state holds the WINNING change under the same total order
+    * Merge resolves with (`max` over the (seq, op, value) struct), so
+    * replay, out-of-order arrival across micro-batches, and duplicate
+    * sequence numbers all converge to the batch merge's answer — a
+    * late lower-seq update can never resurrect a higher-seq delete.
+    * Emits the key's current state once per micro-batch that touched
+    * it (`live = false` = tombstone; downstream sinks delete the key).
+    * State is one small struct per key ever changed — the CDC working
+    * set, not the corpus. */
+  def cdcApply(changes: Dataset[CdcChange]): Dataset[CdcUpdate] = {
+    import changes.sparkSession.implicits._
+    val ord = Ordering.Tuple3[Long, String, Double]
+    def winner(a: CdcState, b: CdcState): CdcState =
+      if (ord.gteq((a.seq, a.op, a.value), (b.seq, b.op, b.value))) a else b
+    def fn(key: Long, evs: Iterator[CdcChange],
+        state: GroupState[CdcState]): Iterator[CdcUpdate] = {
+      var cur = state.getOption
+      evs.foreach { c =>
+        val cand = CdcState(c.seq, c.op, c.value)
+        cur = Some(cur.fold(cand)(winner(_, cand)))
+      }
+      cur.foreach(state.update)
+      cur.iterator.map(s => CdcUpdate(key, s.seq, s.op != "D", s.value))
+    }
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Idempotent exactly-once parquet sink for `foreachBatch` — the
     * sink half of the streaming story. Structured Streaming guarantees
     * foreachBatch sees each (batchId, data) at-least-once with

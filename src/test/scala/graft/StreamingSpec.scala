@@ -150,6 +150,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC apply agrees with the batch Merge on out-of-order changes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{CdcChange, CdcUpdate}
+
+    val in = MemoryStream[CdcChange]
+    val q = EventStreams.cdcApply(in.toDS()).writeStream
+      .format("memory").queryName("cdc").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(CdcChange(1, 1, "I", 10.0), CdcChange(2, 1, "I", 20.0))
+      q.processAllAvailable()
+      in.addData(CdcChange(1, 3, "D", 0.0), CdcChange(2, 2, "U", 25.0),
+        CdcChange(3, 1, "I", 30.0))
+      q.processAllAvailable()
+      // LATE lower-seq update for key 1: must not resurrect the delete
+      in.addData(CdcChange(1, 2, "U", 11.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // last emitted update per key = streaming end state
+    val endState = spark.table("cdc").as[CdcUpdate].collect()
+      .groupBy(_.key).map { case (k, us) => k -> us.maxBy(_.seq) }
+    assert(!endState(1L).live, "higher-seq delete must win over a late update")
+    assert(endState(2L).live && endState(2L).value == 25.0)
+    assert(endState(3L).live && endState(3L).value == 30.0)
+
+    // batch twin: Merge over the same change set yields the same
+    // surviving keys/values (base key 0 passes through untouched)
+    val base = Seq((0L, 5.0)).toDF("key", "value")
+    val changes = Seq((1L, 1L, "I", 10.0), (2L, 1L, "I", 20.0),
+      (1L, 3L, "D", 0.0), (2L, 2L, "U", 25.0), (3L, 1L, "I", 30.0),
+      (1L, 2L, "U", 11.0)).toDF("key", "seq", "op", "value")
+    val merged = graft.io.Merge.merge(base, changes, Seq("key"), seqCol = Some("seq"))
+      .as[(Long, Double)].collect().toMap
+    val streamingLive = endState.filter(_._2.live).map { case (k, u) => k -> u.value }
+    assert(merged == streamingLive + (0L -> 5.0), s"batch $merged vs stream $streamingLive")
+  }
+
   test("idempotent foreachBatch sink: batch redelivery does not duplicate rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
