@@ -95,6 +95,7 @@ object SparkEntry {
     "text_classifier_score"    -> (TextQueries.textClassifierScore _),
     "ann_mmr_rerank"           -> (AnnQueries.annMmrRerank _),
     "io_scd2_asof"             -> (MaintenanceQueries.ioScd2Asof _),
+    "q_sample_weighted"        -> (SampleQueries.qSampleWeighted _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */

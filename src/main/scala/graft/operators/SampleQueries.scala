@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -29,5 +30,35 @@ object SampleQueries {
       .select($"event_type", posexplode($"sample").as(Seq("pos", "s")))
       .select($"event_type", ($"pos" + 1).cast("long").as("rk"), $"s.value".as("event_id"))
       .orderBy($"event_type", $"rk")
+  }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis-Spirakis '06): each doc draws u from a hash of its id
+    * (reproducible, seedless) and competes with key u^(1/w) — the
+    * top-k keys per group are a weight-proportional sample, here top-5
+    * per language weighted by document length. Map-side key
+    * computation + the same two-phase top-k discipline as every other
+    * per-group selection. Rows oracle (pow ulps aren't stable
+    * cross-engine); WeightedSampleSpec recomputes the identical
+    * formula driver-side and pins the exact selection, plus the
+    * weight-skew property. */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val keyed = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", length($"text").cast("double").as("w"),
+        // u in (0, 1): 52 hash bits over 2^52 + 1 (never 0, never 1)
+        ((pmod(xxhash64($"doc_id"), lit(1L << 52)) + 1.0) / (Math.pow(2, 52) + 2))
+          .as("u"))
+      .withColumn("es_key", pow($"u", lit(1.0) / $"w"))
+    val partial = Window.partitionBy($"lang", pmod(xxhash64($"doc_id"), lit(8)))
+      .orderBy($"es_key".desc, $"doc_id")
+    val fin = Window.partitionBy($"lang").orderBy($"es_key".desc, $"doc_id")
+    keyed
+      .withColumn("prk", row_number().over(partial)).filter($"prk" <= k)
+      .withColumn("rk", row_number().over(fin)).filter($"rk" <= k)
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id",
+        $"w".cast("long").as("weight"))
+      .orderBy($"lang", $"rk")
   }
 }

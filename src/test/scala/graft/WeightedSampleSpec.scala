@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SampleQueries
+
+/** Weighted sampling contracts: exact agreement with a driver-side
+  * recomputation of the Efraimidis-Spirakis keys, and the
+  * weight-proportional skew the scheme exists for. */
+class WeightedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def u(h: Long): Double = {
+    val m = 1L << 52
+    ((h % m + m) % m + 1.0) / (Math.pow(2, 52) + 2)
+  }
+
+  test("selection equals a driver-side recomputation of the ES keys") {
+    val got = SampleQueries.qSampleWeighted(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (l, rs) => l -> rs.sortBy(_._2).map(_._3).toSeq }
+
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", length($"text").cast("long").as("w"),
+        xxhash64($"doc_id").as("h"))
+      .as[(Long, String, Long, Long)].collect()
+    val expected = docs.groupBy(_._2).map { case (l, ds) =>
+      l -> ds.map { case (id, _, w, h) => (id, math.pow(u(h), 1.0 / w)) }
+        .sortBy { case (id, key) => (-key, id) }.take(5).map(_._1).toSeq
+    }
+    assert(got == expected)
+  }
+
+  test("longer documents are over-represented relative to uniform") {
+    val meanAll = Tables.documents(spark, sf)
+      .agg(avg(length($"text"))).first().getDouble(0)
+    val meanSampled = SampleQueries.qSampleWeighted(spark, sf)
+      .agg(avg($"weight")).first().getDouble(0)
+    assert(meanSampled > meanAll,
+      s"weighted sample mean length $meanSampled should exceed corpus mean $meanAll")
+  }
+}
