@@ -52,6 +52,20 @@ object MaintenanceQueries {
     inserts.unionByName(updates).unionByName(deletes).unionByName(newKeys)
   }
 
+  /** THE SCD2 interval derivation, shared by the history build and the
+    * as-of read so the two cannot diverge: every change (tombstones
+    * included) closes its predecessor via lead(seq) over the business
+    * key; a version is a NON-delete change carrying its own seq and
+    * the closing end_seq (null = open). */
+  private def versions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byKey = Window.partitionBy($"o_orderkey").orderBy($"seq")
+    changeLog(spark, dir)
+      .withColumn("end_seq", lead($"seq", 1).over(byKey))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy($"o_orderkey")))
+      .filter($"op" =!= "D") // tombstones close history, they are not versions
+  }
+
   /** SCD type-2 history build: every non-delete change opens a version
     * effective at its own seq and closed by the NEXT change on the key
     * (update or delete alike — a tombstone closes the last version by
@@ -66,12 +80,7 @@ object MaintenanceQueries {
     */
   def ioScd2History(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val byKey = Window.partitionBy($"o_orderkey").orderBy($"seq")
-    val versions = changeLog(spark, dir)
-      .withColumn("end_seq", lead($"seq", 1).over(byKey))
-      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy($"o_orderkey")))
-    versions
-      .filter($"op" =!= "D") // tombstones close history, they are not versions
+    versions(spark, dir)
       .filter($"n_changes" >= 2)
       .select($"o_orderkey",
         $"seq".as("version_seq"),
@@ -93,10 +102,7 @@ object MaintenanceQueries {
   def ioScd2Asof(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val asOfSeq = 1L
-    val byKey = Window.partitionBy($"o_orderkey").orderBy($"seq")
-    changeLog(spark, dir)
-      .withColumn("end_seq", lead($"seq", 1).over(byKey))
-      .filter($"op" =!= "D")
+    versions(spark, dir)
       .filter($"seq" <= asOfSeq &&
         ($"end_seq".isNull || $"end_seq" > asOfSeq))
       .groupBy($"o_orderstatus")

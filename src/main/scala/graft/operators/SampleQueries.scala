@@ -47,7 +47,8 @@ object SampleQueries {
     val k = 5
     val keyed = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", length($"text").cast("double").as("w"),
-        // u in (0, 1): 52 hash bits over 2^52 + 1 (never 0, never 1)
+        // u in (0, 1): (52 hash bits + 1) over 2^52 + 2 — never 0,
+        // never 1 (WeightedSampleSpec re-derives this exact formula)
         ((pmod(xxhash64($"doc_id"), lit(1L << 52)) + 1.0) / (Math.pow(2, 52) + 2))
           .as("u"))
       .withColumn("es_key", pow($"u", lit(1.0) / $"w"))

@@ -65,7 +65,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"segment blocking degenerated to a nested loop:\n$s")
   }
 
-  test("maintenance and gap-fill queries plan as pure equi-join/key-shuffle shapes") {
+  test("final r4 batch (maintenance/timeseries/export/classifier) plans without nested loops") {
     Seq(
       graft.operators.MaintenanceQueries.ioScd2History(spark, sf),
       graft.operators.MaintenanceQueries.ioScd2Asof(spark, sf),
