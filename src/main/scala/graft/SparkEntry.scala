@@ -1116,28 +1116,54 @@ object SparkEntry {
     // sharing one of 3 position-segments, levenshtein <= 2; the corpus
     // plants a two-substitution twin of every long-enough document
     // (byte-identical substr/concat derivation on both engines)
+    // shift-tolerant pigeonhole: the oracle states the same COMPLETE
+    // blocking (segments of the shorter string vs shifted probe
+    // substrings of the longer) so both engines compute exactly "all
+    // pairs within edit distance 2", indels included
     "dedup_edit_blocked" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000,
-        |    CASE WHEN length(text) >= 30
+        |    CASE WHEN length(text) < 30 THEN text
+        |      WHEN doc_id % 2 = 0
         |      THEN substr(text, 1, 10) || 'Q' || substr(text, 12, 11)
         |           || 'Z' || substr(text, 24, length(text))
-        |      ELSE text END
+        |      ELSE substr(text, 1, 10) || 'Q' || substr(text, 11, 9)
+        |           || 'Z' || substr(text, 21, length(text))
+        |    END
         |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM corpus),
         |segs AS (
-        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len, i.idx,
+        |  SELECT doc_id, len, i.idx,
         |    CASE i.idx
-        |      WHEN 0 THEN substr(text, 1, length(text) // 3)
-        |      WHEN 1 THEN substr(text, length(text) // 3 + 1, length(text) // 3)
-        |      ELSE substr(text, 2 * (length(text) // 3) + 1, length(text)) END AS seg
-        |  FROM corpus CROSS JOIN (SELECT unnest([0, 1, 2]) AS idx) i),
+        |      WHEN 0 THEN substr(text, 1, CAST(len // 3 AS INT))
+        |      WHEN 1 THEN substr(text, CAST(len // 3 + 1 AS INT), CAST(len // 3 AS INT))
+        |      ELSE substr(text, CAST(2 * (len // 3) + 1 AS INT), CAST(len AS INT)) END AS seg
+        |  FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS idx) i
+        |  WHERE len >= 3),
+        |probes0 AS (
+        |  SELECT doc_id, text, len, len - g.dl AS plen, i.idx,
+        |    (CASE i.idx WHEN 0 THEN 1 WHEN 1 THEN (len - g.dl) // 3 + 1
+        |      ELSE 2 * ((len - g.dl) // 3) + 1 END) + s.d AS sstart,
+        |    CASE i.idx WHEN 2 THEN (len - g.dl) - 2 * ((len - g.dl) // 3)
+        |      ELSE (len - g.dl) // 3 END AS slen
+        |  FROM base
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS dl) g
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS idx) i
+        |  CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS d) s),
+        |probes AS (
+        |  SELECT DISTINCT doc_id, plen, idx,
+        |    substr(text, CAST(sstart AS INT), CAST(slen AS INT)) AS seg
+        |  FROM probes0
+        |  WHERE plen >= 3 AND slen >= 1 AND sstart >= 1 AND sstart + slen - 1 <= len),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM segs a JOIN segs b
-        |    ON a.idx = b.idx AND a.len = b.len AND a.seg = b.seg
-        |       AND a.doc_id < b.doc_id)
+        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM segs a JOIN probes b
+        |    ON a.idx = b.idx AND a.len = b.plen AND a.seg = b.seg
+        |       AND a.doc_id <> b.doc_id)
         |SELECT id_a, id_b,
         |  CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS dist
         |FROM cand

@@ -97,20 +97,27 @@ object AnnQueries {
     val queries = base.filter($"vec_id" < NQueries)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
 
+    // Score on SCALARS only — the embedding column must not enter the
+    // top-k windows: those exchanges carry |corpus|×|queries| rows, and
+    // a 64-float array per row would be ~10× the bytes of (qid,vid,sim).
     val scored = corpus.join(broadcast(queries), $"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("vid"), $"embedding",
+      .select($"qid", $"vec_id".as("vid"),
         Similarity.cosine($"qvec", $"embedding").as("sim"))
     // pool = exact top-MmrPool (two-phase, as in topKPerQuery)
     val partial = Window.partitionBy($"qid", pmod(xxhash64($"vid"), lit(Salts)))
       .orderBy($"sim".desc, $"vid")
     val fin = Window.partitionBy($"qid").orderBy($"sim".desc, $"vid")
-    val pool = scored
+    val poolScalars = scored
       .withColumn("prk", row_number().over(partial)).filter($"prk" <= MmrPool)
       .withColumn("rk", row_number().over(fin)).filter($"rk" <= MmrPool)
+      .select($"qid", $"rk", $"vid", $"sim")
+    // Join embeddings back for the <= NQueries×MmrPool pool rows only:
+    // broadcast the tiny pool against a second corpus scan — the corpus
+    // still never shuffles, and the re-scan costs one parquet pass
+    // instead of an embedding-wide window exchange.
+    val pool = corpus.join(broadcast(poolScalars), $"vec_id" === $"vid")
+      .select($"qid", $"rk", $"vid", $"sim", $"embedding")
 
-    // the UDF returns (vid, sim) pairs straight from the candidate
-    // structs — re-joining `scored` for the sims would re-execute the
-    // whole corpus-scoring scan a second time
     val selectUdf = udf { cands: Seq[org.apache.spark.sql.Row] =>
       val byVid = cands.map(r => r.getLong(1) -> r.getDouble(2)).toMap
       mmrSelect(cands.map(r => (r.getLong(1), r.getDouble(2),

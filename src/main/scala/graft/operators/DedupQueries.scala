@@ -249,57 +249,115 @@ object DedupQueries {
     pairs.orderBy($"id_a", $"id_b")
   }
 
-  /** Bounded edit-distance near-dup join via pigeonhole segment
-    * blocking: for distance k, split every string into k+1 contiguous
-    * position-segments — two equal-length strings within k
-    * substitutions MUST agree on at least one segment, so candidates
-    * come from an equi-join on (segment_index, segment_hash, length)
-    * and only those pairs pay the banded Levenshtein verify. The
-    * operator's contract (stated identically by the oracle) is: pairs
-    * with equal length sharing a position-segment whose edit distance
-    * is <= k — exact and hash-verifiable cross-engine, with no
-    * quadratic phase anywhere. The gate corpus plants a two-
-    * substitution twin of every document (built from substr/concat so
-    * both engines derive byte-identical mutants). */
+  /** Bounded edit-distance near-dup join via shift-tolerant pigeonhole
+    * segment blocking (the PassJoin scheme, Li et al. 2011): for
+    * distance k, split every string into k+1 contiguous segments. If
+    * edit(r, s) <= k with |r| <= |s|, an optimal alignment touches at
+    * most k of r's k+1 segments, so some segment survives untouched
+    * and appears VERBATIM in s — displaced from its position in r by
+    * the net indel balance before it, which is in [-k, +k]. Candidates
+    * therefore come from an equi-join of r's segments against s's
+    * probe substrings: for every partner length L' in [|s|-k, |s|], s
+    * emits the substring at each segment position of an L'-long
+    * partner shifted by each d in [-k, +k]. This blocking is COMPLETE
+    * for edit distance <= k including insertions and deletions (the
+    * round-4 version required equal lengths and silently excluded
+    * indels); only candidates pay the banded Levenshtein verify, so
+    * the contract is simply "all pairs within edit distance k" with no
+    * quadratic phase anywhere. The gate corpus plants a
+    * two-substitution twin for even doc_ids and an insertion+
+    * substitution twin (length +1) for odd ones, built from
+    * substr/concat so both engines derive byte-identical mutants.
+    *
+    * Spark joins on xxhash64(segment), the oracle on the raw segment
+    * string. Because the blocking is complete in BOTH engines, hash
+    * collisions cannot cause cross-engine divergence: a collision only
+    * adds a spurious candidate, which the exact Levenshtein verify
+    * removes unless the pair truly is within k — and such a pair is
+    * found by the oracle's complete blocking anyway. */
   def dedupEditBlocked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 2
+    val nseg = k + 1
 
     val docs = Tables.widened(Tables.documents(spark, dir)).select($"doc_id", $"text")
     val mutated = docs.select(($"doc_id" + 1000000L).as("doc_id"),
-      when(length($"text") >= 30,
-        concat(substring($"text", 1, 10), lit("Q"),
-          expr("substring(text, 12, 11)"), lit("Z"),
-          expr("substring(text, 24, length(text))")))
-        .otherwise($"text").as("text"))
+      when(length($"text") < 30, $"text")
+        .when($"doc_id" % 2 === 0,
+          concat(substring($"text", 1, 10), lit("Q"),
+            expr("substring(text, 12, 11)"), lit("Z"),
+            expr("substring(text, 24, length(text))")))
+        .otherwise( // insert 'Q' after pos 10, substitute pos 20 -> 'Z': ed 2, len +1
+          concat(substring($"text", 1, 10), lit("Q"),
+            expr("substring(text, 11, 9)"), lit("Z"),
+            expr("substring(text, 21, length(text))")))
+        .as("text"))
     val corpus = docs.union(mutated)
+    val withLen = corpus.select($"doc_id", $"text", length($"text").cast("long").as("len"))
 
-    // k+1 = 3 position-segments; the shuffle key is (idx, hash64(seg),
-    // length) — 8 bytes per segment instead of up to a third of the
-    // document. Equal segments always hash equal (no false negatives);
-    // a collision's false candidate is removed by the Levenshtein
-    // verify with 2^-64 odds of surviving it — the same digest-equality
-    // convention as dedup_exact's sha256 grouping.
-    val segs = corpus
-      .select($"doc_id", $"text", length($"text").cast("long").as("len"),
-        expr("length(text) div 3").as("third"))
-      .select($"doc_id", $"len", explode(array(
-        struct(lit(0).as("idx"), xxhash64($"text".substr(lit(1), $"third")).as("seg")),
-        struct(lit(1).as("idx"), xxhash64($"text".substr($"third" + 1, $"third")).as("seg")),
-        struct(lit(2).as("idx"), xxhash64($"text".substr($"third" * 2 + 1, $"len")).as("seg"))
-      )).as("x"))
+    // segment geometry for a string of length L (as a Column expr over
+    // `len - dl`): idx 0 and 1 are (L div 3)-long thirds, idx 2 takes
+    // the remainder
+    def segStart(i: Int, dl: Int): Column = {
+      val third = expr(s"(len - $dl) div 3")
+      i match {
+        case 0 => lit(1L)
+        case 1 => third + 1L
+        case 2 => third * 2L + 1L
+      }
+    }
+    def segLen(i: Int, dl: Int): Column = {
+      val third = expr(s"(len - $dl) div 3")
+      if (i < 2) third else (($"len" - dl) - third * 2L)
+    }
+
+    // index side: each doc's own k+1 segments; the shuffle key is
+    // (idx, hash64(seg), len) — 8 bytes per segment instead of up to
+    // a third of the document
+    val segStructs = (0 until nseg).map { i =>
+      struct(lit(i).as("idx"),
+        when(segLen(i, 0) >= 1,
+          xxhash64($"text".substr(segStart(i, 0).cast("int"), segLen(i, 0).cast("int"))))
+          .as("seg"))
+    }
+    val segs = withLen
+      .select($"doc_id", $"len", explode(array(segStructs: _*)).as("x"))
       .select($"doc_id", $"len", $"x.idx", $"x.seg")
+      .filter($"seg".isNotNull)
+
+    // probe side: substrings a shorter-or-equal partner's untouched
+    // segment could occupy — (k+1) partner lengths × (k+1) segment
+    // indices × (2k+1) shifts = 45 bounded-cost hashes per doc, still
+    // linear in corpus size
+    val probeStructs = for {
+      dl <- 0 to k
+      i  <- 0 until nseg
+      d  <- -k to k
+    } yield {
+      val start = segStart(i, dl) + d
+      val sl = segLen(i, dl)
+      struct(($"len" - dl).as("plen"), lit(i).as("idx"),
+        when($"len" - dl >= 3 && sl >= 1 && start >= 1 && start + sl - 1 <= $"len",
+          xxhash64($"text".substr(start.cast("int"), sl.cast("int"))))
+          .as("seg"))
+    }
+    val probes = withLen
+      .select($"doc_id", explode(array(probeStructs: _*)).as("x"))
+      .select($"doc_id", $"x.plen", $"x.idx", $"x.seg")
+      .filter($"seg".isNotNull)
+      .distinct() // distinct (dl, d) combos can yield the same substring
 
     // persisted + materialized: the candidate subtree feeds both text
     // joins of the verify step, and without the cache the whole
-    // segment self-join pipeline re-executes per branch (measured
+    // segment/probe join pipeline re-executes per branch (measured
     // 51.6 s → ~11 s on a 10× corpus). Same hazard the minhash and
     // simhash paths persist against; released after the verified
     // pairs exist.
-    val candidates = segs.as("a").join(segs.as("b"),
-        $"a.idx" === $"b.idx" && $"a.len" === $"b.len" &&
-          $"a.seg" === $"b.seg" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+    val candidates = segs.as("a").join(probes.as("b"),
+        $"a.idx" === $"b.idx" && $"a.len" === $"b.plen" &&
+          $"a.seg" === $"b.seg" && $"a.doc_id" =!= $"b.doc_id")
+      .select(least($"a.doc_id", $"b.doc_id").as("id_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("id_b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

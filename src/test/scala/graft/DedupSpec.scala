@@ -42,6 +42,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(uf.labels.collect().map(_.getLong(1)).toSet === Set(1L))
   }
 
+  test("edit-blocked dedup finds indel twins: length-differing pairs present") {
+    import spark.implicits._
+    val out = DedupQueries.dedupEditBlocked(spark, sf)
+    val corpus = Tables.documents(spark, sf).select($"doc_id", length($"text").as("len"))
+    // odd-doc_id mutants insert one char (net Δlen = +1); the round-4
+    // equal-length blocking could never emit these pairs
+    val lens = corpus.union(corpus.select(($"doc_id" + 1000000L).as("doc_id"),
+      when($"len" >= 30, $"len" + 1).otherwise($"len").as("len")))
+    val joined = out
+      .join(lens.select($"doc_id".as("id_a"), $"len".as("la")), "id_a")
+      .join(lens.select($"doc_id".as("id_b"), $"len".as("lb")), "id_b")
+    val lenDiffering = joined.filter($"la" =!= $"lb").count()
+    assert(lenDiffering > 0, "no length-differing pair survived — indel blocking broken")
+    // and every odd doc with len >= 30 must pair with its planted twin
+    val expectedTwins = corpus.filter($"doc_id" % 2 === 1 && $"len" >= 30).count()
+    val foundTwins = out.filter($"id_b" === $"id_a" + 1000000L &&
+      $"id_a" % 2 === 1).join(corpus.filter($"len" >= 30)
+        .select($"doc_id".as("id_a")), "id_a").count()
+    assert(foundTwins === expectedTwins,
+      s"planted indel twins: found $foundTwins of $expectedTwins")
+  }
+
   test("prefix-filtered jaccard join == brute force (sf0.001 documents)") {
     import spark.implicits._
     val tau = 0.7

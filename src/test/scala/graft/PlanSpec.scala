@@ -81,6 +81,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mmr re-rank: no embedding column crosses an exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.operators.AnnQueries.annMmrRerank(spark, sf)
+    val phys = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = phys.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    // the top-k window exchanges carry |corpus|×|queries| rows, so a
+    // top-level embedding column there is the exact shuffle-blowup the
+    // ANN family's posture forbids (the bounded pool's collect_list
+    // buffer is an agg buffer, not a per-corpus-row embedding column)
+    shuffles.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("embedding"),
+        s"embedding crosses an exchange: $names")
+    }
+  }
+
   test("bottom-k sample aggregates partially before the shuffle") {
     graft.functions.BottomK.ensureRegistered(spark)
     val s = fmt(graft.operators.SampleQueries.qSampleDeterministic(spark, sf))
