@@ -210,6 +210,11 @@ object GraftIO {
     val ranges = df.agg(aggs.head, aggs.tail: _*).first()
 
     val bucketCols: Seq[Column] = zCols.map { c =>
+      // an empty frame or an all-null column yields null aggregates;
+      // fail with the actual problem instead of an unboxing NPE
+      require(!ranges.isNullAt(ranges.fieldIndex(s"__mn_$c")),
+        s"writeZOrdered: column '$c' has no non-null values to range over " +
+          "(empty input or all-null column)")
       val mn = ranges.getAs[Double](s"__mn_$c")
       val mx = ranges.getAs[Double](s"__mx_$c")
       if (mx == mn) lit(0L)
@@ -249,9 +254,13 @@ object GraftIO {
     // MATERIALIZE the index: it is one row per file, but its lineage is
     // a scan of the stat columns of the whole dataset — returned lazy,
     // every readPruned would re-run that scan, inverting the point of
-    // the index. The localCheckpoint cuts the lineage so the build cost
-    // is paid exactly once per index, like the table it stands for.
-    stats.localCheckpoint(eager = true)
+    // the index. Collected to the driver and rebuilt as a local
+    // DataFrame (NOT localCheckpoint: that stores the blocks on
+    // executors, so losing one executor — dynamic allocation, spot
+    // nodes — would make every later readPruned fail unrecoverably).
+    // One row per file keeps this strictly metadata-sized.
+    spark.createDataFrame(
+      java.util.Arrays.asList(stats.collect(): _*), stats.schema)
   }
 
   /** Stats-index-pruned read: keep only the files whose [min, max]

@@ -169,10 +169,14 @@ object EventQueries {
     * starts a fresh retention window (matching the streaming semantics,
     * where state for an id is evicted 1 h after it was admitted). One
     * id-key window; the horizon chain is a running comparison against
-    * the last KEPT timestamp, computed as a per-id sorted-array pass
-    * (ids repeat a handful of times; the array is bounded by the id's
-    * occurrence count, not the corpus). The gate models duplicate
-    * arrivals by re-keying event_id mod 1000. */
+    * the last KEPT timestamp, computed as a per-id sorted-array pass.
+    * NOTE the gate models duplicate arrivals by re-keying event_id mod
+    * 1000, which makes each group's array O(corpus/1000) — fine for
+    * the gate, but NOT the production shape: real duplicate ids repeat
+    * a handful of times, and at scale the streaming twin
+    * (dedupeWithinWatermark) or a lag-window formulation is the right
+    * tool when a single id's occurrence count can grow with the
+    * corpus. */
   def eventsDedupWindow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)

@@ -316,11 +316,20 @@ object EventStreams {
     * per-session aggregates are enough (the engine owns the state
     * shape and merge); `flatMapGroupsWithState` remains for custom
     * state. `session_end` is last-event + gap, per the built-in's
-    * convention. */
-  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    * convention.
+    *
+    * `lateness` is the watermark delay: events arriving more than
+    * (lateness + gap) behind the max seen event time are dropped once
+    * their session's state is evicted. The default tolerates 10
+    * minutes of disorder; pass "0 seconds" only when the source is
+    * ordered (the spec does, for determinism). */
+  def sessionWindowAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", lateness)
       .groupBy($"user_id", session_window($"ts", gap).as("w"))
       .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
       .select($"user_id", $"w.start".as("session_start"),

@@ -128,7 +128,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]
     val df = in.toDF().toDF("user_id", "ts", "value")
-    val q = EventStreams.sessionWindowAgg(df).writeStream
+    val q = EventStreams.sessionWindowAgg(df, lateness = "0 seconds").writeStream
       .format("memory").queryName("sess_win").outputMode(OutputMode.Append).start()
     try {
       // user 1: events at 1000 and 1010 (one session), user 2: one event
@@ -371,5 +371,102 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       assert(counts() === Map("a" -> 2L, "b" -> 3L, "c" -> 1L, "d" -> 1L))
     } finally q.stop()
+  }
+
+  test("session_window agg recovers state across a checkpoint restart; sink converges under redelivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("restart").toString
+    val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    val sink = EventStreams.idempotentParquetSink(out)
+
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    def start() = EventStreams.sessionWindowAgg(df, lateness = "0 seconds")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    // run A: open a session for user 1 — watermark never passes its
+    // end, so the session lives ONLY in the state store at stop time
+    val q1 = start()
+    try {
+      in.addData((1L, ts(1000), 2.0), (1L, ts(1010), 3.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // run B: resume from the checkpoint; an event inside the 30-minute
+    // gap must MERGE into the recovered session, not start a new one
+    val q2 = start()
+    try {
+      in.addData((1L, ts(1020), 5.0))
+      q2.processAllAvailable()
+      in.addData((9L, ts(3000), 0.0)) // watermark push: session closes + emits
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    def user1Sessions() = spark.read.parquet(out)
+      .where($"user_id" === 1L)
+      .select($"user_id", $"session_start", $"session_end", $"n", $"sum_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+        r.getTimestamp(2).getTime / 60000, r.getLong(3), r.getDouble(4))).toSet
+    // one session spanning both runs — state crossed the restart
+    assert(user1Sessions() === Set((1L, 1000L, 1050L, 3L, 10.0)),
+      s"state did not survive the restart: ${user1Sessions()}")
+
+    // redelivery across the restart boundary: re-apply the final batch
+    // (same id, same deterministic content, as after a crash between
+    // the sink write and the offset commit) — the sink must converge
+    val lastBatch = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).max
+    // materialize BEFORE the sink overwrites the directory being read
+    val snapshot = spark.read.parquet(s"$out/batch_id=$lastBatch")
+    val redelivered = spark.createDataFrame(
+      java.util.Arrays.asList(snapshot.collect(): _*), snapshot.schema)
+    sink(redelivered, lastBatch)
+    assert(user1Sessions() === Set((1L, 1000L, 1050L, 3L, 10.0)),
+      "redelivered batch changed the sink contents")
+  }
+
+  test("CDC apply recovers per-key state across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{CdcChange, CdcUpdate}
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+
+    val in = MemoryStream[CdcChange]
+    // memory sink can't recover from a checkpoint; foreachBatch can —
+    // emissions accumulate in a driver-side buffer per run
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[CdcUpdate]()
+    def start() = EventStreams.cdcApply(in.toDS()).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CdcUpdate], _: Long) =>
+        batch.collect().foreach(emitted.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      in.addData(CdcChange(1L, 5L, "U", 10.0), CdcChange(2L, 1L, "U", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    emitted.clear()
+
+    // run B: a STALE change for key 1 (seq 3 < recovered seq 5) and a
+    // genuine delete for key 2. If state had been lost, key 1 would
+    // emit seq 3 / value 99.0.
+    val q2 = start()
+    val got = try {
+      in.addData(CdcChange(1L, 3L, "U", 99.0), CdcChange(2L, 7L, "D", 0.0))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      emitted.asScala.map(u => u.key -> u).toMap
+    } finally q2.stop()
+
+    assert(got(1L) === CdcUpdate(1L, 5L, live = true, 10.0),
+      s"stale change resurrected after restart: ${got(1L)}")
+    assert(got(2L) === CdcUpdate(2L, 7L, live = false, 0.0), s"got ${got(2L)}")
   }
 }
