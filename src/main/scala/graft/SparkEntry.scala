@@ -96,6 +96,8 @@ object SparkEntry {
     "ann_mmr_rerank"           -> (AnnQueries.annMmrRerank _),
     "io_scd2_asof"             -> (MaintenanceQueries.ioScd2Asof _),
     "q_sample_weighted"        -> (SampleQueries.qSampleWeighted _),
+    "text_vocab_sketch"        -> ((s: SparkSession, d: String) =>
+      PipelineQueries.textVocabSketch(s, d)),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */

@@ -110,16 +110,23 @@ class FileSystems(conf: Configuration) {
     * Local files need no signing — their URI is returned. Object-store
     * presigning is a STORAGE-SDK operation (an STS-signed https URL),
     * not a filesystem one; Hadoop's FS abstraction deliberately does
-    * not expose it, so for non-local schemes this is a documented
-    * non-goal and throws. */
+    * not expose it. Deployments that have the storage SDK on the
+    * classpath close the gap by registering a presigner for their
+    * scheme ([[FileSystems.registerPresigner]] — e.g. an
+    * S3Presigner-backed function for `s3a`); without one, non-local
+    * schemes throw with that instruction. */
   def sign(path: String, expirationSeconds: Int = 100): String = {
     val p = new Path(path)
     val scheme = Option(p.toUri.getScheme)
       .getOrElse(FileSystem.getDefaultUri(conf).getScheme)
     if (scheme == "file") fs(path).makeQualified(p).toUri.toString
-    else throw new UnsupportedOperationException(
-      s"sign() requires the object store's SDK presigner (scheme '$scheme'); " +
-        "use the storage SDK directly — not expressible through the Hadoop FileSystem API")
+    else FileSystems.presignerFor(scheme) match {
+      case Some(presign) => presign(path, expirationSeconds)
+      case None => throw new UnsupportedOperationException(
+        s"sign() requires the object store's SDK presigner (scheme '$scheme'); " +
+          "register one with FileSystems.registerPresigner(scheme, fn) " +
+          "— not expressible through the Hadoop FileSystem API")
+    }
   }
 
   def open(path: String): java.io.InputStream = fs(path).open(new Path(path))
@@ -144,6 +151,27 @@ object FileSystems {
     new FileSystems(spark.sparkContext.hadoopConfiguration)
 
   def local(): FileSystems = new FileSystems(new Configuration())
+
+  /** (path, expirationSeconds) => presigned https URL. */
+  type Presigner = (String, Int) => String
+
+  // scheme -> SDK presigner; a DRIVER-side registry (presigning is a
+  // metadata/export operation, never part of a distributed plan)
+  private val presigners =
+    new java.util.concurrent.ConcurrentHashMap[String, Presigner]()
+
+  /** Register the storage SDK's presigner for a scheme (e.g. wrap
+    * software.amazon.awssdk S3Presigner for "s3a"). The SDK itself is
+    * deliberately NOT a dependency of this library; callers that need
+    * presigned exports bring it and plug it in here. */
+  def registerPresigner(scheme: String, presign: Presigner): Unit =
+    presigners.put(scheme, presign)
+
+  /** Remove a registered presigner (tests, reconfiguration). */
+  def unregisterPresigner(scheme: String): Unit = presigners.remove(scheme)
+
+  private[io] def presignerFor(scheme: String): Option[Presigner] =
+    Option(presigners.get(scheme))
 
   /** Hadoop conf for S3 access with an optional STS assume-role chain
     * and endpoint override — the Spark-native mapping of the

@@ -378,10 +378,22 @@ object GraftIO {
     * columns (the reference slices by position; a positional split is
     * not stable across distributed retries, a content hash is).
     *
+    * SINGLE scan job: the frame is written once through a dynamic
+    * partitioned write on (partition cols, chunk id) — each leaf
+    * directory gets exactly one part file because the pre-write
+    * repartition co-locates each (tuple, chunk) combination in one
+    * task — then the driver renames every part file to its
+    * transformer-assigned name, parsing partition values back out of
+    * the hive paths (the manifest). The round-4 version filtered the
+    * full frame once per partition tuple — O(directories) scans.
+    *
+    * Partition values reach `transformer` as the STRINGS parsed from
+    * the written hive paths (what Spark's partitioned writer encodes);
+    * for string/int partition columns this is indistinguishable from
+    * the typed values.
+    *
     * Scale note: this is the EXPORT path — named single files for
-    * downstream consumers. The driver loops over distinct partition
-    * tuples (bounded by directory count, exactly like the reference's
-    * groupby loop) and each chunk is written through a single task.
+    * downstream consumers; each chunk funnels through a single task.
     * For bulk data the hive-layout `write()` remains the scale path.
     */
   def writeNamed(
@@ -398,43 +410,86 @@ object GraftIO {
     require(suffixes.nonEmpty, "`suffixes` must not be empty")
     val spark = df.sparkSession
     val fss = FileSystems(spark)
+    val n = suffixes.length
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
 
-    def writeChunks(part: DataFrame, values: Seq[Any]): Unit = {
-      val dataCols = part.columns.map(col).toSeq
-      val n = suffixes.length
-      val chunked = part.withColumn("__graft_chunk",
-        if (n == 1) lit(0L) else pmod(xxhash64(dataCols: _*), lit(n.toLong)))
-      suffixes.zipWithIndex.foreach { case (suffix, i) =>
-        val target = transformer(path, partitionBy, values, suffix)
-        val tmp = target + s".__graft_tmp_$i"
-        write(chunked.filter(col("__graft_chunk") === i).drop("__graft_chunk")
-          .coalesce(1), tmp, format, gzip, sep, header)
-        // match on the FILENAME: a path filter would also catch
-        // _SUCCESS when a parent directory happens to contain "part-"
-        val partFile = fss.find(tmp)
-          .filter { f =>
-            val name = f.substring(f.lastIndexOf('/') + 1)
-            name.startsWith("part-") && !name.endsWith(".crc")
-          }
-          .ensuring(_.nonEmpty, s"no part file written under $tmp").head
-        fss.mkdirs(new org.apache.hadoop.fs.Path(target).getParent.toString)
-        fss.rm(target)
-        require(fss.mv(partFile, target), s"rename failed: $partFile -> $target")
-        fss.rm(tmp)
-      }
+    // chunk id hashes the columns AS WRITTEN (partition cols excluded
+    // exactly when they are dropped from the data files), so routing is
+    // stable across retries and unchanged from the per-tuple version
+    val hashCols =
+      (if (dropPartitions) df.columns.filterNot(partitionBy.contains) else df.columns)
+        .map(col).toSeq
+    val chunked0 = df.withColumn("__graft_chunk",
+      if (n == 1) lit(0L) else pmod(xxhash64(hashCols: _*), lit(n.toLong)))
+    // partition through copies so the originals can stay in the data
+    // files when dropPartitions = false
+    val withKeys = partitionBy.foldLeft(chunked0) { (d, c) =>
+      d.withColumn(s"__graft_p_$c", col(c))
+    }
+    val data = if (dropPartitions) withKeys.drop(partitionBy: _*) else withKeys
+    val partKeys = partitionBy.map(c => s"__graft_p_$c") :+ "__graft_chunk"
+
+    val tmp = path + ".__graft_named_tmp"
+    fss.rm(tmp)
+    write(data.repartition(partKeys.map(col): _*), tmp, format, gzip, sep, header,
+      partitionBy = partKeys)
+
+    // manifest pass: map each written part file to its target name
+    val partFiles = fss.find(tmp).filter { f =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      name.startsWith("part-") && !name.endsWith(".crc")
+    }
+    val renames = partFiles.map { f =>
+      // only our own key dirs (robust to '=' in user path segments and
+      // to scheme-prefixed paths from find)
+      val kv = f.split('/')
+        .filter(s => s.startsWith("__graft_p_") || s.startsWith("__graft_chunk="))
+        .map { s =>
+          val i = s.indexOf('=')
+          s.substring(0, i) -> unescapePathName(s.substring(i + 1))
+        }.toMap
+      val values: Seq[Any] = partitionBy.map(c => kv(s"__graft_p_$c"))
+      val chunkIdx = kv("__graft_chunk").toInt
+      (f, values, chunkIdx, transformer(path, partitionBy, values, suffixes(chunkIdx)))
+    }
+    renames.groupBy(_._4).foreach { case (target, fs) =>
+      require(fs.size == 1,
+        s"${fs.size} part files map to $target — one task wrote several files for one chunk")
+    }
+    renames.foreach { case (f, _, _, target) =>
+      fss.mkdirs(new org.apache.hadoop.fs.Path(target).getParent.toString)
+      fss.rm(target)
+      require(fss.mv(f, target), s"rename failed: $f -> $target")
     }
 
-    if (partitionBy.isEmpty) writeChunks(df, Nil)
-    else {
-      val partRows = df.select(partitionBy.map(col): _*).distinct().collect()
-      partRows.foreach { row =>
-        val values = row.toSeq
-        val filtered = partitionBy.zip(values).foldLeft(df) { case (d, (k, v)) =>
-          d.filter(col(k) === lit(v))
+    // a (tuple, chunk) with no rows produces no file in a partitioned
+    // write; the per-tuple version wrote an empty file — preserve that
+    // for every tuple that appeared at all (and for the root when
+    // unpartitioned, so a single-dir export always yields all names)
+    val seenTuples: Set[Seq[Any]] =
+      if (partitionBy.isEmpty) Set(Nil) else renames.map(_._2).toSet
+    val seenFiles = renames.map { case (_, values, chunkIdx, _) => (values, chunkIdx) }.toSet
+    val emptySchema = (if (dropPartitions) df.drop(partitionBy: _*) else df).limit(0)
+    for {
+      values <- seenTuples
+      i <- 0 until n
+      if !seenFiles.contains((values, i))
+    } {
+      val target = transformer(path, partitionBy, values, suffixes(i))
+      val etmp = target + s".__graft_tmp_$i"
+      write(emptySchema.coalesce(1), etmp, format, gzip, sep, header)
+      val partFile = fss.find(etmp)
+        .filter { f =>
+          val name = f.substring(f.lastIndexOf('/') + 1)
+          name.startsWith("part-") && !name.endsWith(".crc")
         }
-        writeChunks(if (dropPartitions) filtered.drop(partitionBy: _*) else filtered, values)
-      }
+        .ensuring(_.nonEmpty, s"no part file written under $etmp").head
+      fss.mkdirs(new org.apache.hadoop.fs.Path(target).getParent.toString)
+      fss.rm(target)
+      require(fss.mv(partFile, target), s"rename failed: $partFile -> $target")
+      fss.rm(etmp)
     }
+    fss.rm(tmp)
   }
 
   /** Read a dataset (single file, directory tree, or glob) written by

@@ -158,6 +158,29 @@ object PipelineQueries {
       .limit(100)
   }
 
+  /** Scale default for vocabulary building: df via
+    * `approx_count_distinct` (HLL++). [[textVocab]]'s exact df is the
+    * one measured near-linear-plus term in the text family — its first
+    * shuffle carries the per-doc-distinct (token, doc_id) PAIRS, which
+    * grow with corpus size. The sketch variant aggregates into a
+    * fixed-size HLL register per token map-side, so the shuffle
+    * carries one register per (task, token) — independent of document
+    * count — and the pair-level shuffle disappears. tf and the top-100
+    * cut stay EXACT (same count, same ordering); only df is
+    * approximate, within the configured rsd. Rows oracle (DuckDB's
+    * HLL is a different sketch); VocabSketchSpec pins the df error
+    * against the exact variant. */
+  def textVocabSketch(
+      spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame = {
+    import spark.implicits._
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", explode(wsTokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("tf"), approx_count_distinct($"doc_id", rsd).as("df"))
+      .orderBy($"tf".desc, $"token")
+      .limit(100)
+  }
+
   /** Sequence packing — the step that turns a curated corpus into
     * fixed-token-budget training rows, GPT-pretraining style: within
     * each shard, documents are concatenated in a deterministic order

@@ -35,6 +35,33 @@ class NamedWriteSpec extends AnyFunSuite with SparkSpec {
     assert(back.agg(sum($"id")).collect()(0).getLong(0) === (1 to 100).sum.toLong)
   }
 
+  test("writeNamed: a multi-partition export runs exactly one scan job") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, s"v$i", s"p${i % 6}")).toDF("id", "v", "k")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftIO.writeNamed(df, tmp(), GraftIO.Dsv,
+        partitionBy = Seq("k"), suffixes = Seq("c1.tsv", "c2.tsv"))
+      // the listener bus is async: wait until the count stops moving
+      var last = -1
+      var spins = 0
+      while (jobs.get() != last && spins < 50) {
+        last = jobs.get(); Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // 6 partition tuples × 2 chunks, all non-empty: the round-4
+    // per-tuple loop ran a distinct-collect plus one write job per
+    // (tuple, chunk) — 13 jobs. The single-pass write is O(1) jobs
+    // regardless of directory count (AQE runs the repartition's map
+    // stage as its own job, hence <= 2, not == 1).
+    assert(jobs.get() <= 2, s"expected O(1) jobs, saw ${jobs.get()}")
+  }
+
   test("writeNamed: custom partition transformer controls layout") {
     import spark.implicits._
     val df = Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "part")
@@ -90,6 +117,24 @@ class NamedWriteSpec extends AnyFunSuite with SparkSpec {
     assert(fss.created(f) > 0L)
     assert(fss.created(f) <= fss.modified(f) + 1000)
     assert(fss.sign(f).startsWith("file:"))
+    assertThrows[UnsupportedOperationException] {
+      fss.sign("s3a://bucket/key")
+    }
+  }
+
+  test("sign() dispatches to a registered SDK presigner for object-store schemes") {
+    val fss = FileSystems.local()
+    FileSystems.registerPresigner("s3a",
+      (path, exp) => s"https://signed.example/${path.stripPrefix("s3a://")}?X-Expires=$exp")
+    try {
+      assert(fss.sign("s3a://bucket/key", 300) ===
+        "https://signed.example/bucket/key?X-Expires=300")
+      // local passthrough is unaffected by the registry
+      val f = s"${tmp()}/y.txt"
+      fss.writeString(f, "hi")
+      assert(fss.sign(f).startsWith("file:"))
+    } finally FileSystems.unregisterPresigner("s3a")
+    // after unregister the documented boundary is back
     assertThrows[UnsupportedOperationException] {
       fss.sign("s3a://bucket/key")
     }

@@ -50,6 +50,29 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("vocab sketch: exact tf/top-100, df within tolerance, no pair-level distinct shuffle") {
+    import spark.implicits._
+    val exact = graft.operators.PipelineQueries.textVocab(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sketch = graft.operators.PipelineQueries.textVocabSketch(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tf is exact in both variants, so the ranked (token, tf) lists
+    // must be IDENTICAL — only df may differ
+    assert(exact.map(t => (t._1, t._2)).toSeq === sketch.map(t => (t._1, t._2)).toSeq)
+    val dfExact = exact.map(t => t._1 -> t._3).toMap
+    sketch.foreach { case (tok, _, dfApprox) =>
+      val e = dfExact(tok).toDouble
+      assert(math.abs(dfApprox - e) <= math.max(1.0, 0.05 * e),
+        s"df($tok): sketch $dfApprox vs exact $e beyond 5%")
+    }
+    // the scale point: the sketch plan must NOT contain the exact
+    // variant's Expand/distinct pair stage — df aggregates into HLL
+    // registers map-side
+    val plan = graft.operators.PipelineQueries.textVocabSketch(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Expand"), s"pair-level distinct survived:\n$plan")
+  }
+
   test("sketch aggregation plans as a single partial-agg shuffle") {
     val s = Analytics.qSketchStats(spark, sf).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
