@@ -15,15 +15,20 @@ object HeavyHitterQueries {
 
   /** Top-10 most frequent corpus tokens via the SpaceSaving summary.
     *
-    * The aggregate keeps a fixed 64-entry buffer per task and shuffles
+    * The aggregate keeps a fixed 1024-entry buffer per task and shuffles
     * ONE summary per partition — a groupBy-count + top-k shuffles one
     * row per distinct token per task instead, which grows with the
     * vocabulary (urls/ids/typos make it effectively unbounded at
-    * 100 TB). Capacity 64 exceeds this corpus's whitespace vocabulary,
-    * so counts are exact (err = 0, SpaceSaving never evicts) and the
-    * gate pins the result against an exact GROUP BY oracle; at real
-    * scale the same query runs with k << distinct as a true sketch
-    * whose error bounds SketchSpec-style tests pin instead.
+    * 100 TB). Capacity 1024 exceeds the gate corpora's whitespace
+    * vocabulary at every validated sf (sf0.1: ~31 tokens; sf1's
+    * replica-prefixed corpus: ~310), so counts are exact (err = 0,
+    * SpaceSaving never evicts) and the gate pins the result against an
+    * exact GROUP BY oracle — the round-4 capacity of 64 was exceeded
+    * by the sf1 vocabulary and the summary silently degraded to its
+    * approximate regime, which is exactly the boundary this constant
+    * must clear. At real scale the same query runs with k << distinct
+    * as a true sketch whose error bounds SketchSpec-style tests pin
+    * instead.
     */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -31,7 +36,7 @@ object HeavyHitterQueries {
     val summary = Tables.widened(Tables.documents(spark, dir))
       .filter(length(trim($"text")) > 0)
       .select(explode(TextFunctions.wsTokens($"text")).as("token"))
-      .agg(expr("graft_topfreq(token, 64)").as("hh"))
+      .agg(expr("graft_topfreq(token, 1024)").as("hh"))
     summary
       .select(explode(slice($"hh", 1, 10)).as("e"))
       .select($"e.item".as("token"), $"e.cnt".as("cnt"))
