@@ -111,8 +111,11 @@ def main():
         ).set_column(
             ev.schema.get_field_index("user_id"), "user_id",
             pc.add(ev.column("user_id"), i * off["user_id"])))
+    # bounded row groups: a single-row-group file cannot be split
+    # across scan tasks no matter what maxPartitionBytes says
     pq.write_table(pa.concat_tables(reps), f"{out}/events.parquet",
-                   coerce_timestamps=None, version="2.6")
+                   coerce_timestamps=None, version="2.6",
+                   row_group_size=65536)
     n = con.execute(f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
     print(f"events: {n} rows")
     write("documents", f"""

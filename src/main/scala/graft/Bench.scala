@@ -20,6 +20,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split target sized to the LOCAL corpus, not the 128m default:
+      // a 100 TB table arrives as thousands of splits, but a 12 MB
+      // local file under the default is ONE task and serializes every
+      // CPU-heavy scan-stage (JSON probing, regex scoring) onto one
+      // core — the local-mode artifact the widened() helper documents,
+      // fixed at the reader where it belongs
+      .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
