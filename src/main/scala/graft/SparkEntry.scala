@@ -1146,7 +1146,7 @@ object SparkEntry {
         |  FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS idx) i
         |  WHERE len >= 3),
         |probes0 AS (
-        |  SELECT doc_id, text, len, len - g.dl AS plen, i.idx,
+        |  SELECT doc_id, text, len, g.dl, s.d, len - g.dl AS plen, i.idx,
         |    (CASE i.idx WHEN 0 THEN 1 WHEN 1 THEN (len - g.dl) // 3 + 1
         |      ELSE 2 * ((len - g.dl) // 3) + 1 END) + s.d AS sstart,
         |    CASE i.idx WHEN 2 THEN (len - g.dl) - 2 * ((len - g.dl) // 3)
@@ -1159,7 +1159,8 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, plen, idx,
         |    substr(text, CAST(sstart AS INT), CAST(slen AS INT)) AS seg
         |  FROM probes0
-        |  WHERE plen >= 3 AND slen >= 1 AND sstart >= 1 AND sstart + slen - 1 <= len),
+        |  WHERE plen >= 3 AND slen >= 1 AND sstart >= 1 AND sstart + slen - 1 <= len
+        |    AND abs(d) + abs(dl - d) <= 2),
         |cand AS (
         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
         |    greatest(a.doc_id, b.doc_id) AS id_b

@@ -42,6 +42,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(uf.labels.collect().map(_.getLong(1)).toSet === Set(1L))
   }
 
+  test("banded levenshtein == full DP clamped at k (randomized + edge cases)") {
+    def full(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc" // small alphabet -> many near-misses around the band
+    def randStr(n: Int) = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (_ <- 1 to 300; k <- 1 to 3) {
+      val a = randStr(rnd.nextInt(14))
+      val b = randStr(rnd.nextInt(14))
+      val f = full(a, b)
+      val got = DedupQueries.bandedLevenshtein(a, b, k)
+      val want = if (f <= k) f else -1
+      assert(got === want, s"a=$a b=$b k=$k full=$f")
+    }
+    // edge cases
+    assert(DedupQueries.bandedLevenshtein("", "", 2) === 0)
+    assert(DedupQueries.bandedLevenshtein("", "ab", 2) === 2)
+    assert(DedupQueries.bandedLevenshtein("", "abc", 2) === -1)
+    assert(DedupQueries.bandedLevenshtein("abcdef", "abdef", 2) === 1)
+    assert(DedupQueries.bandedLevenshtein(null, "a", 2) === -1)
+  }
+
   test("edit-blocked dedup finds indel twins: length-differing pairs present") {
     import spark.implicits._
     val out = DedupQueries.dedupEditBlocked(spark, sf)
