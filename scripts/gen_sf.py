@@ -51,8 +51,9 @@ def main():
     def t(name):
         return f"'{src}/{name}.parquet'"
 
-    def write(name, sql):
-        con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+    def write(name, sql, row_group=0):
+        opts = f", ROW_GROUP_SIZE {row_group}" if row_group else ""
+        con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET{opts})")
         n = con.execute(f"SELECT count(*) FROM '{out}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows")
 
@@ -131,7 +132,7 @@ def main():
                       list_transform(string_split_regex(trim(text), '\\s+'),
                         tok -> 'r' || CAST(i AS VARCHAR) || '_' || tok), ' ')) AS BIGINT)
                END AS n_chars
-        FROM {t('documents')} CROSS JOIN {rep}""")
+        FROM {t('documents')} CROSS JOIN {rep}""", row_group=8192)
     write("embeddings", f"""
         SELECT vec_id + i * {off['vec_id']} AS vec_id,
                CASE WHEN i = 0 THEN embedding
@@ -144,7 +145,7 @@ def main():
                       AS FLOAT[])
                END AS embedding,
                label
-        FROM {t('embeddings')} CROSS JOIN {rep}""")
+        FROM {t('embeddings')} CROSS JOIN {rep}""", row_group=4096)
     print(f"done -> {out} (x{mult})")
 
 
