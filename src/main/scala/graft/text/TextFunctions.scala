@@ -17,8 +17,18 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column = size(wsTokens(text))
+  /** Whitespace token count — flat regex count, NO token array.
+    * Exactly `size(wsTokens(text))` including the edges: Spark's
+    * `trim` removes only 0x20 spaces and `split(_, re)` uses limit -1,
+    * so space-trimmed text that still starts (ends) with \t\n\x0B\f\r
+    * contributes a leading (trailing) empty token — the two rlike
+    * correction terms. Pinned bit-equal to the array formulation on
+    * adversarial whitespace by TextSpec. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(
+      regexp_count(trim(text), lit("\\S+")).cast("int")
+        + when(trim(text).rlike("^\\s"), 1).otherwise(0)
+        + when(trim(text).rlike("\\s$"), 1).otherwise(0))
 
   /** Canonical whitespace normalization: trim, collapse runs of the
     * explicit class `[ \t\n\x0B\f\r]` to one space, casefold. The
@@ -66,8 +76,22 @@ object TextFunctions {
     regexp_count(padded, lit(" (?:" + stop.mkString("|") + ")(?= )")).cast("int")
   }
 
-  private def tokenHitRatio(tokens: Column, stop: Seq[String]): Column =
-    stopHitCount(tokens, stop) / greatest(size(tokens), lit(1)).cast("double")
+  /** [[stopHitCount]] straight off the text, NO token array: collapsing
+    * whitespace runs to single spaces yields exactly
+    * `array_join(wsTokens(text), " ")` in every case (including the
+    * leading/trailing empty tokens split's limit -1 keeps — the join
+    * renders them as the same boundary spaces the collapse leaves).
+    * Keeps the whole scoring tree flat codegen with zero array
+    * allocation per row. */
+  def stopHitCountText(text: Column, stop: Seq[String]): Column = {
+    val padded =
+      concat(lit(" "), regexp_replace(trim(text), "\\s+", " "), lit(" "))
+    regexp_count(padded, lit(" (?:" + stop.mkString("|") + ")(?= )")).cast("int")
+  }
+
+  private def tokenHitRatio(text: Column, stop: Seq[String]): Column =
+    stopHitCountText(text, stop) /
+      greatest(tokenCountWs(text), lit(1)).cast("double")
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
@@ -83,7 +107,7 @@ object TextFunctions {
     * punctuation (markup/code debris) penalizes. */
   def qualityScore(text: Column): Column = {
     val lenTerm = least(length(text) / lit(500.0), lit(1.0))
-    val stopTerm = tokenHitRatio(wsTokens(text), EnStop)
+    val stopTerm = tokenHitRatio(text, EnStop)
     round(lit(0.4) * lenTerm + lit(0.3) * stopTerm + lit(0.3) * (lit(1.0) - punctRatio(text)), 4)
   }
 
@@ -96,18 +120,25 @@ object TextFunctions {
     * cross-engine float-rounding boundaries (round(x, 4) on doubles
     * differs between engines exactly at .00005 edges). All terms fit a
     * long; the final floor() sits on a double whose value is ≥1e-9
-    * away from the nearest integer, so it cannot misround. */
-  def qualityScoreBp(text: Column): Column =
-    graft.similarity.Similarity.bound(wsTokens(text)) { toks =>
-      val c = greatest(length(text), lit(1)).cast("long")
-      val m = least(length(text), lit(500)).cast("long")
-      val t = greatest(size(toks), lit(1)).cast("long")
-      val h = stopHitCount(toks, EnStop).cast("long")
-      val p = punctCount(text).cast("long")
-      val n = lit(2L) * m * t * c + lit(750L) * h * c + lit(750L) * (c - p) * t
-      val d = lit(2500L) * t * c
-      floor((lit(10000L) * n + d / lit(2L)) / d).cast("long")
-    }
+    * away from the nearest integer, so it cannot misround.
+    *
+    * Flat codegen: token count and stop hits come from the text-level
+    * regex counters, so no token array is built and no HOF wrapper is
+    * needed — the whole tree stays inside whole-stage codegen (the
+    * earlier `bound()` form routed every evaluation through an
+    * interpreted `transform`; at sf1 that was ~10 s of the scoring
+    * family's wall clock once the bench stopped letting ColumnPruning
+    * drop the projection). */
+  def qualityScoreBp(text: Column): Column = {
+    val c = greatest(length(text), lit(1)).cast("long")
+    val m = least(length(text), lit(500)).cast("long")
+    val t = greatest(tokenCountWs(text), lit(1)).cast("long")
+    val h = stopHitCountText(text, EnStop).cast("long")
+    val p = punctCount(text).cast("long")
+    val n = lit(2L) * m * t * c + lit(750L) * h * c + lit(750L) * (c - p) * t
+    val d = lit(2500L) * t * c
+    floor((lit(10000L) * n + d / lit(2L)) / d).cast("long")
+  }
 
   /** `punctRatio` in exact integer basis points (see qualityScoreBp). */
   def punctRatioBp(text: Column): Column = {
@@ -133,13 +164,12 @@ object TextFunctions {
     * language whose stopword-hit ratio (CJK char ratio for zh) is
     * highest; ties break to the lexicographically last language —
     * array_max over (score, lang) structs is total and deterministic. */
-  def languageId(text: Column): Column =
-    graft.similarity.Similarity.bound(wsTokens(text)) { tokens =>
-      val scored = LangStops.map { case (lang, stops) =>
-        struct(tokenHitRatio(tokens, stops).as("score"), lit(lang).as("lang"))
-      } :+ struct(cjkRatio(text).as("score"), lit("zh").as("lang"))
-      array_max(array(scored: _*)).getField("lang")
-    }
+  def languageId(text: Column): Column = {
+    val scored = LangStops.map { case (lang, stops) =>
+      struct(tokenHitRatio(text, stops).as("score"), lit(lang).as("lang"))
+    } :+ struct(cjkRatio(text).as("score"), lit("zh").as("lang"))
+    array_max(array(scored: _*)).getField("lang")
+  }
 
   /** PII patterns used by detection/redaction. RE2-compatible subset
     * (no lookaround, no backrefs) so the DuckDB oracle can state the
@@ -169,8 +199,76 @@ object TextFunctions {
     * SIGMOD'03 "local algorithms for document fingerprinting"):
     * hash all k-char grams, slide a window of w hashes, keep each
     * window's minimum, distinct + sort. Robust to small edits; two
-    * documents sharing any selected gram share a fingerprint. */
-  def fingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
+    * documents sharing any selected gram share a fingerprint.
+    *
+    * Tight-loop UDF (the repo's fourth, same justification class as
+    * the banded Levenshtein / MMR fold / PQ argmin): the Column
+    * formulation is one interpreted lambda evaluation per character
+    * PLUS one per window — ~50M for the sf1 corpus, measured 11.2 s,
+    * vs one JVM pass per document here. Bit-equal to
+    * [[fingerprintHof]] (TextSpec pins it, including astral code
+    * points): grams are code-point substrings hashed exactly as
+    * `xxhash64(substr(...))` hashes them (XxHash64Function over the
+    * gram's UTF8 bytes, seed 42). */
+  def fingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    winnowUdf(text, lit(k), lit(w))
+
+  private lazy val winnowUdf =
+    udf { (s: String, k: Int, w: Int) => winnowImpl(s, k, w) }
+
+  private[graft] def winnowImpl(s: String, k: Int, w: Int): Array[Long] = {
+    if (s == null) return null
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val b = u.getBytes
+    // byte offset of every code point (+ end sentinel): grams slice
+    // CODE POINTS like Substring does, not UTF-16 units
+    val offs = new Array[Int](u.numChars + 1)
+    var i = 0
+    var c = 0
+    while (i < b.length) {
+      offs(c) = i
+      c += 1
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(b(i))
+    }
+    offs(c) = b.length
+    val g = c - k + 1
+    val m = g - w + 1
+    // fewer grams than one full window (incl. text shorter than k):
+    // no window minimum is selected — same empty result as the HOF
+    if (m < 1) return Array.emptyLongArray
+    val hashes = new Array[Long](g)
+    i = 0
+    while (i < g) {
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(b, offs(i), offs(i + k) - offs(i)),
+        org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    val mins = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var mn = hashes(i)
+      var j = i + 1
+      while (j < i + w) {
+        if (hashes(j) < mn) mn = hashes(j)
+        j += 1
+      }
+      mins(i) = mn
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var out = 0
+    i = 0
+    while (i < m) {
+      if (out == 0 || mins(out - 1) != mins(i)) { mins(out) = mins(i); out += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(mins, out)
+  }
+
+  /** Reference Column formulation of [[fingerprint]], kept as the
+    * equivalence oracle for the UDF (TextSpec). */
+  private[graft] def fingerprintHof(text: Column, k: Int = 5, w: Int = 4): Column = {
     // sequence(1, n) DESCENDS when n < 1 — guard short inputs to an
     // empty index range instead
     def upTo(n: Column): Column =

@@ -235,4 +235,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"text crosses a shuffle: $names")
     }
   }
+
+  test("curate scoring trees are not duplicated into the scan filter") {
+    // without the EvalBarrier, PushDownPredicates copies the quality
+    // and language expression trees into the scan-stage filter and the
+    // project evaluates them AGAIN for survivors (10.5 s vs 3.1 s at
+    // sf1). The barrier keeps the scan free of scoring regexes.
+    val s = fmt(graft.operators.TextQueries.textCurate(spark, sf))
+    val scanLines = s.linesIterator.filter(l =>
+      l.contains("PushedFilters") || l.contains("DataFilters")).mkString("\n")
+    assert(!scanLines.contains("regexp"),
+      s"scoring regexes reached the scan filters:\n$scanLines")
+    // the scoring must still be evaluated exactly once: one
+    // regexp_replace-collapse per stop-hit column family in the plan
+    assert(s.contains("Filter"), s"caller filter disappeared:\n$s")
+  }
 }

@@ -19,6 +19,49 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 0, 0, 1))
   }
 
+  test("flat token/stop counters are bit-equal to the array formulation") {
+    import spark.implicits._
+    // adversarial whitespace: Spark's trim removes only 0x20 spaces and
+    // split keeps limit -1's leading/trailing empty tokens, so the flat
+    // regex counters carry explicit correction terms — pin them against
+    // the reference array formulation on every edge class
+    val cases = Seq(
+      "", " ", "\t", "\n", " \t ", "solo", " solo ", "\tlead", "trail\t",
+      "\ttab\tsep\t", "a  b\t\nc", "the the a of", " the\tthe ",
+      "the a an of and to in is it that", "no stops here at all",
+      "\u00a0nbsp is not java ws", "mixed \u00a0 and\tthe tab", "that\n",
+    )
+    val df = cases.toDF("t").select(
+      tokenCountWs($"t").as("flat_n"),
+      size(wsTokens($"t")).as("arr_n"),
+      stopHitCountText($"t", EnStop).as("flat_h"),
+      stopHitCount(wsTokens($"t"), EnStop).as("arr_h"))
+    df.collect().zip(cases).foreach { case (r, c) =>
+      assert(r.getAs[Int]("flat_n") === r.getAs[Int]("arr_n"), s"token count for ${c.replace("\t", "\\t").replace("\n", "\\n")}")
+      assert(r.getAs[Int]("flat_h") === r.getAs[Int]("arr_h"), s"stop hits for ${c.replace("\t", "\\t").replace("\n", "\\n")}")
+    }
+  }
+
+  test("winnowing UDF is bit-equal to the Column formulation") {
+    import spark.implicits._
+    val cases = Seq(
+      "", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa", "ab ab ab ab ab ab ab",
+      "日本語のテキストで五文字グラムを検証する",
+      "mixed 日本語 and ascii with spaces",
+      // astral plane: one CODE POINT is two UTF-16 units — pins the
+      // code-point (not char) gram slicing
+      "emoji 🙂 inside 🚀 the text here",
+    )
+    val df = cases.toDF("t").select(
+      fingerprint($"t").as("u"),
+      graft.text.TextFunctions.fingerprintHof($"t").as("h"))
+    df.collect().zip(cases).foreach { case (r, c) =>
+      assert(r.getSeq[Long](0).toList === r.getSeq[Long](1).toList, s"fingerprint of: $c")
+    }
+  }
+
   test("bpe-ish token count: letter runs, digit runs, punct marks") {
     import spark.implicits._
     // "it's 42%!" -> [it][']['s][42][%][!] = 6
