@@ -229,23 +229,43 @@ object Analytics {
       .orderBy($"event_type")
   }
 
-  /** Range join: every lineitem unit price matched into the ±2 price
-    * band around each part's retail price, via the bucketed equi-join
-    * in [[RangeJoin]] (a bare BETWEEN join would plan as
-    * BroadcastNestedLoop). Aggregates are integer-exact (floor sums)
-    * so the cross-engine hash is order-insensitive. */
+  /** Range "join" restated as band aggregation: every lineitem unit
+    * price matched into the ±2 price band around each part's retail
+    * price, then counted/summed per brand. Aggregates are
+    * integer-exact (floor sums) so the cross-engine hash is
+    * order-insensitive.
+    *
+    * The query never needs the matched pairs — only per-band sums — so
+    * it uses the [[RangeAggregate]] sweep rather than the pair-emitting
+    * [[RangeJoin]]: match cardinality here grows with points × interval
+    * density (1.18B pairs at sf1, ~100× for 10× data), and any
+    * join-based plan spends its budget materializing rows the aggregate
+    * immediately folds (22.2 s at sf1; with points pre-grouped by
+    * distinct value 11.6 s; the sweep 4.0 s and pair-independent).
+    * Points are still pre-grouped by distinct unit price first
+    * (distinct values ~ |part|, not |lineitem|) — every final
+    * aggregate distributes over the multiplicity: n = Σ n_lines, the
+    * floor sum weights by n_lines, and n_parts counts band rows
+    * (p_partkey is unique per band row). */
   def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val unitPrices = Tables.lineitem(spark, dir)
       .select(($"l_extendedprice" / $"l_quantity").as("unit_price"))
+      .groupBy($"unit_price")
+      .agg(count(lit(1)).as("n_lines"))
+      .select($"unit_price", $"n_lines",
+        (floor($"unit_price") * $"n_lines").as("floor_term"))
     val bands = Tables.part(spark, dir)
       .select($"p_partkey", $"p_brand",
         ($"p_retailprice" - 2.0).as("lo"), ($"p_retailprice" + 2.0).as("hi"))
-    RangeJoin.pointInInterval(unitPrices, "unit_price", bands, "lo", "hi", bucketWidth = 4.0)
+    RangeAggregate.bandSums(
+        unitPrices, "unit_price", Seq("n_lines", "floor_term"),
+        bands, "p_partkey", "lo", "hi")
+      .filter($"n_lines_sum" > 0) // inner-join semantics: empty bands drop
       .groupBy($"p_brand")
-      .agg(count(lit(1)).as("n"),
-        sum(floor($"unit_price")).cast("long").as("sum_unit_floor"),
-        countDistinct($"p_partkey").as("n_parts"))
+      .agg(sum($"n_lines_sum").cast("long").as("n"),
+        sum($"floor_term_sum").cast("long").as("sum_unit_floor"),
+        count(lit(1)).as("n_parts"))
       .orderBy($"p_brand")
   }
 }
