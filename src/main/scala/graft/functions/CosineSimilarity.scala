@@ -107,5 +107,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BloomAgg.Info, BloomAgg.Builder))
     ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       BloomContains.Info, BloomContains.Builder))
+    ext.injectFunction((FunctionIdentifier("graft_text_counts"),
+      TextScanCounts.Info, TextScanCounts.Builder))
   }
 }

@@ -17,14 +17,28 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  /** Whitespace token count — flat regex count, NO token array.
-    * Exactly `size(wsTokens(text))` including the edges: Spark's
-    * `trim` removes only 0x20 spaces and `split(_, re)` uses limit -1,
-    * so space-trimmed text that still starts (ends) with \t\n\x0B\f\r
-    * contributes a leading (trailing) empty token — the two rlike
-    * correction terms. Pinned bit-equal to the array formulation on
-    * adversarial whitespace by TextSpec. */
-  def tokenCountWs(text: Column): Column =
+  /** One-pass native scoring counters (graft.functions.TextScanCounts):
+    * `struct<chars, toks, punct, cjk, hits>` with `hits(0)` = EnStop
+    * hits and `hits(1..)` = per-LangStops hits. Every public counter
+    * below projects a field of this struct, so a query using several of
+    * them (qualityScoreBp + languageId in text_curate) pays ONE string
+    * walk per row — whole-stage codegen's subexpression elimination
+    * dedups the identical struct calls. Requires the graft extensions
+    * (GraftExtensions / ensureRegistered), like Similarity.cosine. */
+  private[graft] def scanCounts(text: Column): Column =
+    call_function("graft_text_counts", text)
+
+  /** Whitespace token count. Exactly `size(wsTokens(text))` including
+    * the edges: Spark's `trim` removes only 0x20 spaces and
+    * `split(_, re)` uses limit -1, so space-trimmed text that still
+    * starts (ends) with \t\n\x0B\f\r contributes a leading (trailing)
+    * empty token. Pinned bit-equal to [[tokenCountWsRegex]] and the
+    * array formulation on adversarial whitespace by TextSpec. */
+  def tokenCountWs(text: Column): Column = scanCounts(text).getField("toks")
+
+  /** Flat-regex reference formulation of [[tokenCountWs]], kept as the
+    * equivalence oracle for the native counter (TextSpec). */
+  private[graft] def tokenCountWsRegex(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(
       regexp_count(trim(text), lit("\\S+")).cast("int")
         + when(trim(text).rlike("^\\s"), 1).otherwise(0)
@@ -89,12 +103,11 @@ object TextFunctions {
     regexp_count(padded, lit(" (?:" + stop.mkString("|") + ")(?= )")).cast("int")
   }
 
-  private def tokenHitRatio(text: Column, stop: Seq[String]): Column =
-    stopHitCountText(text, stop) /
-      greatest(tokenCountWs(text), lit(1)).cast("double")
+  /** Punctuation character count (`[^A-Za-z0-9\s]` code points). */
+  def punctCount(text: Column): Column = scanCounts(text).getField("punct")
 
-  /** Punctuation character count. */
-  def punctCount(text: Column): Column =
+  /** Regex reference formulation of [[punctCount]] (TextSpec oracle). */
+  private[graft] def punctCountRegex(text: Column): Column =
     regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("int")
 
   /** Punctuation character ratio. */
@@ -106,9 +119,12 @@ object TextFunctions {
     * Length rewards substance, stopwords reward natural prose, heavy
     * punctuation (markup/code debris) penalizes. */
   def qualityScore(text: Column): Column = {
+    val ct = scanCounts(text)
     val lenTerm = least(length(text) / lit(500.0), lit(1.0))
-    val stopTerm = tokenHitRatio(text, EnStop)
-    round(lit(0.4) * lenTerm + lit(0.3) * stopTerm + lit(0.3) * (lit(1.0) - punctRatio(text)), 4)
+    val stopTerm = ct.getField("hits").getItem(0) /
+      greatest(ct.getField("toks"), lit(1)).cast("double")
+    val punctTerm = ct.getField("punct") / greatest(length(text), lit(1)).cast("double")
+    round(lit(0.4) * lenTerm + lit(0.3) * stopTerm + lit(0.3) * (lit(1.0) - punctTerm), 4)
   }
 
   /** `qualityScore` in integer basis points (0..10000), computed with
@@ -122,19 +138,32 @@ object TextFunctions {
     * long; the final floor() sits on a double whose value is ≥1e-9
     * away from the nearest integer, so it cannot misround.
     *
-    * Flat codegen: token count and stop hits come from the text-level
-    * regex counters, so no token array is built and no HOF wrapper is
-    * needed — the whole tree stays inside whole-stage codegen (the
-    * earlier `bound()` form routed every evaluation through an
-    * interpreted `transform`; at sf1 that was ~10 s of the scoring
-    * family's wall clock once the bench stopped letting ColumnPruning
-    * drop the projection). */
+    * All counters come from the ONE-PASS native scan (scanCounts);
+    * the arithmetic stays a flat codegen tree above it. (History: a
+    * HOF `bound()` form was ~10 s of interpreted `transform` at sf1;
+    * its flat-regex replacement still paid ~4 regex passes per row —
+    * the scan is one walk, and TextSpec pins count equality against
+    * the regex forms.) */
   def qualityScoreBp(text: Column): Column = {
+    val ct = scanCounts(text)
+    val c = greatest(ct.getField("chars"), lit(1)).cast("long")
+    val m = least(ct.getField("chars"), lit(500)).cast("long")
+    val t = greatest(ct.getField("toks"), lit(1)).cast("long")
+    val h = ct.getField("hits").getItem(0).cast("long")
+    val p = ct.getField("punct").cast("long")
+    val n = lit(2L) * m * t * c + lit(750L) * h * c + lit(750L) * (c - p) * t
+    val d = lit(2500L) * t * c
+    floor((lit(10000L) * n + d / lit(2L)) / d).cast("long")
+  }
+
+  /** Regex reference formulation of [[qualityScoreBp]] (TextSpec
+    * oracle; also the shape the DuckDB gate oracle states). */
+  private[graft] def qualityScoreBpRegex(text: Column): Column = {
     val c = greatest(length(text), lit(1)).cast("long")
     val m = least(length(text), lit(500)).cast("long")
-    val t = greatest(tokenCountWs(text), lit(1)).cast("long")
+    val t = greatest(tokenCountWsRegex(text), lit(1)).cast("long")
     val h = stopHitCountText(text, EnStop).cast("long")
-    val p = punctCount(text).cast("long")
+    val p = punctCountRegex(text).cast("long")
     val n = lit(2L) * m * t * c + lit(750L) * h * c + lit(750L) * (c - p) * t
     val d = lit(2500L) * t * c
     floor((lit(10000L) * n + d / lit(2L)) / d).cast("long")
@@ -142,8 +171,9 @@ object TextFunctions {
 
   /** `punctRatio` in exact integer basis points (see qualityScoreBp). */
   def punctRatioBp(text: Column): Column = {
-    val c = greatest(length(text), lit(1)).cast("long")
-    val p = punctCount(text).cast("long")
+    val ct = scanCounts(text)
+    val c = greatest(ct.getField("chars"), lit(1)).cast("long")
+    val p = ct.getField("punct").cast("long")
     floor((lit(20000L) * p + c) / (lit(2L) * c)).cast("long")
   }
 
@@ -156,18 +186,42 @@ object TextFunctions {
   )
 
   /** CJK character ratio (zh detector). */
-  def cjkRatio(text: Column): Column =
+  def cjkRatio(text: Column): Column = {
+    val ct = scanCounts(text)
+    ct.getField("cjk") / greatest(ct.getField("chars"), lit(1)).cast("double")
+  }
+
+  /** Regex reference formulation of [[cjkRatio]] (TextSpec oracle). */
+  private[graft] def cjkRatioRegex(text: Column): Column =
     regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")).cast("int") /
       greatest(length(text), lit(1)).cast("double")
 
   /** n-gram/stopword-ratio language ID over {en,de,fr,es,zh}: the
     * language whose stopword-hit ratio (CJK char ratio for zh) is
     * highest; ties break to the lexicographically last language —
-    * array_max over (score, lang) structs is total and deterministic. */
+    * array_max over (score, lang) structs is total and deterministic.
+    * All five ratios read the one-pass scan counters: hits(i+1) is the
+    * i-th LangStops list, so adding a language costs zero extra string
+    * passes (the old per-language alternation regexes each re-scanned
+    * the text). */
   def languageId(text: Column): Column = {
+    val ct = scanCounts(text)
+    val t = greatest(ct.getField("toks"), lit(1)).cast("double")
+    val scored = LangStops.zipWithIndex.map { case ((lang, _), i) =>
+      struct((ct.getField("hits").getItem(i + 1) / t).as("score"), lit(lang).as("lang"))
+    } :+ struct(
+      (ct.getField("cjk") / greatest(ct.getField("chars"), lit(1)).cast("double")).as("score"),
+      lit("zh").as("lang"))
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Regex reference formulation of [[languageId]] (TextSpec oracle). */
+  private[graft] def languageIdRegex(text: Column): Column = {
     val scored = LangStops.map { case (lang, stops) =>
-      struct(tokenHitRatio(text, stops).as("score"), lit(lang).as("lang"))
-    } :+ struct(cjkRatio(text).as("score"), lit("zh").as("lang"))
+      struct((stopHitCountText(text, stops) /
+        greatest(tokenCountWsRegex(text), lit(1)).cast("double")).as("score"),
+        lit(lang).as("lang"))
+    } :+ struct(cjkRatioRegex(text).as("score"), lit("zh").as("lang"))
     array_max(array(scored: _*)).getField("lang")
   }
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, TextScanCounts}
 import graft.similarity.Similarity
 
 /** Native CosineSimilarity expression: equivalence with the
@@ -52,5 +52,34 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(0))
     CosineSimilarity.ensureRegistered(spark)
     CosineSimilarity.ensureRegistered(spark) // second call is a no-op
+  }
+
+  test("text scan counts: interpreted eval matches codegen; null yields null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq("the a 一二三 x!?", " \t mixed the\tder le ", "", "🙂 the 🚀")
+    // interpreted path: direct eval on the expression
+    val interp = cases.map { s =>
+      val row = TextScanCounts(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3),
+        row.getArray(4).toIntArray.toSeq)
+    }
+    // codegen path: through the registered function in a projection
+    val fromDf = cases.toDF("t")
+      .select(graft.text.TextFunctions.scanCounts(col("t")).as("c"))
+      .collect().map { r =>
+        val row = r.getStruct(0)
+        (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3),
+          row.getSeq[Int](4))
+      }
+    assert(interp === fromDf.toSeq)
+    val nullRow = Seq(Option.empty[String]).toDF("t")
+      .select(graft.text.TextFunctions.scanCounts(col("t"))).collect()(0)
+    assert(nullRow.isNullAt(0))
+    TextScanCounts.ensureRegistered(spark)
+    TextScanCounts.ensureRegistered(spark) // second call is a no-op
   }
 }

@@ -244,8 +244,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val s = fmt(graft.operators.TextQueries.textCurate(spark, sf))
     val scanLines = s.linesIterator.filter(l =>
       l.contains("PushedFilters") || l.contains("DataFilters")).mkString("\n")
-    assert(!scanLines.contains("regexp"),
-      s"scoring regexes reached the scan filters:\n$scanLines")
+    assert(!scanLines.contains("regexp") && !scanLines.contains("graft_text_counts"),
+      s"scoring trees reached the scan filters:\n$scanLines")
     // the scoring must still be evaluated exactly once: one
     // regexp_replace-collapse per stop-hit column family in the plan
     assert(s.contains("Filter"), s"caller filter disappeared:\n$s")

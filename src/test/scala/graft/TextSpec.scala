@@ -23,23 +23,50 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     // adversarial whitespace: Spark's trim removes only 0x20 spaces and
     // split keeps limit -1's leading/trailing empty tokens, so the flat
-    // regex counters carry explicit correction terms — pin them against
-    // the reference array formulation on every edge class
+    // counters carry explicit edge handling — pin the native one-pass
+    // scan AND the flat regex oracle against the reference array
+    // formulation on every edge class
     val cases = Seq(
       "", " ", "\t", "\n", " \t ", "solo", " solo ", "\tlead", "trail\t",
       "\ttab\tsep\t", "a  b\t\nc", "the the a of", " the\tthe ",
       "the a an of and to in is it that", "no stops here at all",
       "\u00a0nbsp is not java ws", "mixed \u00a0 and\tthe tab", "that\n",
+      "das ist nicht le la les 一二三 punct!?", "emoji 🙂 the 🚀 of",
     )
     val df = cases.toDF("t").select(
-      tokenCountWs($"t").as("flat_n"),
+      tokenCountWs($"t").as("scan_n"),
+      graft.text.TextFunctions.tokenCountWsRegex($"t").as("re_n"),
       size(wsTokens($"t")).as("arr_n"),
-      stopHitCountText($"t", EnStop).as("flat_h"),
-      stopHitCount(wsTokens($"t"), EnStop).as("arr_h"))
+      graft.text.TextFunctions.scanCounts($"t").getField("hits").getItem(0).as("scan_h"),
+      stopHitCountText($"t", EnStop).as("re_h"),
+      stopHitCount(wsTokens($"t"), EnStop).as("arr_h"),
+      punctCount($"t").as("scan_p"),
+      graft.text.TextFunctions.punctCountRegex($"t").as("re_p"),
+      graft.text.TextFunctions.scanCounts($"t").getField("chars").as("scan_c"),
+      length($"t").as("len_c"))
     df.collect().zip(cases).foreach { case (r, c) =>
-      assert(r.getAs[Int]("flat_n") === r.getAs[Int]("arr_n"), s"token count for ${c.replace("\t", "\\t").replace("\n", "\\n")}")
-      assert(r.getAs[Int]("flat_h") === r.getAs[Int]("arr_h"), s"stop hits for ${c.replace("\t", "\\t").replace("\n", "\\n")}")
+      val tag = c.replace("\t", "\\t").replace("\n", "\\n")
+      assert(r.getAs[Int]("scan_n") === r.getAs[Int]("arr_n"), s"scan token count for $tag")
+      assert(r.getAs[Int]("re_n") === r.getAs[Int]("arr_n"), s"regex token count for $tag")
+      assert(r.getAs[Int]("scan_h") === r.getAs[Int]("arr_h"), s"scan stop hits for $tag")
+      assert(r.getAs[Int]("re_h") === r.getAs[Int]("arr_h"), s"regex stop hits for $tag")
+      assert(r.getAs[Int]("scan_p") === r.getAs[Int]("re_p"), s"punct count for $tag")
+      assert(r.getAs[Int]("scan_c") === r.getAs[Int]("len_c"), s"char count for $tag")
     }
+  }
+
+  test("native scoring equals the regex formulations on every sf0.001 document") {
+    import spark.implicits._
+    val bad = Tables.documents(spark, sf).select(
+        qualityScoreBp($"text").as("scan_q"),
+        graft.text.TextFunctions.qualityScoreBpRegex($"text").as("re_q"),
+        languageId($"text").as("scan_l"),
+        graft.text.TextFunctions.languageIdRegex($"text").as("re_l"),
+        cjkRatio($"text").as("scan_z"),
+        graft.text.TextFunctions.cjkRatioRegex($"text").as("re_z"))
+      .filter($"scan_q" =!= $"re_q" || $"scan_l" =!= $"re_l" || $"scan_z" =!= $"re_z")
+      .count()
+    assert(bad === 0L)
   }
 
   test("winnowing UDF is bit-equal to the Column formulation") {
