@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: every text-scoring counter in ONE pass
-  * over the string — `struct<chars, toks, punct, cjk, hits>` where
+  * over the string — `struct<chars, toks, punct, cjk, bpe, hits>` where
   * `hits(0)` counts quality-score stopwords (TextFunctions.EnStop) and
   * `hits(1..)` the per-language LangStops lists, in declaration order.
   *
@@ -34,6 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `punct`  = count of `[^A-Za-z0-9\s]` code points (Java ASCII
   *    `\s` = {9,10,11,12,13,32}; NBSP and CJK count as punct).
   *  - `cjk`    = count of code points in [0x4e00, 0x9fff].
+  *  - `bpe`    = non-overlapping match count of the BPE-ish tokenizer
+  *    regex `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`: alternation order makes
+  *    every maximal ASCII letter run one match, every maximal ASCII
+  *    digit run one match, and every other non-ws code point its own
+  *    single-code-point match — so `bpe` = letter runs + digit runs +
+  *    `punct`, with runs broken by ANY non-member code point.
   *  - `hits(i)` = count of whitespace-delimited tokens string-equal to
   *    a list-i stopword — exactly the collapsed-text alternation count
   *    `regexp_count(' '||regexp_replace(trim(t),'\s+',' ')||' ',
@@ -71,6 +77,7 @@ object TextScanCounts {
     StructField("toks", IntegerType, nullable = false),
     StructField("punct", IntegerType, nullable = false),
     StructField("cjk", IntegerType, nullable = false),
+    StructField("bpe", IntegerType, nullable = false),
     StructField("hits", ArrayType(IntegerType, containsNull = false), nullable = false)))
 
   /** The single-pass walker; a serializable singleton so codegen can
@@ -109,6 +116,8 @@ object TextScanCounts {
       var punct = 0
       var cjk = 0
       var toks = 0
+      var alnumRuns = 0 // maximal [A-Za-z]+ / [0-9]+ runs; bpe = this + punct
+      var runKind = 0   // 1 = in a letter run, 2 = in a digit run, 0 = neither
       val hits = new Array[Int](NumSets)
       var runStart = -1
 
@@ -131,8 +140,12 @@ object TextScanCounts {
         val cp = s.codePointAt(i)
         chars += 1
         val ws = isAsciiWs(cp)
-        if (!ws && !((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
-            (cp >= '0' && cp <= '9'))) punct += 1
+        val letter = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+        val digit = cp >= '0' && cp <= '9'
+        if (!ws && !letter && !digit) punct += 1
+        if (letter) { if (runKind != 1) { alnumRuns += 1; runKind = 1 } }
+        else if (digit) { if (runKind != 2) { alnumRuns += 1; runKind = 2 } }
+        else runKind = 0
         if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
         // token runs live inside the space-trimmed region; a run can
         // only end at whitespace or at i1 (chars past i1 are spaces)
@@ -152,13 +165,14 @@ object TextScanCounts {
         if (isAsciiWs(s.charAt(i1 - 1))) toks += 1
       }
 
-      new GenericInternalRow(Array[Any](chars, toks, punct, cjk, new GenericArrayData(hits)))
+      new GenericInternalRow(Array[Any](
+        chars, toks, punct, cjk, alnumRuns + punct, new GenericArrayData(hits)))
     }
   }
 
   val Info: ExpressionInfo = new ExpressionInfo(
     classOf[TextScanCounts].getCanonicalName, null, "graft_text_counts",
-    "_FUNC_(text) - one-pass scoring counters: struct<chars,toks,punct,cjk,hits>", "")
+    "_FUNC_(text) - one-pass scoring counters: struct<chars,toks,punct,cjk,bpe,hits>", "")
 
   val Builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 1, s"graft_text_counts expects 1 argument, got ${exprs.length}")

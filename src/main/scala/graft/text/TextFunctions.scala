@@ -61,13 +61,18 @@ object TextFunctions {
   /** BPE-ish token count: letter runs, digit runs, and individual
     * punctuation marks each count as one token — a cheap, deterministic
     * stand-in for a learned subword vocab (same regex on the oracle
-    * side). Counting uses regexp_count, not size(regexp_extract_all):
-    * identical non-overlapping-match counts, but no per-row match
-    * ARRAY is materialized (measured ~2x on the scoring-heavy text
-    * queries; the oracles keep len(regexp_extract_all) — only the
-    * count is observable). */
+    * side). Projects the `bpe` field of the one-pass native scan, so a
+    * query combining it with [[tokenCountWs]] (text_token_count) pays a
+    * single string walk; pinned bit-equal to [[tokenCountBpeRegex]] by
+    * TextSpec (mixed runs, astral code points, every sf0.001 doc). */
   val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  def tokenCountBpe(text: Column): Column =
+  def tokenCountBpe(text: Column): Column = scanCounts(text).getField("bpe")
+
+  /** Flat-regex reference formulation of [[tokenCountBpe]], kept as the
+    * equivalence oracle for the native counter (TextSpec); the DuckDB
+    * gate oracle states `len(regexp_extract_all(..))` of the same
+    * pattern — only the count is observable. */
+  private[graft] def tokenCountBpeRegex(text: Column): Column =
     regexp_count(text, lit(BpeTokenRe)).cast("int")
 
   /** English stopword list used by quality scoring and language ID

@@ -64,16 +64,16 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
         org.apache.spark.unsafe.types.UTF8String.fromString(s),
         org.apache.spark.sql.types.StringType))
         .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
-      (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3),
-        row.getArray(4).toIntArray.toSeq)
+      (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4),
+        row.getArray(5).toIntArray.toSeq)
     }
     // codegen path: through the registered function in a projection
     val fromDf = cases.toDF("t")
       .select(graft.text.TextFunctions.scanCounts(col("t")).as("c"))
       .collect().map { r =>
         val row = r.getStruct(0)
-        (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3),
-          row.getSeq[Int](4))
+        (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4),
+          row.getSeq[Int](5))
       }
     assert(interp === fromDf.toSeq)
     val nullRow = Seq(Option.empty[String]).toDF("t")

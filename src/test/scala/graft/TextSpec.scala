@@ -63,8 +63,11 @@ class TextSpec extends AnyFunSuite with SparkSpec {
         languageId($"text").as("scan_l"),
         graft.text.TextFunctions.languageIdRegex($"text").as("re_l"),
         cjkRatio($"text").as("scan_z"),
-        graft.text.TextFunctions.cjkRatioRegex($"text").as("re_z"))
-      .filter($"scan_q" =!= $"re_q" || $"scan_l" =!= $"re_l" || $"scan_z" =!= $"re_z")
+        graft.text.TextFunctions.cjkRatioRegex($"text").as("re_z"),
+        tokenCountBpe($"text").as("scan_b"),
+        graft.text.TextFunctions.tokenCountBpeRegex($"text").as("re_b"))
+      .filter($"scan_q" =!= $"re_q" || $"scan_l" =!= $"re_l" ||
+        $"scan_z" =!= $"re_z" || $"scan_b" =!= $"re_b")
       .count()
     assert(bad === 0L)
   }
@@ -94,6 +97,25 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     // "it's 42%!" -> [it][']['s][42][%][!] = 6
     assert(one[Int](tokenCountBpe($"t"), "it's 42%!") === 6)
     assert(one[Int](tokenCountBpe($"t"), "plain words here") === 3)
+  }
+
+  test("native bpe count is bit-equal to the regex formulation") {
+    import spark.implicits._
+    // adversarial run boundaries: letter/digit transitions (abc123 = 2
+    // matches by alternation order), non-ASCII letters fall in the
+    // punct class one-code-point-per-match, astral code points are ONE
+    // match not two UTF-16 units, ws breaks runs
+    val cases = Seq(
+      "", " ", "abc", "123", "abc123", "a1b2c3", "it's 42%!",
+      "über café", "一二三", "naïve", "🙂🚀", "a🙂b", "a b", "a\tb",
+      "x-1.5e7", "  pad  ", "ABCdef", "mixed 日本語 and ascii 42",
+    )
+    val df = cases.toDF("t").select(
+      tokenCountBpe($"t").as("scan_b"),
+      graft.text.TextFunctions.tokenCountBpeRegex($"t").as("re_b"))
+    df.collect().zip(cases).foreach { case (r, c) =>
+      assert(r.getAs[Int]("scan_b") === r.getAs[Int]("re_b"), s"bpe count of: $c")
+    }
   }
 
   test("quality score in [0,1], prose beats punctuation soup") {
