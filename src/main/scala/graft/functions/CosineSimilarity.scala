@@ -109,5 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BloomContains.Info, BloomContains.Builder))
     ext.injectFunction((FunctionIdentifier("graft_text_counts"),
       TextScanCounts.Info, TextScanCounts.Builder))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      TopK.Info, TopK.Builder))
   }
 }

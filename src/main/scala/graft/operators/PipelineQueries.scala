@@ -233,7 +233,11 @@ object PipelineQueries {
     *
     * Plan: tf = groupBy(doc, token) with map-side combine; df derived
     * from tf (already one row per doc-token); the ranking window keys
-    * on doc_id — cardinality scales with the corpus. */
+    * on doc_id — cardinality scales with the corpus, and each
+    * partition sort is bounded by one document's vocabulary. A
+    * shuffle-lighter per-doc top-k via the `graft_topk` aggregate
+    * exists as [[textKeywordsTopK]] — see its docstring for the
+    * measured tradeoff and when each formulation wins. */
   def textKeywords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.widened(Tables.documents(spark, dir))
@@ -246,6 +250,52 @@ object PipelineQueries {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"doc_id", $"rk".cast("long").as("rk"), $"token", $"tf", $"df")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** [[textKeywords]] with the per-doc top-3 as the `graft_topk`
+    * aggregate (functions/TopK.scala) instead of a rank window:
+    * size-3 buffers per doc per task, so the rank step shuffles at
+    * most 3 rows per document per partition where the window
+    * re-shuffles EVERY distinct (doc, token) pair and sorts. Results
+    * are IDENTICAL (PipelineSpec equivalence test): the aggregate
+    * compares scores as IEEE doubles and tokens as raw UTF-8 bytes —
+    * the window's and the DuckDB oracle's exact ORDER BY semantics.
+    *
+    * Which to use, measured honestly: at local corpus scale the
+    * WINDOW wins (sf1: 3.2 s vs 3.7 s) — TypedImperativeAggregate
+    * eval is interpreted per row while the window sort is whole-stage
+    * codegen, and one document's vocabulary is a small per-partition
+    * sort. The aggregate's shuffle math wins when the ranked input is
+    * wide relative to k and the NETWORK, not per-row CPU, is the
+    * bottleneck — the multi-executor regime the window cannot reach
+    * without moving every candidate row. The gate query stays the
+    * window (fastest measured plan at bench scale); this variant is
+    * the documented cluster-scale escape hatch, same pattern as
+    * text_vocab vs text_vocab_sketch. */
+  def textKeywordsTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TopK.ensureRegistered(spark)
+    // ObjectHashAggregate falls back to SORT-BASED aggregation after
+    // 128 distinct groups (guarding unbounded per-group buffers);
+    // graft_topk's buffer is 3 entries per doc, so the guard would
+    // only re-buy the sort the aggregate exists to avoid
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "100000000")
+    val toks = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", explode(wsTokens($"text")).as("token"))
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
+      .groupBy($"doc_id")
+      .agg(call_function("graft_topk",
+        $"tf".cast("double") / $"df", $"token",
+        concat_ws("\u0001", $"tf", $"df"), lit(3)).as("top"))
+      .select($"doc_id", posexplode($"top").as(Seq("pos", "e")))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("rk"),
+        $"e.tag".as("token"),
+        split($"e.extra", "\u0001").getItem(0).cast("long").as("tf"),
+        split($"e.extra", "\u0001").getItem(1).cast("long").as("df"))
       .orderBy($"doc_id", $"rk")
   }
 

@@ -82,4 +82,28 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     TextScanCounts.ensureRegistered(spark)
     TextScanCounts.ensureRegistered(spark) // second call is a no-op
   }
+
+  test("graft_topk keeps the k largest (score desc, tag asc) across partitions") {
+    import spark.implicits._
+    graft.functions.TopK.ensureRegistered(spark)
+    // ties on score exercise the byte-lexicographic tag tie-break; the
+    // null-score row must be skipped; repartition(7) forces partial
+    // buffers + serialize/merge on the combine path
+    val rows = Seq(
+      ("g1", Some(0.5), "bb", "x1"), ("g1", Some(0.5), "ab", "x2"),
+      ("g1", Some(0.9), "zz", "x3"), ("g1", Some(0.1), "aa", "x4"),
+      ("g1", None, "nn", "x5"), ("g1", Some(0.5), "aa", "x6"),
+      ("g2", Some(-0.0), "a", "y1"), ("g2", Some(0.0), "b", "y2"),
+    ).toDF("g", "s", "t", "e").repartition(7)
+    val out = rows.groupBy($"g")
+      .agg(call_function("graft_topk", $"s", $"t", $"e", lit(3)).as("top"))
+      .select($"g", posexplode($"top").as(Seq("pos", "x")))
+      .select($"g", $"pos", $"x.score", $"x.tag", $"x.extra")
+      .as[(String, Int, Double, String, String)].collect().sorted
+    assert(out.filter(_._1 == "g1").sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq ===
+      Seq((0.9, "zz", "x3"), (0.5, "aa", "x6"), (0.5, "ab", "x2")))
+    // -0.0 < 0.0 under Double.compare: 0.0/"b" ranks first
+    assert(out.filter(_._1 == "g2").sortBy(_._2).map(r => (r._3, r._4)).toSeq ===
+      Seq((0.0, "b"), (-0.0, "a")))
+  }
 }
