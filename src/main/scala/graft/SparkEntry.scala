@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_incremental"        -> (PipelineQueries.dedupIncremental _),
     "docs_source_stats"        -> (CorpusQueries.docsSourceStats _),
     "text_bm25"                -> (CorpusQueries.textBm25 _),
+    "text_lm_score"            -> (CorpusQueries.textLmScore _),
     "io_merge_upsert"          -> (IoQueries.ioMergeUpsert _),
     "text_chunk_rag"           -> (CurationQueries.textChunkRag _),
     "dedup_substring"          -> (CurationQueries.dedupSubstring _),
@@ -837,6 +838,33 @@ object SparkEntry {
         |  count(*) AS n_terms_hit, CAST(sum(tf) AS BIGINT) AS sum_tf
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // bigram model trained on the corpus itself; bp = conditional
+    // frequency in basis points, every division IEEE double on exact
+    // integer operands (same bigram construction as text_repetition;
+    // w1 via split_part == Spark's substring_index — tokens cannot
+    // contain the space separator)
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY g),
+        |c1 AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |model AS (
+        |  SELECT g, CAST(floor(10000 * c2.c2 / c1.c1) AS BIGINT) AS bp
+        |  FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(bp) AS BIGINT) AS sum_bp,
+        |  CAST(floor(CAST(sum(bp) AS BIGINT) / count(*)) AS BIGINT) AS avg_bp
+        |FROM grams JOIN model USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same change derivation as the Spark side; update-then-delete on
     // one key resolves by highest seq (delete wins)

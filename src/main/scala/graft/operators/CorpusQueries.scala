@@ -118,4 +118,49 @@ object CorpusQueries {
       .orderBy($"bm25_e6".desc, $"doc_id")
       .limit(Bm25TopK)
   }
+
+  /** Bigram-LM fluency scoring — the CCNet-style "does this read like
+    * the corpus" signal used for perplexity-bucketed curation, in an
+    * exact-integer form the cross-engine gate can hash: the model is
+    * the corpus's own bigram table, a bigram's score is
+    * floor(10000 * c(w1,w2) / c(w1,*)) basis points of its conditional
+    * frequency, and a document scores (n_bigrams, sum_bp,
+    * avg_bp = floor(sum/n)). Every division is the same IEEE
+    * double division on exact integer operands in both engines (no
+    * log(): libm ln differs across engines — same reasoning as BM25
+    * above; monotone in the geometric-mean-of-probabilities ordering
+    * a log-perplexity would give within fixed n).
+    *
+    * Plan at 100 TB: bigram instances explode MAP-SIDE from one scan;
+    * c2 = groupBy(gram) with combiner reduction (that shuffle carries
+    * PARTIAL counts — per-task distinct grams, sublinear in the
+    * corpus); c1 re-aggregates the already-distinct c2 rows (tiny);
+    * the scoring join shuffles the instances on g a second time, but
+    * every exchange carries only (doc_id, g) / model scalars — the
+    * text column never leaves the scan stage (PlanSpec-pinned). A
+    * production variant thresholds the model (c2 >= minCount) and
+    * broadcasts the surviving head — the long tail of singleton
+    * bigrams scores ~0 anyway. */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id",
+        explode(graft.similarity.Similarity.wordNgramsAll(wsTokens($"text"), 2)).as("g"))
+    val c2 = grams.groupBy($"g").agg(count(lit(1)).as("c2"))
+    // w1 recovered from the gram key: tokens contain no spaces, so
+    // everything before the first space IS the left context (identical
+    // derivation stated in the oracle via split_part)
+    val c1 = c2.groupBy(substring_index($"g", " ", 1).as("w1"))
+      .agg(sum($"c2").as("c1"))
+    val model = c2
+      .withColumn("w1", substring_index($"g", " ", 1))
+      .join(c1, "w1")
+      .select($"g", floor(lit(10000L) * $"c2" / $"c1").cast("long").as("bp"))
+    grams.join(model, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bp").as("sum_bp"))
+      .select($"doc_id", $"n_bigrams", $"sum_bp",
+        floor($"sum_bp" / $"n_bigrams").cast("long").as("avg_bp"))
+      .orderBy($"doc_id")
+  }
 }

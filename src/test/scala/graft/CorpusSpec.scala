@@ -21,6 +21,34 @@ class CorpusSpec extends SparkSpec {
     assert(nDocs == expected)
   }
 
+  test("text_lm_score matches a brute-force bigram LM computed in memory") {
+    // tokens come from the SAME wsTokens expression the query uses, so
+    // this pins the model math (c2/c1 counts, floor'd basis points,
+    // per-doc sums), not the tokenizer
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", graft.text.TextFunctions.wsTokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect()
+    val bigrams = toks.flatMap { case (id, t) =>
+      t.sliding(2).filter(_.length == 2).map(p => (id, p.head + " " + p(1)))
+    }
+    val c2 = bigrams.groupBy(_._2).map { case (g, xs) => g -> xs.length.toLong }
+    val c1 = c2.groupBy { case (g, _) => g.split(" ", 2).head }
+      .map { case (w1, gs) => w1 -> gs.values.sum }
+    val bp = c2.map { case (g, n2) =>
+      g -> math.floor(10000L * n2 / c1(g.split(" ", 2).head).toDouble).toLong
+    }
+    val expected = bigrams.groupBy(_._1).map { case (id, xs) =>
+      val bps = xs.map(x => bp(x._2))
+      id -> (bps.length.toLong, bps.sum,
+        math.floor(bps.sum / bps.length.toDouble).toLong)
+    }
+    val got = CorpusQueries.textLmScore(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, n, sum, avg) => id -> (n, sum, avg) }.toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("text_bm25 matches a brute-force BM25 computed in memory") {
     val got = CorpusQueries.textBm25(spark, sf)
       .as[(Long, Long, Long, Long)].collect().toSeq

@@ -250,4 +250,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // regexp_replace-collapse per stop-hit column family in the plan
     assert(s.contains("Filter"), s"caller filter disappeared:\n$s")
   }
+
+  test("bigram LM shuffles gram scalars only — text never crosses an exchange") {
+    // the model groupBy's exchange carries partial counts and the
+    // scoring join's exchange carries (doc_id, g) instances; neither
+    // may drag the text column past the scan stage, and nothing may
+    // degenerate to a nested loop
+    val s = fmt(graft.operators.CorpusQueries.textLmScore(spark, sf))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"LM scoring degenerated to a nested loop:\n$s")
+    // hashpartitioning exchanges are the real data movement; the
+    // round-robin Tables.widened spread is a local-split artifact that
+    // precedes tokenization by construction
+    val blocks = s.split("\n\n")
+    val badExchange = blocks.filter(b =>
+      b.contains("Exchange") && b.contains("hashpartitioning") && b.contains("text#"))
+    assert(badExchange.isEmpty,
+      s"text column crossed a hash exchange:\n${badExchange.mkString("\n\n")}")
+  }
 }
