@@ -143,24 +143,39 @@ object CorpusQueries {
     * bigrams scores ~0 anyway. */
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Tables.widened(Tables.documents(spark, dir))
-      .select($"doc_id",
-        explode(graft.similarity.Similarity.wordNgramsAll(wsTokens($"text"), 2)).as("g"))
+    val grams = bigramInstances(Tables.widened(Tables.documents(spark, dir)))
+    grams.join(lmBigramModel(grams), "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bp").as("sum_bp"))
+      .select($"doc_id", $"n_bigrams", $"sum_bp",
+        floor($"sum_bp" / $"n_bigrams").cast("long").as("avg_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** (doc_id, g) bigram instances of a documents frame — the map-side
+    * explode both the model trainer and the scorer consume. */
+  private[graft] def bigramInstances(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id",
+      explode(graft.similarity.Similarity.wordNgramsAll(wsTokens($"text"), 2)).as("g"))
+  }
+
+  /** The (g, bp) conditional-frequency model [[textLmScore]] trains,
+    * exposed so the streaming twin (streaming/DocStreams.lmScoreStream)
+    * can join the SAME model as a static side. Input: any (.., g)
+    * bigram-instance frame. */
+  def lmBigramModel(grams: DataFrame): DataFrame = {
+    val spark = grams.sparkSession
+    import spark.implicits._
     val c2 = grams.groupBy($"g").agg(count(lit(1)).as("c2"))
     // w1 recovered from the gram key: tokens contain no spaces, so
     // everything before the first space IS the left context (identical
     // derivation stated in the oracle via split_part)
     val c1 = c2.groupBy(substring_index($"g", " ", 1).as("w1"))
       .agg(sum($"c2").as("c1"))
-    val model = c2
-      .withColumn("w1", substring_index($"g", " ", 1))
+    c2.withColumn("w1", substring_index($"g", " ", 1))
       .join(c1, "w1")
       .select($"g", floor(lit(10000L) * $"c2" / $"c1").cast("long").as("bp"))
-    grams.join(model, "g")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"bp").as("sum_bp"))
-      .select($"doc_id", $"n_bigrams", $"sum_bp",
-        floor($"sum_bp" / $"n_bigrams").cast("long").as("avg_bp"))
-      .orderBy($"doc_id")
   }
 }

@@ -36,6 +36,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM scoring against the batch model agrees with text_lm_score") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the static side is the SAME model the batch query trains; the
+    // corpus streams through in one batch, then a late flush row
+    // advances the watermark so every minute-10 window expires and
+    // append mode emits exactly one score per document
+    val model = graft.operators.CorpusQueries.lmBigramModel(
+      graft.operators.CorpusQueries.bigramInstances(Tables.documents(spark, sf)))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+
+    val in = MemoryStream[(Long, String, Long)]
+    val df = in.toDF().toDF("doc_id", "text", "tmin")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_millis(tmin * 60000)"))
+      .drop("tmin")
+    val q = graft.streaming.DocStreams.lmScoreStream(df, model).writeStream
+      .format("memory").queryName("lm_stream").outputMode(OutputMode.Append).start()
+    val got = try {
+      in.addData(docs.map { case (id, t) => (id, t, 10L) }.toSeq: _*)
+      q.processAllAvailable()
+      in.addData((-1L, "flush flush", 1000L)) // watermark past the doc windows
+      q.processAllAvailable()
+      spark.table("lm_stream").filter($"doc_id" >= 0)
+        .select($"doc_id", $"n_bigrams", $"sum_bp", $"avg_bp")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    } finally q.stop()
+
+    val batch = graft.operators.CorpusQueries.textLmScore(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("stream-static as-of lookup agrees with the batch AsofJoin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
