@@ -106,4 +106,51 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(_._1 == "g2").sortBy(_._2).map(r => (r._3, r._4)).toSeq ===
       Seq((0.0, "b"), (-0.0, "a")))
   }
+
+  test("graft_topk equals an in-memory reference on random tie-heavy data") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    graft.functions.TopK.ensureRegistered(spark)
+    // small score/tag alphabets force score ties (tag tie-break) and
+    // include a supplementary-plane tag, where UTF-8 byte order and
+    // Java String order DISAGREE with each other's neighbors
+    val rowGen = for {
+      g <- Gen.choose(1, 3)
+      sc <- Gen.oneOf(0.0, 0.25, 0.5, 1.0)
+      tag <- Gen.oneOf("a", "ab", "b", "z", "\ud83d\ude42x", "~")
+    } yield (g, sc, tag)
+    def byteLt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    for (round <- 1 to 10) {
+      val k = 1 + round % 4
+      val rows = Gen.listOfN(60, rowGen)
+        .apply(Gen.Parameters.default, Seed(7000 + round)).get
+        .zipWithIndex.map { case ((g, sc, t), i) => (g, sc, t + "_" + i) }
+      val got = rows.toDF("g", "s", "t").repartition(5)
+        .groupBy($"g")
+        .agg(call_function("graft_topk", $"s", $"t", lit(""), lit(k)).as("top"))
+        .select($"g", posexplode($"top").as(Seq("pos", "x")))
+        .select($"g", $"pos", $"x.score", $"x.tag")
+        .as[(Int, Int, Double, String)].collect()
+        .groupBy(_._1).map { case (g, xs) =>
+          g -> xs.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+        }
+      val want = rows.groupBy(_._1).map { case (g, xs) =>
+        g -> xs.map(r => (r._2, r._3))
+          .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && byteLt(a._2, b._2)))
+          .take(k).toSeq
+      }
+      assert(got === want, s"round $round k=$k")
+    }
+  }
 }
