@@ -272,7 +272,13 @@ object PipelineQueries {
     * without moving every candidate row. The gate query stays the
     * window (fastest measured plan at bench scale); this variant is
     * the documented cluster-scale escape hatch, same pattern as
-    * text_vocab vs text_vocab_sketch. */
+    * text_vocab vs text_vocab_sketch.
+    *
+    * Session side effect: raises the ObjectHashAggregate sort-fallback
+    * threshold for the CALLING SESSION (the conf is execution-time,
+    * so it cannot be scoped to this one query). Safe for every graft
+    * aggregate — all carry fixed-size buffers — but a session mixing
+    * in foreign unbounded-buffer object aggregates should reset it. */
   def textKeywordsTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.TopK.ensureRegistered(spark)
