@@ -109,9 +109,12 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
         |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  floor((2 * CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) * 10000
+        |         + count(*)) / (2.0 * count(*))) / 10000.0 AS avg_qty,
+        |  floor((2 * CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100
+        |         + count(*)) / (2.0 * count(*))) / 10000.0 AS avg_price,
+        |  floor((2 * CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100
+        |         + count(*)) / (2.0 * count(*))) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -177,9 +180,14 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // exact-integer average: cent-quantized sum, one shared IEEE
+    // division + floor (round(avg(..), 2) flaked one cell at sf0.1 —
+    // the true average sat exactly on a half-cent boundary and the
+    // engines' summation orders rounded opposite ways)
     "q_antijoin_parts" ->
       """SELECT p_brand, count(*) AS n_parts,
-        |  round(avg(p_retailprice), 2) AS avg_price
+        |  floor((2 * CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         + count(*)) / (2.0 * count(*))) / 100.0 AS avg_price
         |FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_partkey = p_partkey AND l_quantity >= 48)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -24,9 +24,27 @@ import graft.Tables
 object Analytics {
 
   /** Q1 pricing summary: wide aggregate over lineitem with a pushdown
-    * shipdate filter. Single shuffle (partial agg map-side). */
+    * shipdate filter. Single shuffle (partial agg map-side).
+    *
+    * The averages are computed EXACTLY: inputs quantized to their
+    * decimal grid (quantities are integers, prices/discounts cents),
+    * summed as longs (associative — no partition-order float noise),
+    * then rounded half-up by integer arithmetic. `round(avg(x), 4)`
+    * of grid-valued doubles is a cross-engine flake: the true average
+    * lands exactly ON a rounding boundary whenever the integer sum
+    * divides suitably, and Spark's vs DuckDB's different summation
+    * orders then round to different sides (observed once at sf0.1 in
+    * q_antijoin_parts — same fix there). round(sum(..), 2) stays:
+    * true sums are whole cents, never on a half-cent boundary, and
+    * the product sums are off-grid reals where a boundary hit has
+    * ~ulp probability. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // round-half-up of (S / (inScale·n)) to 4 decimals, all exact
+    // integer arithmetic until one shared IEEE division + floor;
+    // k = 10^4 / inScale
+    def avg4(unitSum: Column, n: Column, k: Long): Column =
+      floor((lit(2L) * unitSum * lit(k) + n) / (lit(2.0) * n)) / lit(10000.0)
     Tables.lineitem(spark, dir)
       .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
@@ -35,10 +53,16 @@ object Analytics {
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_extendedprice"), 4).as("avg_price"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        sum(floor($"l_quantity" + lit(0.5)).cast("long")).as("qty_u"),
+        sum(floor($"l_extendedprice" * 100 + lit(0.5)).cast("long")).as("price_u"),
+        sum(floor($"l_discount" * 100 + lit(0.5)).cast("long")).as("disc_u"),
         count(lit(1)).as("count_order"))
+      .select($"l_returnflag", $"l_linestatus",
+        $"sum_qty", $"sum_base_price", $"sum_disc_price", $"sum_charge",
+        avg4($"qty_u", $"count_order", 10000L).as("avg_qty"),
+        avg4($"price_u", $"count_order", 100L).as("avg_price"),
+        avg4($"disc_u", $"count_order", 100L).as("avg_disc"),
+        $"count_order")
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
@@ -154,7 +178,15 @@ object Analytics {
       .filter($"l_quantity" >= 48).select($"l_partkey")
     part.join(li, $"p_partkey" === $"l_partkey", "left_anti")
       .groupBy($"p_brand")
-      .agg(count(lit(1)).as("n_parts"), round(avg($"p_retailprice"), 2).as("avg_price"))
+      // exact-integer average (see q1PricingSummary): retail prices
+      // are whole cents, so round(avg(..), 2)'s half-cent boundary is
+      // reachable and the engines' different summation orders flaked
+      // one cell at sf0.1 — quantize, integer-sum, round half-up once
+      .agg(count(lit(1)).as("n_parts"),
+        sum(floor($"p_retailprice" * 100 + lit(0.5)).cast("long")).as("cents"))
+      .select($"p_brand", $"n_parts",
+        (floor((lit(2L) * $"cents" + $"n_parts") / (lit(2.0) * $"n_parts"))
+          / lit(100.0)).as("avg_price"))
       .orderBy($"p_brand")
   }
 
