@@ -286,7 +286,9 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "filter_events_prefix_anybut" ->
-      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+      """SELECT event_type, count(*) AS n,
+        |  floor((2 * CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        |         + count(*)) / (2.0 * count(*))) / 10000.0 AS avg_value
         |FROM events
         |WHERE event_type LIKE 's%'
         |   OR (event_type NOT IN ('click', 'view', 'error') AND value < 10)

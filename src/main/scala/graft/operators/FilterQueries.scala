@@ -63,7 +63,16 @@ object FilterQueries {
     val ev = Tables.events(spark, dir)
     ev.filter(EventFilter.compile(filters, ev))
       .groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("avg_value"))
+      // exact-integer average (see Analytics.q1PricingSummary): values
+      // quantize to 4 decimals per row, sum as longs (associative),
+      // round half-up once — round(avg(..), 4) of a bounded-magnitude
+      // average is the cross-engine boundary-flake class the sf0.1
+      // gate caught in q_antijoin_parts
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 10000 + lit(0.5)).cast("long")).as("v_u"))
+      .select($"event_type", $"n",
+        (floor((lit(2L) * $"v_u" + $"n") / (lit(2.0) * $"n")) / lit(10000.0))
+          .as("avg_value"))
       .orderBy($"event_type")
   }
 }
