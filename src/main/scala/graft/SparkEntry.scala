@@ -109,12 +109,12 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
         |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |  floor((2 * CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) * 10000
-        |         + count(*)) / (2.0 * count(*))) / 10000.0 AS avg_qty,
-        |  floor((2 * CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100
-        |         + count(*)) / (2.0 * count(*))) / 10000.0 AS avg_price,
-        |  floor((2 * CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100
-        |         + count(*)) / (2.0 * count(*))) / 10000.0 AS avg_disc,
+        |  ((2 * CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) * 10000
+        |    + count(*)) // (2 * count(*))) / 10000.0 AS avg_qty,
+        |  ((2 * CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100
+        |    + count(*)) // (2 * count(*))) / 10000.0 AS avg_price,
+        |  ((2 * CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100
+        |    + count(*)) // (2 * count(*))) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -186,8 +186,8 @@ object SparkEntry {
     // engines' summation orders rounded opposite ways)
     "q_antijoin_parts" ->
       """SELECT p_brand, count(*) AS n_parts,
-        |  floor((2 * CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-        |         + count(*)) / (2.0 * count(*))) / 100.0 AS avg_price
+        |  ((2 * CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    + count(*)) // (2 * count(*))) / 100.0 AS avg_price
         |FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_partkey = p_partkey AND l_quantity >= 48)
@@ -287,8 +287,8 @@ object SparkEntry {
 
     "filter_events_prefix_anybut" ->
       """SELECT event_type, count(*) AS n,
-        |  floor((2 * CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
-        |         + count(*)) / (2.0 * count(*))) / 10000.0 AS avg_value
+        |  ((2 * CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    + count(*)) // (2 * count(*))) / 10000.0 AS avg_value
         |FROM events
         |WHERE event_type LIKE 's%'
         |   OR (event_type NOT IN ('click', 'view', 'error') AND value < 10)

@@ -26,9 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Ordering details, pinned so the result hash-matches a DuckDB
   * `ORDER BY score DESC, tag` oracle:
-  *  - scores compare as IEEE doubles via `java.lang.Double.compare`
-  *    (so −0.0 < 0.0 and NaN sorts ABOVE +Inf — DESC puts NaN first,
-  *    DuckDB's NaN-is-largest convention);
+  *  - scores compare as IEEE doubles with −0.0 and 0.0 TIED (the
+  *    window-sort and ORDER BY convention — see EntryOrdering) and
+  *    NaN sorting ABOVE +Inf (DESC puts NaN first, DuckDB's
+  *    NaN-is-largest convention);
   *  - tags compare as raw UTF-8 bytes (unsigned byte-lexicographic),
   *    the collation both Spark's UTF8String sort and DuckDB's VARCHAR
   *    sort use — Java String compareTo would disagree on
@@ -40,6 +41,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array<struct<score double, tag string, extra string>>` sorted by
   * (score DESC, tag ASC). Rows with a null score or tag are skipped;
   * a null extra is kept as an empty string.
+  *
+  * Deliberately mirrors BottomK's buffer/serialization shape rather
+  * than sharing it: the two orderings and entry layouts differ, both
+  * are independently gate-pinned, and the duplicated mechanics are
+  * ~100 lines of stable code — a shared abstraction would couple two
+  * frozen contracts to one implementation.
   */
 case class TopK(
     scoreExpr: Expression,
@@ -152,10 +159,16 @@ object TopK {
   }
 
   /** (score DESC, tag ASC, extra ASC): smallest-first sort order of the
-    * RESULT — so "the k smallest under this ordering" are the top-k. */
+    * RESULT — so "the k smallest under this ordering" are the top-k.
+    * The primitive == pre-test makes -0.0 and 0.0 TIE (falling through
+    * to the tag), matching Spark's nanSafeCompareDoubles window sort
+    * and DuckDB's ORDER BY — bare Double.compare would rank 0.0 above
+    * -0.0 and silently diverge from the rank-window/oracle ordering
+    * the docstring promises. NaN still sorts above +Inf (both
+    * engines' convention), and NaN ties NaN on the tag. */
   val EntryOrdering: Ordering[Entry] = new Ordering[Entry] {
     override def compare(a: Entry, b: Entry): Int = {
-      val s = java.lang.Double.compare(b.score, a.score)
+      val s = if (a.score == b.score) 0 else java.lang.Double.compare(b.score, a.score)
       if (s != 0) return s
       val t = byteCompare(a.tag, b.tag)
       if (t != 0) t else byteCompare(a.extra, b.extra)

@@ -40,11 +40,15 @@ object Analytics {
     * ~ulp probability. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // round-half-up of (S / (inScale·n)) to 4 decimals, all exact
-    // integer arithmetic until one shared IEEE division + floor;
-    // k = 10^4 / inScale
-    def avg4(unitSum: Column, n: Column, k: Long): Column =
-      floor((lit(2L) * unitSum * lit(k) + n) / (lit(2.0) * n)) / lit(10000.0)
+    // round-half-up of (S / (inScale·n)) to 4 decimals in PURE long
+    // arithmetic (`div` is integral division — a float division here
+    // would convert the numerator to double first, and 2·S·k tops
+    // 2^53 at sf10, losing the +n tie-break bit); truncation == floor
+    // because every operand is non-negative. Exact while
+    // 2·S·k + n < 2^63 — ~3e16 at sf10, overflow only past ~sf1000.
+    // k = 10^4 / inScale; the final /10^4 is exact (quotient < 2^53)
+    def avg4(unitSumName: String, nName: String, k: Long): Column =
+      expr(s"((2 * $unitSumName * $k + $nName) div (2 * $nName)) / 10000.0")
     Tables.lineitem(spark, dir)
       .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
@@ -59,9 +63,9 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .select($"l_returnflag", $"l_linestatus",
         $"sum_qty", $"sum_base_price", $"sum_disc_price", $"sum_charge",
-        avg4($"qty_u", $"count_order", 10000L).as("avg_qty"),
-        avg4($"price_u", $"count_order", 100L).as("avg_price"),
-        avg4($"disc_u", $"count_order", 100L).as("avg_disc"),
+        avg4("qty_u", "count_order", 10000L).as("avg_qty"),
+        avg4("price_u", "count_order", 100L).as("avg_price"),
+        avg4("disc_u", "count_order", 100L).as("avg_disc"),
         $"count_order")
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -185,8 +189,7 @@ object Analytics {
       .agg(count(lit(1)).as("n_parts"),
         sum(floor($"p_retailprice" * 100 + lit(0.5)).cast("long")).as("cents"))
       .select($"p_brand", $"n_parts",
-        (floor((lit(2L) * $"cents" + $"n_parts") / (lit(2.0) * $"n_parts"))
-          / lit(100.0)).as("avg_price"))
+        expr("((2 * cents + n_parts) div (2 * n_parts)) / 100.0").as("avg_price"))
       .orderBy($"p_brand")
   }
 

@@ -71,8 +71,8 @@ object FilterQueries {
       .agg(count(lit(1)).as("n"),
         sum(floor($"value" * 10000 + lit(0.5)).cast("long")).as("v_u"))
       .select($"event_type", $"n",
-        (floor((lit(2L) * $"v_u" + $"n") / (lit(2.0) * $"n")) / lit(10000.0))
-          .as("avg_value"))
+        // pure long round-half-up (see Analytics.q1PricingSummary)
+        expr("((2 * v_u + n) div (2 * n)) / 10000.0").as("avg_value"))
       .orderBy($"event_type")
   }
 }

@@ -102,9 +102,10 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Int, Double, String, String)].collect().sorted
     assert(out.filter(_._1 == "g1").sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq ===
       Seq((0.9, "zz", "x3"), (0.5, "aa", "x6"), (0.5, "ab", "x2")))
-    // -0.0 < 0.0 under Double.compare: 0.0/"b" ranks first
+    // -0.0 TIES 0.0 (the window-sort / ORDER BY convention), so the
+    // tag breaks the tie: "a" ranks first
     assert(out.filter(_._1 == "g2").sortBy(_._2).map(r => (r._3, r._4)).toSeq ===
-      Seq((0.0, "b"), (-0.0, "a")))
+      Seq((-0.0, "a"), (0.0, "b")))
   }
 
   test("graft_topk equals an in-memory reference on random tie-heavy data") {
