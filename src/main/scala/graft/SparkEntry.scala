@@ -75,6 +75,9 @@ object SparkEntry {
     "docs_source_stats"        -> (CorpusQueries.docsSourceStats _),
     "text_bm25"                -> (CorpusQueries.textBm25 _),
     "text_lm_score"            -> (CorpusQueries.textLmScore _),
+    // rows-only gate: LSH banding + cosine aren't SQL-expressible;
+    // PipelineSpec pins equality with all-pairs brute force
+    "text_decontaminate_semantic" -> (PipelineQueries.textDecontaminateSemantic _),
     "io_merge_upsert"          -> (IoQueries.ioMergeUpsert _),
     "text_chunk_rag"           -> (CurationQueries.textChunkRag _),
     "dedup_substring"          -> (CurationQueries.dedupSubstring _),

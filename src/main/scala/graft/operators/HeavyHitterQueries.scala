@@ -19,16 +19,21 @@ object HeavyHitterQueries {
     * ONE summary per partition — a groupBy-count + top-k shuffles one
     * row per distinct token per task instead, which grows with the
     * vocabulary (urls/ids/typos make it effectively unbounded at
-    * 100 TB). Capacity 1024 exceeds the gate corpora's whitespace
-    * vocabulary at every validated sf (sf0.1: ~31 tokens; sf1's
-    * replica-prefixed corpus: ~310), so counts are exact (err = 0,
-    * SpaceSaving never evicts) and the gate pins the result against an
-    * exact GROUP BY oracle — the round-4 capacity of 64 was exceeded
-    * by the sf1 vocabulary and the summary silently degraded to its
-    * approximate regime, which is exactly the boundary this constant
-    * must clear. At real scale the same query runs with k << distinct
-    * as a true sketch whose error bounds SketchSpec-style tests pin
-    * instead.
+    * 100 TB). Capacity 4096 exceeds the gate corpora's whitespace
+    * vocabulary at every validated sf (sf0.1: ~31 tokens; sf1: ~310;
+    * sf10's 100-replica corpus: 3100), so counts are exact (err = 0,
+    * SpaceSaving never evicts) and the gate pins the result against
+    * an exact GROUP BY oracle. This constant has now been caught
+    * under-sized TWICE by scale-up validation — 64 by sf1 (round 4)
+    * and 1024 by sf10 (round 5) — and both failures were the sketch
+    * HONORING its published contract: at sf10 the measured
+    * overestimate (+17.8k on a true count of 9182) sat inside the
+    * N/m ≈ 27k SpaceSaving bound, and the true top-10 was a perfect
+    * 100-way replica tie no capacity-bounded sketch can order. That
+    * is the real lesson for 100 TB: exact-top-k-by-hash is a GATE
+    * construct valid only while capacity >= distinct; production use
+    * is the approximate regime with the N/m error bound (and the
+    * streaming twin's spec pins that bound under eviction).
     */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -36,7 +41,7 @@ object HeavyHitterQueries {
     val summary = Tables.widened(Tables.documents(spark, dir))
       .filter(length(trim($"text")) > 0)
       .select(explode(TextFunctions.wsTokens($"text")).as("token"))
-      .agg(expr("graft_topfreq(token, 1024)").as("hh"))
+      .agg(expr("graft_topfreq(token, 4096)").as("hh"))
     summary
       .select(explode(slice($"hh", 1, 10)).as("e"))
       .select($"e.item".as("token"), $"e.cnt".as("cnt"))

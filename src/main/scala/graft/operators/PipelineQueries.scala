@@ -85,6 +85,73 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** Semantic (embedding-space) decontamination — the paraphrase-
+    * robust counterpart of [[textDecontaminate]]'s n-gram overlap:
+    * corpus items whose embedding lies within cosine >= 0.99 of ANY
+    * held-out eval item are flagged with their closest eval id and
+    * hit count. N-gram overlap misses a reworded eval question; the
+    * embedding does not.
+    *
+    * Eval set = vec_id % 20 == 0 (the held-out convention the n-gram
+    * query uses on doc_id); the corpus side additionally carries
+    * perturbed copies of the eval vectors (alternate dims ±2%,
+    * cosine ≈ 0.9996 to their source) — the stand-in for
+    * actually-contaminated training docs, exactly the construction
+    * dedup_embedding_cosine plants and DedupSpec brute-force-verifies.
+    *
+    * Plan at 100 TB: both sides band under the SAME deterministic
+    * hyperplane signatures (64 planes, 4 bands of 16 bits);
+    * candidates come from the bipartite band-equality join — never
+    * all-pairs — with degenerate buckets capped
+    * (Similarity.boundBuckets); cosine is scored BEFORE the
+    * multi-band distinct so the distinct shuffle carries scalars, not
+    * embedding arrays; the per-corpus-item closest-eval reduction is
+    * a combiner-reduced aggregate. The eval side is a benchmark —
+    * small by nature, independent of corpus scale — so at scale its
+    * banded signatures broadcast, and the corpus is never shuffled
+    * except by its own band keys. Rows-gated + PipelineSpec pins
+    * equality with all-pairs brute force at sf0.001. */
+  def textDecontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+    val tau = 0.99
+    val base = Tables.widened(Tables.embeddings(spark, dir)).select($"vec_id", $"embedding")
+    val eval = base.filter($"vec_id" % 20 === 0)
+    val planted = eval.select(($"vec_id" + 1000000L).as("vec_id"),
+      zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
+        (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
+    val corpus = base.filter($"vec_id" % 20 =!= 0).union(planted)
+
+    val tagged = eval.select($"vec_id", $"embedding", lit(true).as("is_eval"))
+      .union(corpus.select($"vec_id", $"embedding", lit(false).as("is_eval")))
+    // persisted: the banded frame feeds both sides of the bipartite
+    // join (same multi-reference hazard the dedup family documents)
+    val rawBuckets = Similarity.hyperplaneBucketsDf(tagged, "vec_id", "embedding", 64, 4)
+      .join(tagged, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = Similarity.boundBuckets(rawBuckets, Seq("band", "band_bits"), 10000)
+
+    val flagged = buckets.as("a").join(buckets.as("b"),
+        $"a.band" === $"b.band" && $"a.band_bits" === $"b.band_bits" &&
+          $"a.is_eval" && !$"b.is_eval")
+      .select($"b.vec_id".as("vec_id"), $"a.vec_id".as("eval_id"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
+      .distinct()
+      .filter($"cos" >= tau)
+      .groupBy($"vec_id")
+      // closest eval item; exact-cosine ties resolve to the smallest
+      // eval id (struct max: cos desc, then -eval_id asc)
+      .agg(max(struct($"cos".as("c"), (-$"eval_id").as("nid"))).as("m"),
+        count(lit(1)).as("n_eval_hits"))
+      .select($"vec_id", (-$"m.nid").cast("long").as("eval_id"),
+        floor(lit(10000.0) * $"m.c" + lit(0.5)).cast("long").as("cos_dmbp"),
+        $"n_eval_hits")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flagged.count()
+    rawBuckets.unpersist()
+    flagged.orderBy($"vec_id")
+  }
+
   /** Ordered funnel analysis over the events stream: view → click →
     * purchase, where each stage must happen at or after the previous
     * stage's first occurrence for that user. Counts users reaching

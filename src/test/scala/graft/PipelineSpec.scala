@@ -236,6 +236,33 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "expected at least one outlier in the corpus")
   }
 
+  test("semantic decontamination equals all-pairs brute force (sf0.001)") {
+    val got = PipelineQueries.textDecontaminateSemantic(spark, sf)
+      .select($"vec_id", $"eval_id", $"n_eval_hits")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // same corpus construction, brute-force all-pairs eval x corpus
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val ev = base.filter($"vec_id" % 20 === 0)
+    val planted = ev.select(($"vec_id" + 1000000L).as("vec_id"),
+      zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
+        (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
+    val corpus = base.filter($"vec_id" % 20 =!= 0).union(planted)
+    val hits = ev.as("a").crossJoin(corpus.as("b"))
+      .select($"b.vec_id".as("vec_id"), $"a.vec_id".as("eval_id"),
+        graft.similarity.Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
+      .filter($"cos" >= 0.99)
+      .as[(Long, Long, Double)].collect()
+    val expected = hits.groupBy(_._1).map { case (vid, xs) =>
+      val best = xs.maxBy(x => (x._3, -x._2))
+      (vid, best._2, xs.length.toLong)
+    }.toSet
+
+    assert(got === expected,
+      "banded semantic decontamination diverged from all-pairs brute force")
+    assert(expected.nonEmpty, "planted contaminated vectors should be flagged")
+  }
+
   test("keywords: ranks are contiguous and ordered by the tf/df key") {
     val rows = PipelineQueries.textKeywords(spark, sf)
       .select($"doc_id", $"rk", $"tf", $"df").as[(Long, Long, Long, Long)].collect()
