@@ -78,6 +78,10 @@ object SparkEntry {
     // rows-only gate: LSH banding + cosine aren't SQL-expressible;
     // PipelineSpec pins equality with all-pairs brute force
     "text_decontaminate_semantic" -> (PipelineQueries.textDecontaminateSemantic _),
+    // rows-only gate: BPE training is iterative and not
+    // SQL-expressible; BpeSpec pins trainer + encoder invariants
+    "text_bpe_encode"          -> ((s: SparkSession, d: String) =>
+      CorpusQueries.textBpeEncode(s, d)),
     "io_merge_upsert"          -> (IoQueries.ioMergeUpsert _),
     "text_chunk_rag"           -> (CurationQueries.textChunkRag _),
     "dedup_substring"          -> (CurationQueries.dedupSubstring _),

@@ -152,6 +152,54 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** BPE tokenizer train + encode — the subword-vocabulary step a
+    * training-data pipeline runs between curation and packing
+    * (text/Bpe.scala holds the algorithm; Sennrich '16 shape).
+    *
+    * Plan, and why each side lives where it does: the TRAINER runs
+    * driver-side over the corpus's word-frequency table — the
+    * vocabulary is bounded and sublinear in the corpus (3.1k words at
+    * sf10 for 28M running tokens), tokenizer training is a
+    * bounded-model problem, and production pipelines train on a
+    * sample regardless (the LocalKMeans posture: models train on
+    * bounded data and broadcast). The ENCODE side is what must scale:
+    * the driver encodes the VOCABULARY once and broadcasts the
+    * word -> subwords table (KBs), so the distributed pass is a hash
+    * lookup per token — no per-row merge replay, no shuffle except
+    * the final per-doc combine; unseen words (a stream scoring
+    * against yesterday's tokenizer) fall back to replaying the
+    * broadcast merge ranks. The UDF is justified by the same
+    * tight-loop argument as the MMR/PQ kernels: merge replay is an
+    * iterative data-dependent loop no Catalyst expression states
+    * without materializing every intermediate round.
+    *
+    * Output per doc: word count, subword count, and an xxhash64
+    * digest of the subword stream (order-sensitive — pins the exact
+    * segmentation, not just counts). Rows-gated; BpeSpec pins the
+    * trainer against hand-computed merges, encode-conserves-
+    * characters, and the replay/lookup equivalence. */
+  def textBpeEncode(spark: SparkSession, dir: String, numMerges: Int = 200): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.widened(Tables.documents(spark, dir))
+      .select(explode(wsTokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect().toSeq
+    val merges = graft.text.Bpe.train(vocab, numMerges)
+    val table: Map[String, Seq[String]] =
+      vocab.map { case (w, _) => w -> graft.text.Bpe.encode(w, merges) }.toMap
+    val bcTable = spark.sparkContext.broadcast(table)
+    val bcMerges = spark.sparkContext.broadcast(merges)
+    val enc = udf((toks: Seq[String]) => toks.flatMap { w =>
+      bcTable.value.getOrElse(w, graft.text.Bpe.encode(w, bcMerges.value))
+    })
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", wsTokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("n_words"), enc($"toks").as("sub"))
+      .select($"doc_id", $"n_words", size($"sub").cast("long").as("n_subwords"),
+        xxhash64($"sub").as("stream_hash"))
+      .orderBy($"doc_id")
+  }
+
   /** (doc_id, g) bigram instances of a documents frame — the map-side
     * explode both the model trainer and the scorer consume. */
   private[graft] def bigramInstances(docs: DataFrame): DataFrame = {
