@@ -138,9 +138,23 @@ def main():
                CASE WHEN i = 0 THEN embedding
                     ELSE CAST(list_transform(list_zip(embedding,
                         range(1, len(embedding) + 1)),
+                      -- replicas 1-9 keep the original affine map (sf1
+                      -- outputs stay bit-identical); replicas >= 10 mix
+                      -- (i, dim) through hash() so every replica gets a
+                      -- DISTINCT diagonal map — the affine family has
+                      -- only 35 members (i mod 7, i mod 5), so at
+                      -- mult=100 pigeonhole made some replicas exact
+                      -- cosine twins and dedup_embedding_cosine
+                      -- measured a synthetic quadratic blowup at sf10
                       z -> z[1]
-                        * (1 + 0.25 * (((31 * (z[2] - 1) + 17 * i) % 7) - 3))
-                        * (CASE WHEN (11 * (z[2] - 1) + 13 * i) % 5 = 0
+                        * (1 + 0.25 * ((CASE WHEN i < 10
+                            THEN (31 * (z[2] - 1) + 17 * i) % 7
+                            ELSE CAST(hash(i * 131071 + z[2]) % 7 AS BIGINT)
+                            END) - 3))
+                        * (CASE WHEN (CASE WHEN i < 10
+                            THEN (11 * (z[2] - 1) + 13 * i) % 5
+                            ELSE CAST(hash(i * 524287 + z[2]) % 5 AS BIGINT)
+                            END) = 0
                             THEN -1 ELSE 1 END))
                       AS FLOAT[])
                END AS embedding,
