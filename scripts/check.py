@@ -49,11 +49,15 @@ def main():
     # they report ORACLE_TIMEOUT instead of hanging the run
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 0
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            p = f"{sfdir}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    con = connect()
 
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
@@ -68,9 +72,17 @@ def main():
             results[name] = f"ROWS_ONLY({len(mine)})"
             continue
         timer = None
+        fired = None
         if timeout > 0:
             import threading
-            timer = threading.Timer(timeout, con.interrupt)
+            fired = threading.Event()
+            cur = con
+
+            def _interrupt():
+                fired.set()
+                cur.interrupt()
+
+            timer = threading.Timer(timeout, _interrupt)
             timer.start()
         try:
             oracle = con.execute(oracles[name]).df()
@@ -83,6 +95,12 @@ def main():
         finally:
             if timer is not None:
                 timer.cancel()
+                timer.join()  # wait out an in-flight callback
+                if fired.is_set():
+                    # the timer raced execute() returning: a stale
+                    # interrupt may be parked on the connection and would
+                    # kill the NEXT oracle instantly — rebuild it
+                    con = connect()
         m, o = canon(mine), canon(oracle)
         if list(m.columns) != list(o.columns):
             results[name] = f"SCHEMA_MISMATCH mine={list(m.columns)} oracle={list(o.columns)}"

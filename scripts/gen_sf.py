@@ -11,8 +11,10 @@ Replication scheme (honest linear scale-up, no synthetic skew):
   shape are EXACTLY those of sf0.1 while totals grow by the
   multiplier. Replica-local joins stay intact (orders replica i joins
   customer replica i).
-- documents: replica i > 0 prefixes every whitespace token with
-  "r{i}_", giving each replica a disjoint vocabulary — replicas are
+- documents: replica i > 0 prefixes every non-space run with "r{i}_"
+  via a whitespace-preserving regex substitution (runs, tabs,
+  newlines, edges, and empty docs survive byte-for-byte), giving each
+  replica a disjoint vocabulary — replicas are
   NOT near-duplicates of each other (a bare copy would hand every doc
   a 10-member duplicate cluster and make pair counts quadratic in the
   multiplier, which is a different experiment). Within a replica the
@@ -95,11 +97,12 @@ def main():
                l_linenumber, l_quantity, l_extendedprice, l_discount,
                l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM {t('lineitem')} CROSS JOIN {rep}""")
-    # events via pyarrow: the source ts column is TIMESTAMP(NANOS) with
-    # sub-microsecond precision, and this DuckDB build truncates nanos
-    # to micros on read AND writes micros even for TIMESTAMP_NS — the
-    # Spark side (spark.sql.legacy.parquet.nanosAsLong) and the
-    # epoch_ns-based oracles both require the NANOS unit on disk
+    # events via pyarrow to preserve the source ts unit exactly: the
+    # driver has shipped ts as TIMESTAMP(NANOS) (sub-micro precision,
+    # which this DuckDB build would truncate to micros) and as
+    # TIMESTAMP(MICROS) in different rounds — pyarrow replication
+    # keeps whichever unit the source carries, and the Spark loader
+    # (Tables.tsAsNanos) normalizes both to epoch-nanos longs
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -119,18 +122,21 @@ def main():
                    row_group_size=65536)
     n = con.execute(f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
     print(f"events: {n} rows")
+    # token prefixing is a pure regex substitution on non-space runs:
+    # whitespace (runs, tabs, newlines, leading/trailing) is preserved
+    # byte-for-byte and empty/whitespace-only docs stay empty, so
+    # whitespace-sensitive counters (edge tokens, punct ratios,
+    # n_chars deltas) keep the sf-source structure in every replica
     write("documents", f"""
         SELECT doc_id + i * {off['doc_id']} AS doc_id,
                CASE WHEN i = 0 THEN text
-                    ELSE array_to_string(
-                      list_transform(string_split_regex(trim(text), '\\s+'),
-                        tok -> 'r' || CAST(i AS VARCHAR) || '_' || tok), ' ')
+                    ELSE regexp_replace(text, '(\\S+)',
+                           'r' || CAST(i AS VARCHAR) || '_\\1', 'g')
                END AS text,
                lang, source,
                CASE WHEN i = 0 THEN n_chars
-                    ELSE CAST(length(array_to_string(
-                      list_transform(string_split_regex(trim(text), '\\s+'),
-                        tok -> 'r' || CAST(i AS VARCHAR) || '_' || tok), ' ')) AS BIGINT)
+                    ELSE CAST(length(regexp_replace(text, '(\\S+)',
+                           'r' || CAST(i AS VARCHAR) || '_\\1', 'g')) AS BIGINT)
                END AS n_chars
         FROM {t('documents')} CROSS JOIN {rep}""", row_group=8192)
     write("embeddings", f"""

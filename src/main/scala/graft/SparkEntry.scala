@@ -1211,7 +1211,13 @@ object SparkEntry {
         |    greatest(a.doc_id, b.doc_id) AS id_b
         |  FROM segs a JOIN probes b
         |    ON a.idx = b.idx AND a.len = b.plen AND a.seg = b.seg
-        |       AND a.doc_id <> b.doc_id)
+        |       AND a.doc_id <> b.doc_id
+        |  UNION
+        |  SELECT DISTINCT least(s.doc_id, p.doc_id) AS id_a,
+        |    greatest(s.doc_id, p.doc_id) AS id_b
+        |  FROM base s JOIN base p
+        |    ON s.len < 3 AND p.len < 5 AND abs(p.len - s.len) <= 2
+        |       AND s.doc_id <> p.doc_id)
         |SELECT id_a, id_b,
         |  CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS dist
         |FROM cand

@@ -10,6 +10,29 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` is epoch-nanos BIGINT everywhere downstream (all event
+    * queries and their DuckDB `epoch_ns` oracles do integer nanos
+    * arithmetic). The driver's parquet has carried the instant as
+    * TIMESTAMP(NANOS) (read natively as long via `nanosAsLong`) and as
+    * TIMESTAMP(MICROS) (read as TimestampType) in different rounds —
+    * normalize both to the same nanos long. `unix_micros * 1000` is
+    * exact for micros data and bit-equal to DuckDB's `epoch_ns`.
+    */
+  private def tsAsNanos(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        // the instant may infer as TIMESTAMP_NTZ (parquet not
+        // UTC-adjusted); every graft session runs in UTC, so the cast
+        // to TIMESTAMP is a pure re-tag and unix_micros is exact —
+        // the same wall-clock-as-UTC reading DuckDB's epoch_ns gives
+        // the naive column
+        df.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.unix_micros(
+            df("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
@@ -17,7 +40,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame    = tsAsNanos(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

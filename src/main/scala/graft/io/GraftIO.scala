@@ -387,10 +387,12 @@ object GraftIO {
     * the hive paths (the manifest). The round-4 version filtered the
     * full frame once per partition tuple — O(directories) scans.
     *
-    * Partition values reach `transformer` as the STRINGS parsed from
-    * the written hive paths (what Spark's partitioned writer encodes);
-    * for string/int partition columns this is indistinguishable from
-    * the typed values.
+    * Partition values reach `transformer` with the partition columns'
+    * ORIGINAL types: the hive-path strings Spark's partitioned writer
+    * encodes are cast back through the input schema (null for the
+    * hive default-partition marker), so a transformer that inspects
+    * types (`asInstanceOf[Int]`, matching on `java.sql.Date`) sees
+    * exactly what the old per-tuple `collect()` loop handed it.
     *
     * Scale note: this is the EXPORT path — named single files for
     * downstream consumers; each chunk funnels through a single task.
@@ -448,7 +450,7 @@ object GraftIO {
           val i = s.indexOf('=')
           s.substring(0, i) -> unescapePathName(s.substring(i + 1))
         }.toMap
-      val values: Seq[Any] = partitionBy.map(c => kv(s"__graft_p_$c"))
+      val values: Seq[Any] = partitionBy.map(c => typedPartValue(df, c, kv(s"__graft_p_$c")))
       val chunkIdx = kv("__graft_chunk").toInt
       (f, values, chunkIdx, transformer(path, partitionBy, values, suffixes(chunkIdx)))
     }
@@ -490,6 +492,29 @@ object GraftIO {
       fss.rm(etmp)
     }
     fss.rm(tmp)
+  }
+
+  /** Cast a hive-path partition-value string back to the partition
+    * column's declared type (external representation, as `Row.toSeq`
+    * would carry it), so `writeNamed`'s transformer contract matches
+    * the old typed per-tuple loop. The hive default-partition marker
+    * maps to null — the one lossy corner of the hive layout itself.
+    */
+  private def typedPartValue(df: DataFrame, column: String, raw: String): Any = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val dt = df.schema(column).dataType
+    if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+    else if (dt == StringType) raw
+    else {
+      val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+      val internal =
+        Cast(Literal(UTF8String.fromString(raw), StringType), dt, Some(tz)).eval(null)
+      CatalystTypeConverters.convertToScala(internal, dt)
+    }
   }
 
   /** Read a dataset (single file, directory tree, or glob) written by

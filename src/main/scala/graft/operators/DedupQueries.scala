@@ -259,10 +259,18 @@ object DedupQueries {
     * therefore come from an equi-join of r's segments against s's
     * probe substrings: for every partner length L' in [|s|-k, |s|], s
     * emits the substring at each segment position of an L'-long
-    * partner shifted by each d in [-k, +k]. This blocking is COMPLETE
-    * for edit distance <= k including insertions and deletions (the
+    * partner shifted by each d in [-k, +k]. The pigeonhole needs all
+    * k+1 of r's segments non-empty, i.e. |r| >= k+1; pairs whose
+    * SHORTER side is under that are caught by a separate tiny-bucket
+    * join (docs of len <= k against docs of len <= 2k) — that bucket
+    * holds at most |Σ|^k distinct texts, so the join is bounded by
+    * duplicate multiplicity, and any corpus where it degenerates has
+    * a quadratic ANSWER (every tiny doc pairs with every other).
+    * Together the blocking is COMPLETE for edit distance <= k
+    * including insertions and deletions (the
     * round-4 version required equal lengths and silently excluded
-    * indels); only candidates pay the banded Levenshtein verify, so
+    * indels, and until round 5 the sub-(k+1) lengths were excluded);
+    * only candidates pay the banded Levenshtein verify, so
     * the contract is simply "all pairs within edit distance k" with no
     * quadratic phase anywhere. The gate corpus plants a
     * two-substitution twin for even doc_ids and an insertion+
@@ -358,11 +366,28 @@ object DedupQueries {
     // 51.6 s → ~11 s on a 10× corpus). Same hazard the minhash and
     // simhash paths persist against; released after the verified
     // pairs exist.
+    // tiny-bucket path: the segment pigeonhole is vacuous when the
+    // shorter side has < k+1 chars — pair those docs directly against
+    // everything within the length band. The tiny side broadcasts,
+    // and the length band is exploded into equi-keys (a hash join,
+    // not a nested loop, per the PlanSpec discipline).
+    val tiny = withLen.filter($"len" < nseg.toLong)
+    val tinyPartner = withLen.filter($"len" < (nseg + k).toLong)
+    val tinyCand = broadcast(
+        tiny.select($"doc_id",
+            explode(sequence($"len" - k.toLong, $"len" + k.toLong)).as("plen"))
+          .filter($"plen" >= 0L).as("s"))
+      .join(tinyPartner.as("p"),
+        $"s.plen" === $"p.len" && $"s.doc_id" =!= $"p.doc_id")
+      .select(least($"s.doc_id", $"p.doc_id").as("id_a"),
+        greatest($"s.doc_id", $"p.doc_id").as("id_b"))
+
     val candidates = segs.as("a").join(probes.as("b"),
         $"a.idx" === $"b.idx" && $"a.len" === $"b.plen" &&
           $"a.seg" === $"b.seg" && $"a.doc_id" =!= $"b.doc_id")
       .select(least($"a.doc_id", $"b.doc_id").as("id_a"),
         greatest($"a.doc_id", $"b.doc_id").as("id_b"))
+      .union(tinyCand)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -15,7 +15,7 @@ object HeavyHitterQueries {
 
   /** Top-10 most frequent corpus tokens via the SpaceSaving summary.
     *
-    * The aggregate keeps a fixed 1024-entry buffer per task and shuffles
+    * The aggregate keeps a fixed 4096-entry buffer per task and shuffles
     * ONE summary per partition — a groupBy-count + top-k shuffles one
     * row per distinct token per task instead, which grows with the
     * vocabulary (urls/ids/typos make it effectively unbounded at

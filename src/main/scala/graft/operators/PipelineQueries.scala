@@ -136,8 +136,12 @@ object PipelineQueries {
           $"a.is_eval" && !$"b.is_eval")
       .select($"b.vec_id".as("vec_id"), $"a.vec_id".as("eval_id"),
         Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
-      .distinct()
+      // filter BEFORE the multi-band distinct: cos is deterministic per
+      // (vec_id, eval_id), so the flagged set is identical, and the
+      // distinct exchange carries only the rare >= tau survivors
+      // instead of every band collision
       .filter($"cos" >= tau)
+      .distinct()
       .groupBy($"vec_id")
       // closest eval item; exact-cosine ties resolve to the smallest
       // eval id (struct max: cos desc, then -eval_id asc)
@@ -341,11 +345,13 @@ object PipelineQueries {
     * the documented cluster-scale escape hatch, same pattern as
     * text_vocab vs text_vocab_sketch.
     *
-    * Session side effect: raises the ObjectHashAggregate sort-fallback
-    * threshold for the CALLING SESSION (the conf is execution-time,
-    * so it cannot be scoped to this one query). Safe for every graft
-    * aggregate — all carry fixed-size buffers — but a session mixing
-    * in foreign unbounded-buffer object aggregates should reset it. */
+    * The ObjectHashAggregate sort-fallback threshold (an
+    * execution-time conf) is raised only around an eager
+    * materialization inside this call and RESTORED before returning —
+    * the session keeps its spill guard for foreign unbounded-buffer
+    * object aggregates. If the persisted result is later evicted, a
+    * recomputation under the restored threshold falls back to
+    * sort-based aggregation: identical results, slower path. */
   def textKeywordsTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.TopK.ensureRegistered(spark)
@@ -353,13 +359,15 @@ object PipelineQueries {
     // 128 distinct groups (guarding unbounded per-group buffers);
     // graft_topk's buffer is 3 entries per doc, so the guard would
     // only re-buy the sort the aggregate exists to avoid
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "100000000")
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "100000000")
+    try {
     val toks = Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id", explode(wsTokens($"text")).as("token"))
     val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    tf.join(df, "token")
+    val out = tf.join(df, "token")
       .groupBy($"doc_id")
       .agg(call_function("graft_topk",
         $"tf".cast("double") / $"df", $"token",
@@ -369,7 +377,15 @@ object PipelineQueries {
         $"e.tag".as("token"),
         split($"e.extra", "\u0001").getItem(0).cast("long").as("tf"),
         split($"e.extra", "\u0001").getItem(1).cast("long").as("df"))
-      .orderBy($"doc_id", $"rk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // run the object-hash aggregate under the raised threshold
+      out.orderBy($"doc_id", $"rk")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Session path mining: the top-10 most frequent event-type

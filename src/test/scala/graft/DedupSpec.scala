@@ -93,6 +93,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"planted indel twins: found $foundTwins of $expectedTwins")
   }
 
+  test("edit-blocked dedup is complete for strings shorter than k+1 (tiny-bucket path)") {
+    import spark.implicits._
+    // the segment pigeonhole needs len >= 3; these docs exercise the
+    // tiny-bucket path (len 0..2), its boundary (len 3..4), and one
+    // long doc to prove the two paths coexist
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "ab"), (4L, "ba"), (5L, "abc"),
+      (6L, "abcd"), (7L, ""), (8L, "xy"), (9L, "abcde"),
+      (10L, "an unrelated doc body")) // < 30 chars: twin stays verbatim
+    val dir = java.nio.file.Files.createTempDirectory("graft_edit_short").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val out = DedupQueries.dedupEditBlocked(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // brute-force truth over the same corpus (docs under 30 chars gain
+    // a verbatim +1000000 twin, exactly what the query plants)
+    val corpus = docs ++ docs.map { case (id, t) => (id + 1000000L, t) }
+    val want = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus
+      if ia < ib
+      d = DedupQueries.bandedLevenshtein(ta, tb, 2)
+      if d >= 0
+    } yield (ia, ib, d.toLong)).toSet
+    assert(out === want)
+    // sanity: short pairs the round-4/early-round-5 blocking missed
+    assert(want.contains((1L, 2L, 1L)), "a~b substitution pair missing from truth")
+    assert(want.contains((3L, 4L, 2L)), "ab~ba pair missing from truth")
+    assert(want.contains((7L, 1000007L, 0L)), "empty-doc twin missing from truth")
+  }
+
   test("prefix-filtered jaccard join == brute force (sf0.001 documents)") {
     import spark.implicits._
     val tau = 0.7
