@@ -3,6 +3,12 @@
 
 Usage: python3 scripts/gen_sf.py [srcdir] [outdir] [multiplier]
 
+Deterministic as a MULTISET: every cell value is a pure function of
+the source and the multiplier, but row order within files may vary
+run-to-run (COPY streams with preserve_insertion_order=false so large
+multipliers don't buffer the whole result in memory). Every consumer
+(gate sorts rows, bench scans) is order-insensitive.
+
 Replication scheme (honest linear scale-up, no synthetic skew):
 - region/nation: fixed dims, copied verbatim.
 - keyed fact/dim tables (customer/supplier/part/orders/lineitem,
@@ -49,6 +55,13 @@ def main():
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    # COPY buffers the ENTIRE result in memory when insertion order is
+    # preserved — at multiplier 1000 the lineitem cross join is 600M
+    # rows and was observed parked at 100 GB resident writing nothing.
+    # Row order carries no meaning here (the gate sorts rows, the bench
+    # scans), so let COPY stream; content is the same multiset.
+    con.execute("SET preserve_insertion_order = false")
+    con.execute("SET memory_limit = '48GB'")
 
     def t(name):
         return f"'{src}/{name}.parquet'"
@@ -107,19 +120,21 @@ def main():
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     ev = pq.read_table(f"{src}/events.parquet")
-    reps = []
+    # stream one replica at a time through a single ParquetWriter —
+    # memory stays O(one replica) at any multiplier; bounded row
+    # groups because a single-row-group file cannot be split across
+    # scan tasks no matter what maxPartitionBytes says
+    writer = pq.ParquetWriter(f"{out}/events.parquet", ev.schema,
+                              coerce_timestamps=None, version="2.6")
     for i in range(mult):
-        reps.append(ev.set_column(
+        rep_tbl = ev.set_column(
             ev.schema.get_field_index("event_id"), "event_id",
             pc.add(ev.column("event_id"), i * off["event_id"])
         ).set_column(
             ev.schema.get_field_index("user_id"), "user_id",
-            pc.add(ev.column("user_id"), i * off["user_id"])))
-    # bounded row groups: a single-row-group file cannot be split
-    # across scan tasks no matter what maxPartitionBytes says
-    pq.write_table(pa.concat_tables(reps), f"{out}/events.parquet",
-                   coerce_timestamps=None, version="2.6",
-                   row_group_size=65536)
+            pc.add(ev.column("user_id"), i * off["user_id"]))
+        writer.write_table(rep_tbl, row_group_size=65536)
+    writer.close()
     n = con.execute(f"SELECT count(*) FROM '{out}/events.parquet'").fetchone()[0]
     print(f"events: {n} rows")
     # token prefixing is a pure regex substitution on non-space runs:
