@@ -73,10 +73,7 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
 
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    val jq = graft.logging.JsonLogger.quote _
     val qs = results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

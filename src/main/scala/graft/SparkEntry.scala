@@ -306,8 +306,8 @@ object SparkEntry {
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |       ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // integer-basis-point closed form mirroring TextFunctions.qualityScoreBp:
@@ -319,12 +319,12 @@ object SparkEntry {
         |    CAST(greatest(length(text), 1) AS BIGINT) AS c,
         |    CAST(least(length(text), 500) AS BIGINT) AS m,
         |    CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS BIGINT) AS t,
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END, 1) AS BIGINT) AS t,
         |    CAST(len(list_filter(
         |         CASE WHEN length(trim(text)) = 0 THEN []
-        |              ELSE string_split_regex(trim(text), '\s+') END,
+        |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END,
         |         tok -> list_contains(['the','a','an','of','and','to','in','is','it','that'], tok))) AS BIGINT) AS h,
-        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS p
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS p
         |  FROM documents)
         |SELECT doc_id, n_chars,
         |  CAST(floor((20000 * p + c) / (2.0 * c)) AS BIGINT) AS punct_bp,
@@ -347,7 +347,7 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT doc_id, text,
         |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
         |  FROM documents),
         |q AS (
         |  SELECT doc_id,
@@ -358,7 +358,7 @@ object SparkEntry {
         |      CAST(least(length(text), 500) AS BIGINT) AS m,
         |      CAST(greatest(len(t), 1) AS BIGINT) AS t,
         |      CAST(len(list_filter(t, tok -> list_contains(['the','a','an','of','and','to','in','is','it','that'], tok))) AS BIGINT) AS h,
-        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS p
+        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS p
         |    FROM base)),
         |scores AS (
         |  SELECT doc_id, 'en' AS cand,
@@ -401,7 +401,7 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id,
         |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
         |  FROM documents),
         |bg AS (
         |  SELECT doc_id,
@@ -432,7 +432,7 @@ object SparkEntry {
     // results barring a 2^-64 collision)
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
         |  FROM documents WHERE length(trim(text)) > 0),
         |grams AS (
         |  SELECT doc_id,
@@ -519,7 +519,7 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, lang, text,
         |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
         |  FROM documents),
         |scores AS (
         |  SELECT doc_id, lang, 'en' AS cand,
@@ -587,7 +587,7 @@ object SparkEntry {
     // with it are contaminated; coverage in integer basis points
     "text_decontaminate" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
         |  FROM documents WHERE length(trim(text)) > 0),
         |grams AS (
         |  SELECT doc_id,
@@ -622,7 +622,7 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, doc_id % 8 AS grp,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS n_tok
         |  FROM documents),
         |pos AS (
         |  SELECT doc_id, grp, n_tok,
@@ -647,7 +647,7 @@ object SparkEntry {
       """SELECT token, CAST(count(*) AS BIGINT) AS tf,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS token
         |  FROM documents WHERE length(trim(text)) > 0)
         |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
 
@@ -685,7 +685,7 @@ object SparkEntry {
       """WITH tf AS (
         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
         |  FROM (SELECT doc_id,
-        |          unnest(string_split_regex(trim(text), '\s+')) AS token
+        |          unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS token
         |        FROM documents WHERE length(trim(text)) > 0)
         |  GROUP BY doc_id, token),
         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
@@ -796,19 +796,19 @@ object SparkEntry {
         |  SELECT doc_id, source, lang,
         |    CAST(length(text) AS BIGINT) AS chars,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
+        |         ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS toks,
         |    CAST(floor((10000.0 * (2*m*t*c + 750*h*c + 750*(c-p)*t) + 1250.0*t*c)
         |         / (2500.0*t*c)) AS BIGINT) AS q_bp
         |  FROM (SELECT doc_id, source, lang, text,
         |      CAST(greatest(length(text), 1) AS BIGINT) AS c,
         |      CAST(least(length(text), 500) AS BIGINT) AS m,
         |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-        |           ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS BIGINT) AS t,
+        |           ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END, 1) AS BIGINT) AS t,
         |      CAST(len(list_filter(
         |           CASE WHEN length(trim(text)) = 0 THEN []
-        |                ELSE string_split_regex(trim(text), '\s+') END,
+        |                ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END,
         |           tok -> list_contains(['the','a','an','of','and','to','in','is','it','that'], tok))) AS BIGINT) AS h,
-        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS p
+        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS p
         |    FROM documents))
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(chars) AS BIGINT) AS sum_chars,
@@ -826,8 +826,8 @@ object SparkEntry {
     // micro-points BEFORE the order-sensitive per-doc SUM
     "text_bm25" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS dl
         |  FROM documents WHERE length(trim(text)) > 0),
         |hits AS (
         |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
@@ -865,7 +865,7 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id,
         |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
         |  FROM documents),
         |grams AS (
         |  SELECT doc_id,
@@ -921,7 +921,7 @@ object SparkEntry {
     // cross-engine. range(0, n, 48) == sequence(0, n-1, 48): same set
     "text_chunk_rag" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
         |  FROM documents WHERE length(trim(text)) > 0),
         |spans AS (
         |  SELECT doc_id, t, s FROM (
@@ -937,7 +937,7 @@ object SparkEntry {
     // when >= 2 distinct docs contain it; coverage in basis points
     "dedup_substring" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
         |  FROM documents WHERE length(trim(text)) > 0),
         |corpus AS (
         |  SELECT doc_id, t FROM toks
@@ -985,7 +985,7 @@ object SparkEntry {
     "q_heavy_hitters" ->
       """SELECT token, cnt FROM (
         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS token
         |        FROM documents WHERE length(trim(text)) > 0)
         |  GROUP BY token)
         |ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
@@ -1011,12 +1011,12 @@ object SparkEntry {
         |      CAST(greatest(length(text), 1) AS BIGINT) AS c,
         |      CAST(least(length(text), 500) AS BIGINT) AS m,
         |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-        |           ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS BIGINT) AS t,
+        |           ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END, 1) AS BIGINT) AS t,
         |      CAST(len(list_filter(
         |           CASE WHEN length(trim(text)) = 0 THEN []
-        |                ELSE string_split_regex(trim(text), '\s+') END,
+        |                ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END,
         |           tok -> list_contains(['the','a','an','of','and','to','in','is','it','that'], tok))) AS BIGINT) AS h,
-        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS p
+        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS p
         |    FROM documents))
         |SELECT source, rk, doc_id, quality_bp FROM (
         |  SELECT source, doc_id, quality_bp,
@@ -1264,7 +1264,7 @@ object SparkEntry {
     // weight = ((bucket * 2654435761) % 2001) - 1000; all integer
     "text_classifier_score" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS token
         |  FROM documents WHERE length(trim(text)) > 0),
         |w AS (
         |  SELECT doc_id,

@@ -199,6 +199,12 @@ object GraftIO {
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(zCols.size >= 2,
       s"z-ordering needs >= 2 columns (one column is a plain range sort), got $zCols")
+    // 8 dims x 8 bits is the 64-bit ceiling: bit j of dimension d lands
+    // at j*dims + d, and Java's shiftleft masks the count mod 64, so a
+    // 9th dimension would silently alias high-order rank bits onto
+    // other dimensions' low-order bits and scramble the clustering
+    require(zCols.size <= 8,
+      s"z-ordering supports at most 8 columns (64-bit Morton code), got ${zCols.size}")
     require(files > 0, s"files must be positive, got $files")
     val Bits = 8 // 256 rank buckets per dimension
     val nBuckets = 1 << Bits
@@ -421,6 +427,13 @@ object GraftIO {
     val hashCols =
       (if (dropPartitions) df.columns.filterNot(partitionBy.contains) else df.columns)
         .map(col).toSeq
+    // an all-partition-column frame with dropPartitions leaves zero
+    // data columns: Spark cannot write such files at all
+    // (ALL_PARTITION_COLUMNS_NOT_ALLOWED) and xxhash64 rejects zero
+    // arguments — name the real constraint here instead of either
+    require(hashCols.nonEmpty,
+      "writeNamed: every column is a partition column and dropPartitions=true — " +
+        "data files would have zero columns; keep a data column or set dropPartitions=false")
     val chunked0 = df.withColumn("__graft_chunk",
       if (n == 1) lit(0L) else pmod(xxhash64(hashCols: _*), lit(n.toLong)))
     // partition through copies so the originals can stay in the data
@@ -436,6 +449,12 @@ object GraftIO {
     write(data.repartition(partKeys.map(col): _*), tmp, format, gzip, sep, header,
       partitionBy = partKeys)
 
+    // everything after the tmp write renames into place; on any
+    // failure drop the temporary tree so a crash never strands a
+    // full-size dataset at path + ".__graft_named_tmp" (a retry
+    // rewrites every target chunk, so partially renamed outputs are
+    // repaired by the retry, not here)
+    try {
     // manifest pass: map each written part file to its target name
     val partFiles = fss.find(tmp).filter { f =>
       val name = f.substring(f.lastIndexOf('/') + 1)
@@ -450,7 +469,16 @@ object GraftIO {
           val i = s.indexOf('=')
           s.substring(0, i) -> unescapePathName(s.substring(i + 1))
         }.toMap
-      val values: Seq[Any] = partitionBy.map(c => typedPartValue(df, c, kv(s"__graft_p_$c")))
+      val values: Seq[Any] = partitionBy.map { c =>
+        val v = typedPartValue(df, c, kv(s"__graft_p_$c"))
+        // a null here is the hive default-partition marker, i.e. the
+        // input had NULL in a partition column; name the actual
+        // problem instead of letting pathFor's generic require fire
+        require(v != null,
+          s"writeNamed: partition column '$c' contains null values — " +
+            "named exports require non-null partition values")
+        v
+      }
       val chunkIdx = kv("__graft_chunk").toInt
       (f, values, chunkIdx, transformer(path, partitionBy, values, suffixes(chunkIdx)))
     }
@@ -491,7 +519,7 @@ object GraftIO {
       require(fss.mv(partFile, target), s"rename failed: $partFile -> $target")
       fss.rm(etmp)
     }
-    fss.rm(tmp)
+    } finally fss.rm(tmp)
   }
 
   /** Cast a hive-path partition-value string back to the partition

@@ -15,9 +15,10 @@ import java.time.{Instant, ZoneOffset}
   * reference emitter (logging.py:41-49).
   *
   * `timed` is the `decorate` twin (logging.py:67-105): wraps a block,
-  * logging function name, duration, memory (JVM used-heap before/after
-  * — the tracemalloc analogue available on a JVM), plus static or
-  * result-derived extras.
+  * logging function name, duration, memory (used-heap delta plus the
+  * pool-level heap high-water mark during the block — the tracemalloc
+  * current/peak analogue on a JVM), plus static or result-derived
+  * extras.
   *
   * Intended for DRIVER-side pipeline orchestration logging. Executors
   * should not construct per-row loggers (that would serialize a
@@ -62,6 +63,19 @@ class JsonLogger(
       memory: Boolean = true,
       extra: Seq[(String, Any)] = Nil)(body: => T): T = {
     val rt = Runtime.getRuntime
+    // heap high-water mark via the per-pool peak counters: reset
+    // before the block, sum after — a genuine peak like tracemalloc's,
+    // not the post-GC used-heap (a block that transiently allocates
+    // gigabytes and returns small would otherwise log a tiny "peak").
+    // The counters are JVM-global, so concurrent timed() blocks see a
+    // shared peak — fine for the intended driver-side orchestration.
+    val heapPools =
+      if (memory)
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.lang.management.ManagementFactory.getMemoryPoolMXBeans).asScala
+          .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      else Nil
+    heapPools.foreach(_.resetPeakUsage())
     val memBefore = if (memory) rt.totalMemory() - rt.freeMemory() else 0L
     val t0 = System.nanoTime()
     val result = body
@@ -70,7 +84,8 @@ class JsonLogger(
     fields += ("function" -> function)
     if (memory) {
       val memAfter = rt.totalMemory() - rt.freeMemory()
-      fields += ("memory" -> Map("current" -> (memAfter - memBefore), "peak" -> memAfter))
+      val peak = heapPools.map(_.getPeakUsage.getUsed).sum
+      fields += ("memory" -> Map("current" -> (memAfter - memBefore), "peak" -> peak))
     }
     if (duration) fields += ("duration" -> elapsed)
     extra.foreach {
@@ -113,7 +128,9 @@ object JsonLogger {
     case other => quote(other.toString)
   }
 
-  private def quote(s: String): String = "\"" + s.flatMap {
+  /** The ONE JSON string escaper — Verify and Bench reuse it so the
+    * escape coverage can't drift between the three emitters. */
+  def quote(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"

@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokens. Empty/blank text → empty array (split would
-    * yield [""]). */
+    * yield [""]).
+    *
+    * Whitespace here is Java's `\s` = `[ \t\n\x0B\f\r]`; RE2 (the
+    * DuckDB oracle engine) excludes \x0B from its `\s`, so every
+    * oracle states the explicit class instead of `\s` — same
+    * cross-engine rule as [[normalized]]. */
   def wsTokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))

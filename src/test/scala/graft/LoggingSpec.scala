@@ -74,6 +74,25 @@ class LoggingSpec extends AnyFunSuite {
     assert(j \ "extra" \ "static" === JString("tag"))
   }
 
+  test("timed memory peak is a high-water mark, not post-GC used-heap") {
+    // hold 256 MB live inside the block: at some instant used-heap is
+    // >= 256 MB, so a true pool-peak must report at least that even if
+    // the block returns nothing and GC reclaims the array afterwards
+    val Seq(j) = capture { lg =>
+      lg.timed("alloc", function = "alloc") {
+        val a = new Array[Byte](256 * 1024 * 1024)
+        a(a.length - 1) = 1
+        a(0) // keep `a` live to the end of the block
+      }
+    }
+    val peak = (j \ "extra" \ "memory" \ "peak") match {
+      case JInt(v) => v.toLong
+      case JLong(v) => v
+      case other => fail(s"no numeric peak: $other")
+    }
+    assert(peak >= 256L * 1024 * 1024)
+  }
+
   test("timed can disable duration and memory") {
     val Seq(j) = capture(_.timed("done", duration = false, memory = false)(1))
     assert(j \ "extra" \ "duration" === JNothing)

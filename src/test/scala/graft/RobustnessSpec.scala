@@ -56,6 +56,41 @@ class RobustnessSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("z-order write rejects more than eight clustering columns") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val nine = (1 to 9).map(_ => "a")
+    val e = intercept[IllegalArgumentException] {
+      GraftIO.writeZOrdered(df, "/tmp/never", nine, files = 2)
+    }
+    assert(e.getMessage.contains("at most 8"))
+  }
+
+  test("writeNamed: all-partition-column frame fails with the real constraint named") {
+    import spark.implicits._
+    val df = Seq(("x", 1L), ("y", 2L), ("x", 3L)).toDF("k", "v")
+    // every column a partition column + dropPartitions=true means the
+    // data files would have zero columns — Spark cannot write that; the
+    // error should say so instead of a zero-arg-hash analysis failure
+    val e = intercept[IllegalArgumentException] {
+      GraftIO.writeNamed(df, "/tmp/never", GraftIO.Dsv,
+        partitionBy = Seq("k", "v"), suffixes = Seq("c0.tsv", "c1.tsv"))
+    }
+    assert(e.getMessage.contains("zero columns"))
+  }
+
+  test("writeNamed: null partition value fails with a clear error and no stranded tmp") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1L), (None, 2L)).toDF("k", "v")
+    val out = Files.createTempDirectory("graft_nullpart").toString + "/e"
+    val e = intercept[IllegalArgumentException] {
+      GraftIO.writeNamed(df, out, GraftIO.Dsv, partitionBy = Seq("k"))
+    }
+    assert(e.getMessage.contains("partition column 'k' contains null"))
+    assert(!new java.io.File(out + ".__graft_named_tmp").exists(),
+      "failed writeNamed stranded its temporary tree")
+  }
+
   test("read with restorePartitions=false drops hive partition columns") {
     import spark.implicits._
     val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "part")
