@@ -20,13 +20,20 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
-      // split target sized to the LOCAL corpus, not the 128m default:
-      // a 100 TB table arrives as thousands of splits, but a 12 MB
-      // local file under the default is ONE task and serializes every
-      // CPU-heavy scan-stage (JSON probing, regex scoring) onto one
-      // core — the local-mode artifact the widened() helper documents,
-      // fixed at the reader where it belongs
-      .config("spark.sql.files.maxPartitionBytes", "2m")
+      // scan splits via Spark's own adaptive formula — maxSplitBytes =
+      // min(maxPartitionBytes, max(openCost, totalBytes/minPartitionNum))
+      // — instead of a fixed target. The old fixed 2m kept a 12 MB
+      // local file parallel (the 128m default gives it ONE task and
+      // serializes CPU-heavy scan stages onto one core), but carved a
+      // 13 GB sf100 file into ~6500 tasks, each re-reading the multi-MB
+      // parquet footer: superlinear in file size (q1 at sf100: 86 s
+      // fixed -> 7 s adaptive). The 2m openCost floor reproduces the
+      // old small-corpus split size exactly (a 512k floor was tried
+      // and cost ~0.3 s/query of pure task-launch overhead at sf0.1);
+      // 4x-cores minPartitionNum load-balances scans at every scale.
+      .config("spark.sql.files.maxPartitionBytes", "128m")
+      .config("spark.sql.files.openCostInBytes", "2m")
+      .config("spark.sql.files.minPartitionNum", s"${cpus.toInt * 4}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

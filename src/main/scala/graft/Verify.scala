@@ -11,13 +11,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
-      // split target sized to the LOCAL corpus, not the 128m default:
-      // a 100 TB table arrives as thousands of splits, but a 12 MB
-      // local file under the default is ONE task and serializes every
-      // CPU-heavy scan-stage (JSON probing, regex scoring) onto one
-      // core — the local-mode artifact the widened() helper documents,
-      // fixed at the reader where it belongs
-      .config("spark.sql.files.maxPartitionBytes", "2m")
+      // scan splits via Spark's own adaptive formula (see Bench for
+      // the full rationale): a fixed tiny target keeps small local
+      // files parallel but turns one 13 GB sf100 file into thousands
+      // of footer-re-reading tasks — superlinear in file size
+      .config("spark.sql.files.maxPartitionBytes", "128m")
+      .config("spark.sql.files.openCostInBytes", "2m")
+      .config("spark.sql.files.minPartitionNum", s"${cpus.toInt * 4}")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
