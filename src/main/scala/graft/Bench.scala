@@ -16,10 +16,26 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    val spark = SparkSession.builder()
+    // Reduce-stage parallelism sized to the DATA, the way a production
+    // job sizes spark.sql.shuffle.partitions to its input: one initial
+    // partition per 64 MB of corpus, floored at the core count (small
+    // corpora get exactly the old fixed-32 behavior — measured: raising
+    // it unconditionally doubled the shuffle-heavy family at sf0.1),
+    // capped at 16x cores. AQE's coalescePartitions then merges down
+    // by size, so the cap only bounds the worst case. At sf100 the
+    // fixed 32 gave reduce tasks GBs of aggregate state
+    // (dedup_minhash_lsh: UNABLE_TO_ACQUIRE_MEMORY at 8 GB heap, and
+    // 2x slower than data-sized shuffles even at 64 GB).
+    val corpusBytes = Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum).getOrElse(0L)
+    val initParts =
+      math.min(cpus.toInt * 16L, math.max(cpus.toInt.toLong, corpusBytes / (64L << 20)))
+    def buildSession(): SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initParts.toString)
       // scan splits via Spark's own adaptive formula — maxSplitBytes =
       // min(maxPartitionBytes, max(openCost, totalBytes/minPartitionNum))
       // — instead of a fixed target. The old fixed 2m kept a 12 MB
@@ -38,6 +54,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    var spark = buildSession()
     spark.sparkContext.setLogLevel("WARN")
 
     // SPARK_GRAFT_ONLY = comma-separated query-name filter (local
@@ -54,6 +71,14 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
+        // a fatal task error (executor-thread OOM) stops the local
+        // SparkContext; without a rebuild every later query would
+        // "fail" on the stopped context and the run would report
+        // garbage instead of one bad query + clean rest
+        if (spark.sparkContext.isStopped) {
+          spark = buildSession()
+          spark.sparkContext.setLogLevel("WARN")
+        }
         // CacheManager matches persisted frames by canonicalized plan,
         // so a repeat of the same query would silently reuse the
         // previous run's persisted intermediates — clear so every
@@ -74,6 +99,7 @@ object Bench {
         }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          e.printStackTrace() // full trace to stderr; the JSON keeps the head
           -1.0
         }
       }

@@ -42,7 +42,11 @@ object GraphQueries {
     * pinned equal in GraphSpec. */
   def graphComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    ConnectedComponents.label(doublingEdges(spark, dir))
+    // the doubling chains are log2(max doc_id) deep (~23 at a 5M-id
+    // corpus) — far past the default maxIter=8 that fits dup cliques.
+    // 64 covers any 64-bit id space; the loop exits on convergence, so
+    // small corpora (and the driver union-find path) never pay for it.
+    ConnectedComponents.label(doublingEdges(spark, dir), maxIter = 64)
       .select($"id", $"component")
       .orderBy($"id")
   }

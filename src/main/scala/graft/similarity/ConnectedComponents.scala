@@ -26,10 +26,11 @@ object ConnectedComponents {
     *              (either orientation; both are added internally)
     * @return (id, component) — component = min id reachable within
     *         `maxIter` hops (exact when maxIter >= diameter). The
-    *         returned frame is PERSISTED (unpersisting before the
-    *         caller materializes would re-execute the iterative
-    *         lineage); long-lived sessions should unpersist it once
-    *         consumed. Logs a warning if the iteration cap was hit
+    *         returned frame is MATERIALIZED — checkpointed after the
+    *         final iteration (or the persisted seed when the seed
+    *         already converged), so consuming it never re-executes
+    *         the iterative lineage; long-lived sessions may unpersist
+    *         it once consumed. Logs a warning if the iteration cap was hit
     *         before convergence; use [[labelWithStatus]] to branch on
     *         it, or `strict = true` there to fail instead.
     */
@@ -90,6 +91,21 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     labels.count() // materialize before the loop mutates the var
 
+    // Iterations MUST truncate lineage in the plan AND the RDD DAG:
+    // `next` references `labels` twice (join + union), so chaining
+    // rounds directly doubles the logical plan per iteration — the
+    // sf100 gate OOM'd at round 8 just RENDERING the 2^8-wide plan
+    // string for the SQL listener. An RDD-only re-root fixes the plan
+    // but still deepens the RDD DAG ~10 nodes per round until task
+    // deserialization overflows the stack on deep graphs. A reliable
+    // checkpoint per round — the GraphX/GraphFrames approach — cuts
+    // both: O(1) plan and DAG at any iteration count. Clusters should
+    // setCheckpointDir on durable shared storage; when unset (local
+    // runs) a session-temp dir is created here.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString)
+    var seedPersist: Option[DataFrame] = Some(labels)
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -100,10 +116,11 @@ object ConnectedComponents {
         .union(labels)
         .groupBy($"id")
         .agg(min($"component").as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .checkpoint() // eager: materializes this round and cuts lineage
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter($"component" =!= $"old").limit(1).count()
-      labels.unpersist()
+      seedPersist.foreach(_.unpersist())
+      seedPersist = None
       labels = next
       converged = changed == 0
       i += 1

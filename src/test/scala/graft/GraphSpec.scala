@@ -42,6 +42,21 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("distributed path converges a deep chain (plan stays O(1) per iteration)") {
+    // path graph of diameter 30 through the ITERATIVE path: before the
+    // per-round lineage cut, each iteration doubled the logical plan
+    // (labels referenced twice) and 30 rounds meant a 2^30-node plan —
+    // the sf100 gate died OOM just rendering the plan string at round
+    // 8. The cut makes each round's plan O(1), so this completes fast.
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = ConnectedComponents.labelWithStatus(chain, maxIter = 64, driverThreshold = -1L)
+    assert(r.converged)
+    assert(r.iterations >= 15) // genuinely iterated, not the seed shortcut
+    val got = r.labels.as[(Long, Long)].collect().toMap
+    r.labels.unpersist()
+    assert(got == (0L to 30L).map(_ -> 0L).toMap)
+  }
+
   test("hitting the iteration cap surfaces converged=false (and strict throws)") {
     // path graph 0-1-2-...-19: diameter 19, far beyond maxIter = 2
     val path = (0L until 19L).map(i => (i, i + 1)).toDF("src", "dst")
