@@ -157,12 +157,14 @@ object CorpusQueries {
     * (text/Bpe.scala holds the algorithm; Sennrich '16 shape).
     *
     * Plan, and why each side lives where it does: the TRAINER runs
-    * driver-side over the corpus's word-frequency table — the
-    * vocabulary is bounded and sublinear in the corpus (3.1k words at
-    * sf10 for 28M running tokens), tokenizer training is a
-    * bounded-model problem, and production pipelines train on a
-    * sample regardless (the LocalKMeans posture: models train on
-    * bounded data and broadcast). The ENCODE side is what must scale:
+    * driver-side over the corpus's word-frequency table, hard-capped
+    * at the `maxTrainVocab` most frequent words (top-k, not a full
+    * collect — a web-scale corpus has unbounded distinct "words":
+    * typos, URLs, ids), tokenizer training is a bounded-model problem,
+    * and production pipelines train on a sample regardless (the
+    * LocalKMeans posture: models train on bounded data and broadcast).
+    * Every gate corpus's full vocabulary sits far below the cap (3.1k
+    * words at sf10 for 28M running tokens), so the cap is inert there. The ENCODE side is what must scale:
     * the driver encodes the VOCABULARY once and broadcasts the
     * word -> subwords table (KBs), so the distributed pass is a hash
     * lookup per token — no per-row merge replay, no shuffle except
@@ -178,11 +180,23 @@ object CorpusQueries {
     * segmentation, not just counts). Rows-gated; BpeSpec pins the
     * trainer against hand-computed merges, encode-conserves-
     * characters, and the replay/lookup equivalence. */
-  def textBpeEncode(spark: SparkSession, dir: String, numMerges: Int = 200): DataFrame = {
+  def textBpeEncode(
+      spark: SparkSession, dir: String, numMerges: Int = 200,
+      maxTrainVocab: Int = 1 << 16): DataFrame = {
     import spark.implicits._
+    // the collect is BOUNDED by construction, not just by corpus
+    // statistics: take the maxTrainVocab most frequent words
+    // (deterministic (f desc, w asc) tie-break; TakeOrderedAndProject,
+    // so the sort is a distributed partial top-k, not a global sort).
+    // On every gate corpus the full vocabulary is far below the cap
+    // (3.1k words at sf10), so the cap changes nothing there; on a real
+    // 100 TB corpus it is what keeps the driver model bounded while the
+    // frequency tail falls back to merge-rank replay in the encoder.
     val vocab = Tables.widened(Tables.documents(spark, dir))
       .select(explode(wsTokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("f"))
+      .orderBy($"f".desc, $"w")
+      .limit(maxTrainVocab)
       .as[(String, Long)].collect().toSeq
     val merges = graft.text.Bpe.train(vocab, numMerges)
     val table: Map[String, Seq[String]] =

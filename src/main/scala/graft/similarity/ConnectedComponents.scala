@@ -26,11 +26,11 @@ object ConnectedComponents {
     *              (either orientation; both are added internally)
     * @return (id, component) — component = min id reachable within
     *         `maxIter` hops (exact when maxIter >= diameter). The
-    *         returned frame is MATERIALIZED — checkpointed after the
-    *         final iteration (or the persisted seed when the seed
-    *         already converged), so consuming it never re-executes
-    *         the iterative lineage; long-lived sessions may unpersist
-    *         it once consumed. Logs a warning if the iteration cap was hit
+    *         returned frame is MATERIALIZED — every iteration takes an
+    *         eager reliable checkpoint (above the driver union-find
+    *         threshold the loop always runs at least one), so consuming
+    *         it never re-executes the iterative lineage; long-lived
+    *         sessions may unpersist it once consumed. Logs a warning if the iteration cap was hit
     *         before convergence; use [[labelWithStatus]] to branch on
     *         it, or `strict = true` there to fail instead.
     */
