@@ -85,6 +85,16 @@ object Bench {
         // timed run recomputes from the parquet sources (JIT warmth is
         // what repeat is meant to keep; data-cache warmth is not)
         spark.catalog.clearCache()
+        // Shuffle files are only deleted when the ContextCleaner sees
+        // the shuffle dependency get GC'd on the DRIVER — and a 64 GB
+        // driver heap can run a whole suite without a single full GC.
+        // At sf100 that accumulated >30 GB of dead shuffle files across
+        // queries and filled the disk mid-run. An explicit GC between
+        // timed runs (outside the timed region) keeps on-disk shuffle
+        // state bounded by the LIVE query, which is also what a real
+        // cluster sees (executors come and go; spark.cleaner.periodicGC
+        // defaults to 30 min — far longer than this suite's queries).
+        System.gc()
         val t0 = System.nanoTime()
         // noop sink, NOT count(): count() lets ColumnPruning drop
         // every deterministic projection above the scan — a map-only
