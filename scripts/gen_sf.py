@@ -61,7 +61,11 @@ def main():
     # Row order carries no meaning here (the gate sorts rows, the bench
     # scans), so let COPY stream; content is the same multiset.
     con.execute("SET preserve_insertion_order = false")
-    con.execute("SET memory_limit = '48GB'")
+    # DuckDB's default cap is 80% of RAM; raise it only as far as the
+    # MACHINE allows (a fixed '48GB' told a smaller box it had memory
+    # it didn't, turning safe spill-to-disk into an OOM kill)
+    phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    con.execute(f"SET memory_limit = '{min(48 * 1024**3, int(phys * 0.8)) // 1024**2}MB'")
 
     def t(name):
         return f"'{src}/{name}.parquet'"

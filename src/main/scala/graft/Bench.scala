@@ -16,46 +16,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    // Reduce-stage parallelism sized to the DATA, the way a production
-    // job sizes spark.sql.shuffle.partitions to its input: one initial
-    // partition per 64 MB of corpus, floored at the core count (small
-    // corpora get exactly the old fixed-32 behavior — measured: raising
-    // it unconditionally doubled the shuffle-heavy family at sf0.1),
-    // capped at 16x cores. AQE's coalescePartitions then merges down
-    // by size, so the cap only bounds the worst case. At sf100 the
-    // fixed 32 gave reduce tasks GBs of aggregate state
-    // (dedup_minhash_lsh: UNABLE_TO_ACQUIRE_MEMORY at 8 GB heap, and
-    // 2x slower than data-sized shuffles even at 64 GB).
-    val corpusBytes = Option(new java.io.File(sfDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum).getOrElse(0L)
-    val initParts =
-      math.min(cpus.toInt * 16L, math.max(cpus.toInt.toLong, corpusBytes / (64L << 20)))
-    def buildSession(): SparkSession = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initParts.toString)
-      // scan splits via Spark's own adaptive formula — maxSplitBytes =
-      // min(maxPartitionBytes, max(openCost, totalBytes/minPartitionNum))
-      // — instead of a fixed target. The old fixed 2m kept a 12 MB
-      // local file parallel (the 128m default gives it ONE task and
-      // serializes CPU-heavy scan stages onto one core), but carved a
-      // 13 GB sf100 file into ~6500 tasks, each re-reading the multi-MB
-      // parquet footer: superlinear in file size (q1 at sf100: 86 s
-      // fixed -> 7 s adaptive). The 2m openCost floor reproduces the
-      // old small-corpus split size exactly (a 512k floor was tried
-      // and cost ~0.3 s/query of pure task-launch overhead at sf0.1);
-      // 4x-cores minPartitionNum load-balances scans at every scale.
-      .config("spark.sql.files.maxPartitionBytes", "128m")
-      .config("spark.sql.files.openCostInBytes", "2m")
-      .config("spark.sql.files.minPartitionNum", s"${cpus.toInt * 4}")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    var spark = buildSession()
-    spark.sparkContext.setLogLevel("WARN")
+    // session recipe (data-sized reduce parallelism, adaptive scan
+    // splits) shared with Verify — see Harness for the rationale
+    var spark = Harness.buildSession(sfDir, cpus)
 
     // SPARK_GRAFT_ONLY = comma-separated query-name filter (local
     // iteration). SPARK_GRAFT_REPEAT = run each query N times keeping
@@ -76,8 +39,7 @@ object Bench {
         // "fail" on the stopped context and the run would report
         // garbage instead of one bad query + clean rest
         if (spark.sparkContext.isStopped) {
-          spark = buildSession()
-          spark.sparkContext.setLogLevel("WARN")
+          spark = Harness.buildSession(sfDir, cpus)
         }
         // CacheManager matches persisted frames by canonicalized plan,
         // so a repeat of the same query would silently reuse the
@@ -105,10 +67,16 @@ object Bench {
         // the rows — the standard Spark benchmarking sink.
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          // one progress line per timed run: a multi-hour large-sf pass
+          // is otherwise a black box (the sf100 post-mortem had to
+          // guess the failing query from Spark stage numbers)
+          Console.err.println(f"[bench] $name%s $sec%.2f s")
+          sec
         }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          Console.err.println(s"[bench] $name FAILED: ${errors(name)}")
           e.printStackTrace() // full trace to stderr; the JSON keeps the head
           -1.0
         }

@@ -7,32 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // data-sized reduce parallelism (see Bench): one initial partition
-    // per 64 MB of corpus, floored at the core count, capped at 16x —
-    // identical to the old fixed value on small corpora
-    val corpusBytes = Option(new java.io.File(sfDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum).getOrElse(0L)
-    val initParts =
-      math.min(cpus.toInt * 16L, math.max(cpus.toInt.toLong, corpusBytes / (64L << 20)))
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initParts.toString)
-      // scan splits via Spark's own adaptive formula (see Bench for
-      // the full rationale): a fixed tiny target keeps small local
-      // files parallel but turns one 13 GB sf100 file into thousands
-      // of footer-re-reading tasks — superlinear in file size
-      .config("spark.sql.files.maxPartitionBytes", "128m")
-      .config("spark.sql.files.openCostInBytes", "2m")
-      .config("spark.sql.files.minPartitionNum", s"${cpus.toInt * 4}")
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // session recipe (data-sized reduce parallelism, adaptive scan
+    // splits) shared with Bench — see Harness for the rationale
+    val spark = Harness.buildSession(sfDir, cpus)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for local iteration; the driver
     // leaves it unset and gets every query

@@ -67,18 +67,29 @@ class JsonLogger(
     // before the block, sum after — a genuine peak like tracemalloc's,
     // not the post-GC used-heap (a block that transiently allocates
     // gigabytes and returns small would otherwise log a tiny "peak").
-    // The counters are JVM-global, so concurrent timed() blocks see a
-    // shared peak — fine for the intended driver-side orchestration.
+    // APPROXIMATE by construction: the counters are JVM-global, so
+    // concurrent timed() blocks see a shared peak, and summing
+    // per-pool peaks taken at different instants can overstate the
+    // true instantaneous heap (an Eden peak before a collection plus
+    // an Old-gen peak after promotion counts some bytes twice) —
+    // errs toward over-reporting, the safe direction for a
+    // find-the-hungry-block metric. NESTED blocks reset only at the
+    // outermost level (thread-local depth): an inner reset would wipe
+    // the outer block's high-water and silently under-report it.
     val heapPools =
       if (memory)
         scala.jdk.CollectionConverters.ListHasAsScala(
           java.lang.management.ManagementFactory.getMemoryPoolMXBeans).asScala
           .filter(_.getType == java.lang.management.MemoryType.HEAP)
       else Nil
-    heapPools.foreach(_.resetPeakUsage())
+    val depth = JsonLogger.timedDepth.get()
+    JsonLogger.timedDepth.set(depth + 1)
+    if (depth == 0) heapPools.foreach(_.resetPeakUsage())
     val memBefore = if (memory) rt.totalMemory() - rt.freeMemory() else 0L
     val t0 = System.nanoTime()
-    val result = body
+    val result =
+      try body
+      finally JsonLogger.timedDepth.set(depth)
     val elapsed = (System.nanoTime() - t0) / 1e9
     val fields = Seq.newBuilder[(String, Any)]
     fields += ("function" -> function)
@@ -105,6 +116,11 @@ object JsonLogger {
     * function value would collide with collection types (Map/Seq/Set
     * and PartialFunction all extend Function1), so it is never invoked. */
   final case class Derived(f: Any => Any)
+
+  /** Nesting depth of [[JsonLogger.timed]] on this thread — the peak
+    * counters reset only at depth 0 (see the comment at the reset). */
+  private[logging] val timedDepth: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => 0)
 
   private val TsFormat = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 

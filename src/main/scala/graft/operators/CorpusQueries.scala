@@ -150,18 +150,20 @@ object CorpusQueries {
     val docGrams = bigramInstances(Tables.widened(Tables.documents(spark, dir)))
       .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c2 = docGrams.groupBy($"g").agg(sum($"cnt").as("c2"))
-    val c1 = c2.groupBy(substring_index($"g", " ", 1).as("w1"))
-      .agg(sum($"c2").as("c1"))
-    val model = c2.withColumn("w1", substring_index($"g", " ", 1))
-      .join(c1, "w1")
-      .select($"g", floor(lit(10000L) * $"c2" / $"c1").cast("long").as("bp"))
-    docGrams.join(model, "g")
+    val model =
+      lmBigramModelFromCounts(docGrams.groupBy($"g").agg(sum($"cnt").as("c2")))
+    val scored = docGrams.join(model, "g")
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_bigrams"), sum($"cnt" * $"bp").as("sum_bp"))
       .select($"doc_id", $"n_bigrams", $"sum_bp",
         floor($"sum_bp" / $"n_bigrams").cast("long").as("avg_bp"))
-      .orderBy($"doc_id")
+      // materialized + persisted so docGrams can be released eagerly
+      // (the dedup-family discipline; the returned frame is PERSISTED —
+      // long-lived sessions unpersist it once consumed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    docGrams.unpersist()
+    scored.orderBy($"doc_id")
   }
 
   /** BPE tokenizer train + encode — the subword-vocabulary step a
@@ -242,7 +244,17 @@ object CorpusQueries {
   def lmBigramModel(grams: DataFrame): DataFrame = {
     val spark = grams.sparkSession
     import spark.implicits._
-    val c2 = grams.groupBy($"g").agg(count(lit(1)).as("c2"))
+    lmBigramModelFromCounts(grams.groupBy($"g").agg(count(lit(1)).as("c2")))
+  }
+
+  /** The model formula over a pre-counted (g, c2) gram-frequency frame —
+    * the ONE definition of bp both [[textLmScore]] (which already holds
+    * counts at (doc, g) granularity) and [[lmBigramModel]] (instance
+    * granularity, the streaming twin's entry point) reduce to, so the
+    * batch and streaming models cannot drift. */
+  private[graft] def lmBigramModelFromCounts(c2: DataFrame): DataFrame = {
+    val spark = c2.sparkSession
+    import spark.implicits._
     // w1 recovered from the gram key: tokens contain no spaces, so
     // everything before the first space IS the left context (identical
     // derivation stated in the oracle via split_part)

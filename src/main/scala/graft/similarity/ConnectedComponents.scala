@@ -99,28 +99,55 @@ object ConnectedComponents {
     // but still deepens the RDD DAG ~10 nodes per round until task
     // deserialization overflows the stack on deep graphs. A reliable
     // checkpoint per round — the GraphX/GraphFrames approach — cuts
-    // both: O(1) plan and DAG at any iteration count. Clusters should
-    // setCheckpointDir on durable shared storage; when unset (local
-    // runs) a session-temp dir is created here.
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
+    // both: O(1) plan and DAG at any iteration count. Clusters MUST
+    // setCheckpointDir on durable shared storage (executors on other
+    // nodes cannot read a driver-local path — fail fast rather than
+    // file-not-found deep in the loop); local sessions fall back to a
+    // session-temp dir.
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      require(sc.isLocal,
+        "connected components takes a reliable checkpoint per iteration: call " +
+          "SparkContext.setCheckpointDir on durable SHARED storage before labeling " +
+          "on a cluster (a driver-local fallback dir would be unreadable from executors)")
+      sc.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString)
+    }
+    def deleteCheckpoint(file: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
     var seedPersist: Option[DataFrame] = Some(labels)
+    // the previous round's checkpoint files: dead once `labels` is
+    // reassigned, and the ContextCleaner does NOT collect checkpoints
+    // (spark.cleaner.referenceTracking.cleanCheckpoints defaults to
+    // false) — without eager deletion a long loop strands one full
+    // labels snapshot per round for the session lifetime
+    var prevCheckpoint: Option[String] = None
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
-      // candidate labels flowing along edges, then keep the min per id
-      val next = adj
+      // candidate labels flowing along edges, then keep the min per id.
+      // Persist BEFORE the eager checkpoint: the checkpoint runs one
+      // job to compute the round and a SECOND job to write the files
+      // (the documented RDD.checkpoint recompute caveat) — cached, the
+      // write pass re-reads blocks instead of re-running the
+      // join+union+aggregation stage.
+      val cached = adj
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select($"src".as("id"), $"component")
         .union(labels)
         .groupBy($"id")
         .agg(min($"component").as("component"))
-        .checkpoint() // eager: materializes this round and cuts lineage
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = cached.checkpoint() // eager: materializes this round and cuts lineage
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter($"component" =!= $"old").limit(1).count()
+      cached.unpersist() // checkpoint files back `next` from here on
       seedPersist.foreach(_.unpersist())
       seedPersist = None
+      prevCheckpoint.foreach(deleteCheckpoint)
+      prevCheckpoint = checkpointFileOf(next.queryExecution.toRdd)
       labels = next
       converged = changed == 0
       i += 1
@@ -130,11 +157,24 @@ object ConnectedComponents {
     if (!converged) {
       val msg = s"connected components did not converge within $maxIter iterations; " +
         "labels are partially propagated (some high-diameter component is still split)"
-      if (strict) { labels.unpersist(); throw new IllegalStateException(msg) }
+      if (strict) {
+        labels.unpersist()
+        prevCheckpoint.foreach(deleteCheckpoint) // result discarded — free its files too
+        throw new IllegalStateException(msg)
+      }
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
+    // the FINAL round's checkpoint stays: it is the storage backing the
+    // returned frame (freed with the session temp dir / by the caller's
+    // storage lifecycle)
     Result(labels, converged, i)
   }
+
+  /** The checkpoint file backing an RDD, if any — walks dependencies to
+    * the ReliableCheckpointRDD a checkpointed Dataset wraps. */
+  private def checkpointFileOf(rdd: org.apache.spark.rdd.RDD[_]): Option[String] =
+    rdd.getCheckpointFile.orElse(
+      rdd.dependencies.iterator.flatMap(d => checkpointFileOf(d.rdd)).nextOption())
 
   /** Exact union-find over a collected edge list: component = minimum
     * reachable id (path compression + union by min keeps the invariant

@@ -57,6 +57,32 @@ class GraphSpec extends SparkSpec {
     assert(got == (0L to 30L).map(_ -> 0L).toMap)
   }
 
+  test("per-round checkpoints are deleted — only the final round's files survive") {
+    // a diameter-30 chain runs ~16 doubling rounds; each takes a
+    // reliable checkpoint, and every round but the LAST must delete
+    // its predecessor's files (the ContextCleaner never collects
+    // checkpoints, so leaks here stranded one labels snapshot per
+    // round per call for the session lifetime). This also catches the
+    // file-discovery walk silently failing: then nothing is deleted
+    // and the count grows by `iterations`, not 1.
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    def rddDirs(): Set[String] = {
+      // getCheckpointDir is fs-qualified ("file:/tmp/...") — strip the
+      // scheme for the local listing
+      val dir = spark.sparkContext.getCheckpointDir
+        .map(s => new java.io.File(new java.net.URI(s).getPath))
+      dir.flatMap(d => Option(d.list())).map(_.filter(_.startsWith("rdd-")).toSet)
+        .getOrElse(Set.empty)
+    }
+    val before = rddDirs()
+    val r = ConnectedComponents.labelWithStatus(chain, maxIter = 64, driverThreshold = -1L)
+    assert(r.iterations >= 10)
+    val after = rddDirs()
+    r.labels.unpersist()
+    assert((after -- before).size == 1,
+      s"expected exactly the final round's checkpoint to survive, got ${(after -- before).size}")
+  }
+
   test("hitting the iteration cap surfaces converged=false (and strict throws)") {
     // path graph 0-1-2-...-19: diameter 19, far beyond maxIter = 2
     val path = (0L until 19L).map(i => (i, i + 1)).toDF("src", "dst")
