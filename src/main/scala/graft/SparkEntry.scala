@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, GraphQueries, HeavyHitterQueries, IoQueries, IvfQueries, MaintenanceQueries, MultimodalQueries, PipelineQueries, PqQueries, SampleQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, ClusterQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, GraphQueries, HeavyHitterQueries, IoQueries, IvfQueries, MaintenanceQueries, MultimodalQueries, PipelineQueries, PqQueries, SampleQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -106,6 +106,12 @@ object SparkEntry {
     "q_sample_weighted"        -> (SampleQueries.qSampleWeighted _),
     "text_vocab_sketch"        -> ((s: SparkSession, d: String) =>
       PipelineQueries.textVocabSketch(s, d)),
+    "graph_pagerank"           -> (GraphQueries.graphPagerank _),
+    "io_snapshot_diff"         -> (MaintenanceQueries.ioSnapshotDiff _),
+    "filter_length_outliers"   -> (CurationQueries.filterLengthOutliers _),
+    // rows-only gate: k-means training isn't SQL-expressible;
+    // ClusterSpec pins assignment, partition, and determinism
+    "doc_cluster_kmeans"       -> (ClusterQueries.docClusterKmeans _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -1319,5 +1325,69 @@ object SparkEntry {
         |  SELECT reach.id, und.dst FROM reach JOIN und ON reach.r = und.src)
         |SELECT id, CAST(min(r) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // fixed-iteration PageRank in pure integer arithmetic (micro-unit
+    // ranks, integral division) — 5 unrolled rounds; `//` is DuckDB's
+    // integral division, matching Spark's `div` on these non-negative
+    // operands
+    "graph_pagerank" -> {
+      val round = (i: Int) =>
+        s"""r$i AS (SELECT e.dst AS id,
+           |  CAST(150000 + (85 * sum(r${i - 1}.r // e.outdeg)) // 100 AS BIGINT) AS r
+           |  FROM e JOIN r${i - 1} ON r${i - 1}.id = e.src GROUP BY e.dst)"""
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src AS id, count(*) AS outdeg FROM und GROUP BY src),
+         |e AS (SELECT und.src, und.dst, deg.outdeg FROM und JOIN deg ON deg.id = und.src),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT id, r AS rank_u FROM r5 ORDER BY r DESC, id LIMIT 100""".stripMargin
+    },
+
+    "io_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS dig FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 5 THEN text || ' v2' ELSE text END) AS dig
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 100000000 AS doc_id, md5(text) AS dig
+        |  FROM documents WHERE doc_id % 17 = 7)
+        |SELECT * FROM (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.dig <> b.dig THEN 'changed' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id) d
+        |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // exact per-language order-statistic band from the value histogram
+    // (same derivation as the Spark plan: lo = value at multiset
+    // position k+1, hi = value at position n-k, k = n div 100)
+    "filter_length_outliers" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY lang, n_chars),
+        |cum AS (
+        |  SELECT lang, n_chars, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT lang,
+        |    min(CASE WHEN cum >= (n // 100) + 1 THEN n_chars END) AS lo_chars,
+        |    min(CASE WHEN cum >= n - (n // 100) THEN n_chars END) AS hi_chars,
+        |    CAST(min(n) AS BIGINT) AS n_total
+        |  FROM cum GROUP BY lang)
+        |SELECT d.lang, c.lo_chars, c.hi_chars, c.n_total,
+        |  CAST(sum(CASE WHEN d.n_chars BETWEEN c.lo_chars AND c.hi_chars
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN d.n_chars BETWEEN c.lo_chars AND c.hi_chars
+        |       THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM documents d JOIN cuts c USING (lang)
+        |GROUP BY d.lang, c.lo_chars, c.hi_chars, c.n_total
+        |ORDER BY d.lang""".stripMargin,
   )
 }

@@ -198,4 +198,53 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), countDistinct($"rep").as("n_clusters"))
       .orderBy($"lang", $"split")
   }
+
+  /** Per-language length-outlier trimming — the "drop the truncated
+    * fragments and the concatenation blobs" pass every curation
+    * pipeline runs, with the band computed PER LANGUAGE (a 50-char
+    * Chinese document is normal; a 50-char German one is a fragment).
+    *
+    * Exact order-statistic contract (so the gate hashes): with n docs
+    * in a language and k = n div 100, the band is [lo, hi] where lo =
+    * the (k+1)-th smallest n_chars and hi = the (n−k)-th smallest —
+    * i.e. the 1st/99th percentile VALUES of the sorted multiset. Docs
+    * with n_chars outside [lo, hi] are dropped; ties AT the cut values
+    * always survive (a value-based, not row-based, trim — deterministic
+    * under any row order). Output is the per-language report:
+    * band, totals, kept counts, kept char mass.
+    *
+    * Plan at 100 TB — NO global sort, NO per-language row_number: a
+    * window ranking docs inside each language would sort the corpus
+    * with one task per language (few languages = few tasks = the skew
+    * anti-pattern). Instead the cuts come from the per-(lang, n_chars)
+    * VALUE HISTOGRAM — cardinality = distinct lengths per language,
+    * thousands of rows regardless of corpus size — via a running sum
+    * over that tiny frame; the corpus itself is touched by exactly two
+    * map-side passes (histogram build, band filter) with partial-agg
+    * shuffles of counter rows only. */
+  def filterLengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"lang", $"n_chars")
+    // tiny frame: (lang, n_chars, cnt) — distinct lengths per language
+    val hist = docs.groupBy($"lang", $"n_chars").agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(org.apache.spark.sql.expressions.Window.partitionBy($"lang")))
+      .withColumn("k", expr("n div 100"))
+    // lo = smallest value whose cumulative count reaches k+1;
+    // hi = smallest value whose cumulative count reaches n-k
+    val cuts = cum.groupBy($"lang")
+      .agg(min(when($"cum" >= $"k" + 1, $"n_chars")).as("lo_chars"),
+        min(when($"cum" >= $"n" - $"k", $"n_chars")).as("hi_chars"),
+        min($"n").as("n_total")) // constant per lang; min is order-insensitive
+    docs.join(broadcast(cuts), "lang")
+      .groupBy($"lang", $"lo_chars", $"hi_chars", $"n_total")
+      .agg(
+        sum(when($"n_chars".between($"lo_chars", $"hi_chars"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"n_chars".between($"lo_chars", $"hi_chars"), $"n_chars").otherwise(0L)).as("kept_chars"))
+      .orderBy($"lang")
+  }
 }

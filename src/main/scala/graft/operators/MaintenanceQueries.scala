@@ -141,4 +141,42 @@ object MaintenanceQueries {
         sum($"sum_price_cents").as("sum_price_cents"))
       .orderBy($"l_returnflag")
   }
+
+  /** Crawl-snapshot diff: which documents were added, removed, or
+    * changed between two corpus snapshots — the planning step of every
+    * incremental pipeline (recrawl ingestion, incremental dedup,
+    * freshness tracking): downstream stages re-process only the diff,
+    * never the unchanged bulk.
+    *
+    * Snapshot B is derived deterministically from the documents table
+    * (so both engines construct the identical pair): doc_id % 17 == 3
+    * vanishes (removed), % 17 == 5 gets ' v2' appended (changed),
+    * % 17 == 7 additionally re-appears under doc_id + 10⁸ (added).
+    *
+    * Plan at 100 TB: both sides reduce to (doc_id, md5(text)) AT THE
+    * SCAN — the diff join shuffles 32-byte digests co-partitioned on
+    * doc_id, never document payloads (the dedup_exact discipline), and
+    * a full outer join classifies each key in one pass. Output is only
+    * the non-identical keys (the diff is small by nature; emitting
+    * "unchanged" rows would make the output linear in the corpus). */
+  def ioSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text").as("dig"))
+    val docs = Tables.documents(spark, dir)
+    val b = docs.filter($"doc_id" % 17 =!= 3)
+      .select($"doc_id",
+        when($"doc_id" % 17 === 5, concat($"text", lit(" v2"))).otherwise($"text").as("text"))
+      .union(docs.filter($"doc_id" % 17 === 7)
+        .select(($"doc_id" + 100000000L).as("doc_id"), $"text"))
+      .select($"doc_id", md5($"text").as("dig"))
+
+    a.as("a").join(b.as("b"), $"a.doc_id" === $"b.doc_id", "full_outer")
+      .select(coalesce($"a.doc_id", $"b.doc_id").as("doc_id"),
+        when($"a.doc_id".isNull, lit("added"))
+          .when($"b.doc_id".isNull, lit("removed"))
+          .when($"a.dig" =!= $"b.dig", lit("changed")).as("status"))
+      .filter($"status".isNotNull)
+      .orderBy($"doc_id")
+  }
 }

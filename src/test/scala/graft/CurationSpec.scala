@@ -125,4 +125,22 @@ class CurationSpec extends SparkSpec {
     assert(read.filter($"source".isNull).count() ===
       docs.filter($"doc_id" % 2 === 0).count())
   }
+
+  test("length-outlier bands match a brute-force per-language trim") {
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"n_chars").as[(String, Long)].collect()
+    val expected = docs.groupBy(_._1).map { case (lang, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      val k = n / 100
+      val lo = sorted(k)          // (k+1)-th smallest
+      val hi = sorted(n - k - 1)  // (n-k)-th smallest
+      val kept = sorted.filter(v => v >= lo && v <= hi)
+      lang -> ((lo, hi, n.toLong, kept.length.toLong, kept.sum))
+    }
+    val got = operators.CurationQueries.filterLengthOutliers(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == expected)
+  }
 }

@@ -108,4 +108,28 @@ class GraphSpec extends SparkSpec {
       assert(x == comp, s"vertex $id should reduce to its odd root $comp")
     }
   }
+
+  test("graph_pagerank agrees with a driver-side integer PageRank replay") {
+    // recompute the exact-integer iteration in plain Scala over the
+    // same edge derivation, then compare the distributed top-N
+    val e0 = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sf).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct().as[(Long, Long)].collect()
+    val und = e0 ++ e0.map { case (s, d) => (d, s) }
+    val deg = und.groupBy(_._1).map { case (v, xs) => v -> xs.length.toLong }
+    var r: Map[Long, Long] = deg.map { case (v, _) => v -> 1000000L }.toMap
+    (1 to operators.GraphQueries.PagerankIters).foreach { _ =>
+      val in = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = in.map { case (v, s) => v -> (150000L + 85L * s / 100L) }.toMap
+    }
+    val expectedTop = r.toSeq.sortBy { case (id, rk) => (-rk, id) }
+      .take(operators.GraphQueries.PagerankTopN)
+    val got = operators.GraphQueries.graphPagerank(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expectedTop)
+  }
 }

@@ -124,4 +124,17 @@ class MaintenanceSpec extends SparkSpec {
       assert(d.exists(_ <= 2), s"planted twin of doc $id must be found (dist <= 2)")
     }
   }
+
+  test("snapshot diff classifies exactly the mutated doc_ids") {
+    val got = operators.MaintenanceQueries.ioSnapshotDiff(spark, sf)
+      .as[(Long, String)].collect().toMap
+    val ids = Tables.documents(spark, sf).select($"doc_id").as[Long].collect()
+    val expected =
+      ids.filter(_ % 17 == 3).map(_ -> "removed") ++
+      ids.filter(_ % 17 == 5).map(_ -> "changed") ++
+      ids.filter(_ % 17 == 7).map(id => (id + 100000000L) -> "added")
+    assert(got == expected.toMap)
+    // unchanged docs never appear
+    assert(!got.keySet.exists(id => id < 100000000L && id % 17 != 3 && id % 17 != 5))
+  }
 }
