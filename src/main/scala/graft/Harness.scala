@@ -40,8 +40,13 @@ object Harness {
     *  - events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos
     *    long via nanosAsLong. */
   def buildSession(sfDir: String, cpus: String): SparkSession = {
+    // SPARK_GRAFT_MASTER lets spark-submit run the SAME mains under a
+    // real multi-executor master (local-cluster[n,c,m]) for
+    // serialization/shuffle validation; absent, the driver contract's
+    // local[cpus] applies. `cpus` keeps sizing the shuffle math either
+    // way (local-cluster runs pass total cores there).
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
