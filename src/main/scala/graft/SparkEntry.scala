@@ -1353,7 +1353,7 @@ object SparkEntry {
         |    md5(CASE WHEN doc_id % 17 = 5 THEN text || ' v2' ELSE text END) AS dig
         |  FROM documents WHERE doc_id % 17 <> 3
         |  UNION ALL
-        |  SELECT doc_id + 100000000 AS doc_id, md5(text) AS dig
+        |  SELECT -doc_id - 1 AS doc_id, md5(text) AS dig
         |  FROM documents WHERE doc_id % 17 = 7)
         |SELECT * FROM (
         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,

@@ -48,26 +48,24 @@ object ClusterQueries {
     val bc = spark.sparkContext.broadcast(centroids)
 
     val assign = udf { (e: Seq[Float]) =>
-      val arr = e.toArray
-      var best = 0; var bestD = Double.MaxValue; var j = 0
-      while (j < K) {
-        val c = bc.value(j)
-        var d = 0.0; var i = 0
-        while (i < arr.length) { val t = arr(i) - c(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = j }
-        j += 1
-      }
+      val (best, bestD) = LocalKMeans.assignWithD2(bc.value, e.toArray)
       // (cluster, squared distance in exact integer micro-units)
       (best, math.floor(bestD * 1e6).toLong)
     }
 
-    emb.select($"vec_id", assign($"embedding").as("a"))
+    val out = emb.select($"vec_id", assign($"embedding").as("a"))
       .select($"vec_id", $"a._1".as("cluster_id"), $"a._2".as("d2_e6"))
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_vecs"),
         sum($"d2_e6").as("inertia_e6"),
         min($"vec_id").as("min_vec"),
         max($"vec_id").as("max_vec"))
+      .orderBy($"cluster_id")
+    // the report is <= K rows: land it on the driver so the centroid
+    // broadcast can be released instead of riding the returned plan
+    val rows = out.collect()
+    bc.destroy()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       .orderBy($"cluster_id")
   }
 }

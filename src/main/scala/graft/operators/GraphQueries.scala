@@ -126,9 +126,12 @@ object GraphQueries {
     // round's inner join preserves the full vertex set
     val out = ranks.orderBy($"r".desc, $"id").limit(PagerankTopN)
       .select($"id", $"r".as("rank_u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the bounded top-N, then free the edges
+    // the result is a bounded top-N: land it on the driver so the edge
+    // cache can be released here instead of leaking a persisted frame
+    // to the caller (the returned plan must not depend on the cache)
+    val rows = out.collect()
     edges.unpersist()
-    out
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      .orderBy($"rank_u".desc, $"id")
   }
 }

@@ -151,7 +151,10 @@ object MaintenanceQueries {
     * Snapshot B is derived deterministically from the documents table
     * (so both engines construct the identical pair): doc_id % 17 == 3
     * vanishes (removed), % 17 == 5 gets ' v2' appended (changed),
-    * % 17 == 7 additionally re-appears under doc_id + 10⁸ (added).
+    * % 17 == 7 additionally re-appears under -doc_id - 1 (added) —
+    * negated ids are disjoint from the non-negative real id space at
+    * ANY corpus size (an additive offset would collide once the corpus
+    * outgrew it, silently fanning out the join).
     *
     * Plan at 100 TB: both sides reduce to (doc_id, md5(text)) AT THE
     * SCAN — the diff join shuffles 32-byte digests co-partitioned on
@@ -168,7 +171,7 @@ object MaintenanceQueries {
       .select($"doc_id",
         when($"doc_id" % 17 === 5, concat($"text", lit(" v2"))).otherwise($"text").as("text"))
       .union(docs.filter($"doc_id" % 17 === 7)
-        .select(($"doc_id" + 100000000L).as("doc_id"), $"text"))
+        .select((-$"doc_id" - 1).cast("long").as("doc_id"), $"text"))
       .select($"doc_id", md5($"text").as("dig"))
 
     a.as("a").join(b.as("b"), $"a.doc_id" === $"b.doc_id", "full_outer")

@@ -96,7 +96,14 @@ object LocalKMeans {
   }
 
   /** Index of the nearest centroid to `p` (ties → lowest index). */
-  def assign(centroids: Array[Array[Float]], p: Array[Float]): Int = {
+  def assign(centroids: Array[Array[Float]], p: Array[Float]): Int =
+    assignWithD2(centroids, p)._1
+
+  /** Nearest centroid index AND its squared euclidean distance — the
+    * one argmin kernel shared by the distributed encoders (IVF/PQ/
+    * cluster assignment UDFs) and the spec replays, so the distance/
+    * tie-break contract lives in exactly one place. */
+  def assignWithD2(centroids: Array[Array[Float]], p: Array[Float]): (Int, Double) = {
     val dim = p.length
     var best = 0; var bestD = Double.MaxValue; var j = 0
     while (j < centroids.length) {
@@ -105,6 +112,6 @@ object LocalKMeans {
       if (d < bestD) { bestD = d; best = j }
       j += 1
     }
-    best
+    (best, bestD)
   }
 }

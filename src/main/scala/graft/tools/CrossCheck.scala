@@ -31,12 +31,19 @@ object CrossCheck {
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
         .filter(_.isDirectory).map(_.getName).toSet
 
-    val names = queryDirs(dirA)
-    val missing = names.diff(queryDirs(dirB)) ++ queryDirs(dirB).diff(names)
+    val dirsA = queryDirs(dirA)
+    val dirsB = queryDirs(dirB)
+    // reconcile against the FULL query inventory, not just what the
+    // trees contain — a query that crashed under BOTH masters (or a
+    // subset-filtered pair of Verify runs) must fail the cross-check,
+    // not silently fall outside it
+    val expected = graft.SparkEntry.queries.keySet
+    val absent = expected.diff(dirsA).union(expected.diff(dirsB))
+    val missing = dirsA.diff(dirsB) ++ dirsB.diff(dirsA) ++ absent
     var bad = missing.size
-    missing.toSeq.sorted.foreach(n => println(s"MISSING $n (present on one side only)"))
+    missing.toSeq.sorted.foreach(n => println(s"MISSING $n (absent from at least one tree)"))
 
-    names.intersect(queryDirs(dirB)).toSeq.sorted.foreach { n =>
+    dirsA.intersect(dirsB).toSeq.sorted.foreach { n =>
       val a = spark.read.parquet(s"$dirA/$n")
       val b = spark.read.parquet(s"$dirB/$n")
       val schemaA = a.schema.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
@@ -45,17 +52,20 @@ object CrossCheck {
         bad += 1
         println(s"SCHEMA-DIFF $n: $schemaA vs $schemaB")
       } else {
-        // align column order before exceptAll (it is positional)
-        val cols = schemaA.map(_._1).map(a.col)
-        val aa = a.select(cols: _*)
-        val bb = b.select(schemaA.map(_._1).map(b.col): _*)
+        // align column order before exceptAll (it is positional);
+        // cache both sides — each feeds two exceptAll jobs
+        val cols = schemaA.map(_._1)
+        val aa = a.select(cols.map(a.col): _*).cache()
+        val bb = b.select(cols.map(b.col): _*).cache()
+        val nA = aa.count(); val nB = bb.count() // also materializes the caches
         val onlyA = aa.exceptAll(bb).count()
         val onlyB = bb.exceptAll(aa).count()
-        if (onlyA == 0 && onlyB == 0) println(s"OK $n (${aa.count()} rows)")
-        else { bad += 1; println(s"ROW-DIFF $n: $onlyA rows only in A, $onlyB only in B") }
+        if (onlyA == 0 && onlyB == 0 && nA == nB) println(s"OK $n ($nA rows)")
+        else { bad += 1; println(s"ROW-DIFF $n: $onlyA rows only in A, $onlyB only in B (rows $nA vs $nB)") }
+        aa.unpersist(); bb.unpersist()
       }
     }
     spark.stop()
-    if (bad > 0) sys.exit(bad)
+    if (bad > 0) sys.exit(math.min(bad, 255))
   }
 }

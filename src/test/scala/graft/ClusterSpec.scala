@@ -26,7 +26,10 @@ class ClusterSpec extends SparkSpec {
 
   test("assignment agrees with a driver-side argmin over the same model") {
     // retrain the identical deterministic model and recompute the
-    // report entirely in the driver
+    // report entirely in the driver. The argmin here is INTENTIONALLY
+    // written out rather than calling LocalKMeans.assignWithD2 (which
+    // the production UDF delegates to) — an independent replay of the
+    // ties-to-lowest-index contract, not a test of the call plumbing.
     val sample = LocalKMeans.sample(
       Tables.embeddings(spark, sf), "vec_id", "embedding", ClusterQueries.TrainSample)
     val cents = LocalKMeans.train(

@@ -132,9 +132,9 @@ class MaintenanceSpec extends SparkSpec {
     val expected =
       ids.filter(_ % 17 == 3).map(_ -> "removed") ++
       ids.filter(_ % 17 == 5).map(_ -> "changed") ++
-      ids.filter(_ % 17 == 7).map(id => (id + 100000000L) -> "added")
+      ids.filter(_ % 17 == 7).map(id => (-id - 1L) -> "added")
     assert(got == expected.toMap)
     // unchanged docs never appear
-    assert(!got.keySet.exists(id => id < 100000000L && id % 17 != 3 && id % 17 != 5))
+    assert(!got.keySet.exists(id => id >= 0 && id % 17 != 3 && id % 17 != 5))
   }
 }
