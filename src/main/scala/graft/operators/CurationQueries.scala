@@ -178,11 +178,22 @@ object CurationQueries {
     import spark.implicits._
     val docs = Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id", $"lang", $"text")
-    val corpus = docs.union(
-      docs.select(($"doc_id" + 1000000L).as("doc_id"), $"lang", $"text"))
-
-    val digests = corpus.select($"doc_id", $"lang",
-      TextFunctions.normalizedDigest($"text").as("dg"))
+    // The planted twin (same text under doc_id + 1e6) fans out via a
+    // map-side explode AFTER the digest projection, so normalize + sha
+    // run once per source doc (the digest sits below the Generate; an
+    // explode in the same select would re-evaluate it per fanned row).
+    // The earlier self-union form evaluated the whole scan + digest
+    // subtree once per union branch per consumer — with the join's two
+    // consumers (probe side + rep aggregate) that was FOUR corpus
+    // digest passes for identical output; sf100 measured it at 328 s
+    // vs 4.35 s at sf10. The digest frame is slim (id, lang, 32-byte
+    // digest — no text), so persisting it caps the heavy work at one
+    // pass regardless of consumer count.
+    val digests = docs
+      .withColumn("dg", TextFunctions.normalizedDigest($"text"))
+      .select(explode(array($"doc_id", $"doc_id" + 1000000L)).as("doc_id"),
+        $"lang", $"dg")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = digests.groupBy($"dg").agg(min($"doc_id").as("rep"))
 
     digests.join(reps, "dg")
