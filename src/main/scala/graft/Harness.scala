@@ -45,7 +45,19 @@ object Harness {
     // serialization/shuffle validation; absent, the driver contract's
     // local[cpus] applies. `cpus` keeps sizing the shuffle math either
     // way (local-cluster runs pass total cores there).
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EXTRA_CONF = semicolon-separated k=v pairs applied
+    // LAST (they win over the recipe below) — the local stand-in for
+    // spark-submit --conf: lets a profiling run turn on the event log
+    // or an experiment try a different shuffle codec without editing
+    // the shared recipe both mains must otherwise agree on.
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_EXTRA_CONF entry is not k=v: '$kv'")
+        (kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    val spark = extra.foldLeft(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,6 +69,7 @@ object Harness {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    ) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -112,36 +112,90 @@ object DedupQueries {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // persisted: the exploded-shingle pipeline feeds the document-
-    // frequency aggregate, the prefix ranking join, and the verify
-    // arrays — three executions without the cache (same reasoning as
-    // the signature persists in the other dedup paths). Released after
-    // the verified pairs are materialized.
+    // frequency aggregate and the per-doc array aggregate — two
+    // executions without the cache (same reasoning as the signature
+    // persists in the other dedup paths). Released once the verified
+    // pairs are materialized.
     val ex = explodedShingles(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = ex.groupBy($"gram").agg(count(lit(1)).as("df"))
+    // df >= 2 only: a gram absent from this table has df = 1 EXACTLY,
+    // restored via coalesce below — the (df, gram) total order (and so
+    // the candidate set) is bit-identical to joining the full table,
+    // but the join side drops the df-1 long tail (most of the
+    // vocabulary at any scale).
+    val freq2 = ex.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2)
 
-    // rank each doc's shingles by (df, gram); keep the rare prefix
-    val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"gram")
-    val pre = ex.join(freq, "gram")
-      .withColumn("rn", row_number().over(byRarity))
-      .filter($"rn" <= $"s" - ceil($"s" * Tau) + 1)
-      .select($"doc_id", $"s", $"gram")
+    // ONE doc-keyed aggregate builds both verify arrays and prefixes —
+    // per doc: the sorted hashed-shingle array `g` (exact-jaccard
+    // verify input) and the rarest-prefix gram list (the first
+    // s - ceil(tau*s) + 1 grams under the global (df, gram) order,
+    // sorted per doc after collection). The earlier formulation
+    // computed prefixes with a corpus-wide row_number window — a
+    // second full shuffle AND sort of every (doc, gram) row that this
+    // aggregate's per-doc array sort replaces; at sf100 that exchange
+    // (with the separate verify-array shuffle it duplicated) was a
+    // double-digit-GB contributor to the run that filled the disk.
+    val arrays = ex.join(freq2, Seq("gram"), "left")
+      .select($"doc_id", $"s",
+        struct(coalesce($"df", lit(1L)).as("df"), $"gram").as("kg"))
+      .groupBy($"doc_id")
+      .agg(first($"s").as("s"), collect_list($"kg").as("kgs"))
+      .select($"doc_id", $"s",
+        sort_array(transform($"kgs", x => x("gram"))).as("g"),
+        expr(s"transform(slice(array_sort(kgs), 1, int(s - ceil(s * $Tau) + 1)), x -> x.gram)")
+          .as("prefix"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = pre.as("a").join(pre.as("b"),
+    // Prefix rows carry their 1-based POSITION, which — because the
+    // prefix is the head of the doc's (df, gram)-sorted gram sequence —
+    // is the gram's rank in that global order within the doc.
+    val preAB = arrays.select($"doc_id", $"s", posexplode($"prefix").as(Seq("p0", "gram")))
+      .select($"doc_id", $"s", ($"p0" + 1).as("p"), $"gram")
+    // PPJoin positional filter (Xiao '08), the candidate-volume lever
+    // that keeps the verify phase from dominating at scale: J >= tau
+    // requires overlap O >= ceil(tau/(1+tau) * (sa+sb)). For the pair's
+    // FIRST shared gram under the global order, every other common gram
+    // ranks after it in BOTH docs, so O <= 1 + min(sa-pa, sb-pb); and
+    // since ranks are monotone in the same global order, that first
+    // shared gram attains min(pa) and min(pb) simultaneously — the
+    // per-pair aggregate below (which also replaces the distinct())
+    // recovers its positions exactly. The bound is integer arithmetic
+    // throughout (tau/(1+tau) = 7/17), so pruning is provably sound —
+    // the verified pair set is bit-identical, only non-viable
+    // candidates die before their arrays are ever fetched. At sf100
+    // the verify join's exchange carries (pair, 52-gram array) rows:
+    // candidates are the multiplier on that volume, and the unpruned
+    // candidate set (~400x the true pairs on this corpus) is what
+    // filled the disk.
+    val candidates = preAB.as("a").join(preAB.as("b"),
         $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id" &&
           $"b.s" >= ceil($"a.s" * Tau) && $"a.s" >= ceil($"b.s" * Tau))
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-      .distinct()
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        $"a.s".as("sa"), $"b.s".as("sb"))
+      .agg(min($"a.p").as("pa"), min($"b.p").as("pb"),
+        max($"a.p").as("qa"), max($"b.p").as("qb"), count(lit(1)).as("c"))
+      // second bound, same reasoning anchored on the LAST shared prefix
+      // gram (which attains max(pa) and max(pb)): common grams ordering
+      // before it in both docs are themselves shared prefix grams —
+      // there are exactly c of those — so O <= c + min(sa-qa, sb-qb).
+      .filter(lit(1) + least($"sa" - $"pa", $"sb" - $"pb") >=
+        expr("(7 * (sa + sb) + 16) div 17") &&
+        $"c" + least($"sa" - $"qa", $"sb" - $"qb") >=
+        expr("(7 * (sa + sb) + 16) div 17"))
+      .select($"id_a", $"id_b")
 
-    val pairs = verifyJaccard(candidates, shingleArrays(ex))
+    val pairs = verifyJaccard(candidates, arrays.select($"doc_id", $"g"))
       // jaccard in exact integer basis points (see TextFunctions.qualityScoreBp)
       .select($"id_a", $"id_b",
         floor((lit(20000L) * $"inter" + $"uni") / (lit(2L) * $"uni")).cast("long").as("j_bp"))
-      // materialized + persisted so ex can be released eagerly (the
-      // returned frame is PERSISTED, as with the simhash pairs)
+      // materialized + persisted so ex and arrays can be released
+      // eagerly (the returned frame is PERSISTED, as with the simhash
+      // pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
     ex.unpersist()
+    arrays.unpersist()
     pairs.orderBy($"id_a", $"id_b")
   }
 
