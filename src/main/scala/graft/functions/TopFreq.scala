@@ -161,19 +161,33 @@ object TopFreq {
     private val itemOrd = new java.util.Comparator[Entry] {
       override def compare(a: Entry, b: Entry): Int = byteCompare(a.item, b.item)
     }
+    // LAZY: the bucket index only exists once the summary has filled
+    // and an eviction-order question has actually been asked. In the
+    // exact regime (distinct <= capacity — every gate corpus until
+    // sf100) the summary never fills, no eviction ever happens, and
+    // maintaining buckets on every update would be pure O(log k) tax
+    // on what is otherwise an O(1) HashMap upsert. The flag flips on
+    // first need, after which updates keep the index consistent.
     private val buckets = new java.util.TreeMap[java.lang.Long, java.util.TreeSet[Entry]]()
+    private var bucketsValid = false
 
     private def keyOf(item: Array[Byte]) = java.nio.ByteBuffer.wrap(item)
 
-    private def bucketAdd(e: Entry): Unit = {
+    private def bucketAdd(e: Entry): Unit = if (bucketsValid) {
       var s = buckets.get(e.cnt)
       if (s == null) { s = new java.util.TreeSet[Entry](itemOrd); buckets.put(e.cnt, s) }
       s.add(e)
     }
 
-    private def bucketRemove(e: Entry): Unit = {
+    private def bucketRemove(e: Entry): Unit = if (bucketsValid) {
       val s = buckets.get(e.cnt)
       if (s != null) { s.remove(e); if (s.isEmpty) buckets.remove(e.cnt) }
+    }
+
+    private def ensureBuckets(): Unit = if (!bucketsValid) {
+      buckets.clear()
+      bucketsValid = true // set first so bucketAdd is live during the rebuild
+      map.forEach((_, e) => bucketAdd(e))
     }
 
     def size: Int = map.size()
@@ -181,11 +195,17 @@ object TopFreq {
     /** Minimum count in the summary if full (the SpaceSaving bound on
       * any absent item's true count), else 0. */
     def minIfFull(k: Int): Long =
-      if (map.size() < k) 0L else buckets.firstKey()
+      if (map.size() < k) 0L
+      else { ensureBuckets(); buckets.firstKey() }
 
     /** Count an occurrence batch: present → add; room → insert; full →
       * evict a minimum-count entry (the byte-smallest among minima, so
-      * eviction is deterministic) and inherit its count as error. */
+      * eviction is deterministic) and inherit its count as error.
+      * Amortized O(1) below capacity; O(log k) via the count-bucket
+      * index above it (the Stream-Summary shape of the original paper —
+      * the O(k) min-scan variant was O(n·k) exactly in the sketch
+      * regime the structure exists for: 178 s at sf100's 31k-token
+      * vocabulary vs k = 4096, where the exact regime took 1.4 s). */
     def offer(item: Array[Byte], cnt: Long, err: Long, k: Int): Unit = {
       val key = keyOf(item)
       val existing = map.get(key)
@@ -197,6 +217,7 @@ object TopFreq {
         val e = Entry(item, cnt, err)
         map.put(key, e); bucketAdd(e)
       } else {
+        ensureBuckets()
         val victim = buckets.firstEntry().getValue.first()
         map.remove(keyOf(victim.item)); bucketRemove(victim)
         // the new item's true count could be anything up to the
@@ -222,8 +243,10 @@ object TopFreq {
       val minSelf = minIfFull(k)
       val minOther = other.minIfFull(k)
       // count mutations below invalidate the bucket index; merge on
-      // the map alone, then rebuild buckets once (merges are per
-      // task-pair — O(k log k) there is noise next to the update path)
+      // the map alone and defer the rebuild to the next need (merges
+      // are per task-pair — O(k log k) there is noise next to the
+      // update path)
+      bucketsValid = false
       other.map.forEach { (key, oe) =>
         val e = map.get(key)
         if (e != null) { e.cnt += oe.cnt; e.err += oe.err }
@@ -239,8 +262,6 @@ object TopFreq {
         map.clear()
         keep.foreach(e => map.put(keyOf(e.item), e))
       }
-      buckets.clear()
-      map.forEach((_, e) => bucketAdd(e))
     }
 
     def entriesSnapshot: Seq[Entry] = {

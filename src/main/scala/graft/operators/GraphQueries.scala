@@ -82,7 +82,23 @@ object GraphQueries {
     * on this graph's ~2-hop diameter. The final top-N is
     * TakeOrderedAndProject (per-partition N, merge on the driver —
     * never a global sort). */
-  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** Above this edge count each round's rank frame takes a reliable
+    * checkpoint and nudges the cleaner: a 5-round chain otherwise keeps
+    * EVERY round's shuffle files live until the final action (shuffle
+    * files are freed only when the ContextCleaner sees their dependency
+    * GC'd, and mid-query nothing is collectible while the lineage
+    * references them) — at 1000x bench scale the accumulated rounds
+    * (~7 GB each) plus the layout build ran the disk out. Ranks are
+    * (id, long) scalars — node-count-sized, cheap to snapshot. Below
+    * the threshold the extra per-round job + GC would dominate the
+    * sub-second rounds, so small corpora skip it; GraphSpec pins both
+    * paths equal. */
+  val PagerankCheckpointMinEdges: Long = 10_000_000L
+
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    graphPagerank(spark, dir, PagerankCheckpointMinEdges)
+
+  def graphPagerank(spark: SparkSession, dir: String, ckptMinEdges: Long): DataFrame = {
     import spark.implicits._
     // disjoint node spaces: customers on even ids, suppliers on odd
     val e0 = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
@@ -95,22 +111,44 @@ object GraphQueries {
     // single pass over the deduped pairs (a union of e0 with its flip
     // would evaluate the distinct subtree twice); they land in disjoint
     // (even → odd / odd → even) key spaces, so no re-dedup is needed.
-    // outdeg rides along from a count window over the same src
-    // partitioning — no degree self-join, and the window's exchange IS
-    // the layout every round's join reuses.
-    val wDeg = org.apache.spark.sql.expressions.Window.partitionBy($"src")
-    val edges = e0.select(explode(array(
+    // outdeg attaches via a count aggregate + shuffle_hash join on the
+    // same src key — NOT a count window: the window needed a full sort
+    // of the edge list inside its exchange (an O(|E|) external sort,
+    // measured as the single biggest spill of the 1000x run), where
+    // the aggregate's shuffle carries one (src, count) row per node
+    // and the join's probe-side exchange is the src layout the rounds
+    // reuse anyway.
+    val both = e0.select(explode(array(
         struct($"src", $"dst"),
         struct($"dst".as("src"), $"src".as("dst")))).as("e"))
       .select($"e.src", $"e.dst")
-      .withColumn("outdeg", count(lit(1)).over(wDeg))
+    val deg = both.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val edges = both.join(deg.hint("shuffle_hash"), "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize: every round (and r0) reads the cache
+    val edgeCount = edges.count() // materialize: every round (and r0) reads the cache
+    val checkpointRounds = edgeCount >= ckptMinEdges
+
+    val sc = spark.sparkContext
+    if (checkpointRounds && sc.getCheckpointDir.isEmpty) {
+      // same contract as ConnectedComponents: clusters must point the
+      // checkpoint dir at durable SHARED storage; local sessions fall
+      // back to a session-temp dir
+      require(sc.isLocal,
+        "pagerank checkpoints each round above " + ckptMinEdges + " edges: call " +
+          "SparkContext.setCheckpointDir on durable SHARED storage before running on a cluster")
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString)
+    }
+    def deleteCheckpoint(file: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
 
     // r0 over all nodes: distinct on the cache's own partitioning key —
     // no exchange (every node appears as a src in the undirected layout)
     var ranks = edges.select($"src".as("id")).distinct()
       .select($"id", lit(1000000L).as("r"))
+    var prevCheckpoint: Option[String] = None
     (1 to PagerankIters).foreach { _ =>
       // shuffle_hash on the node-sized side: the edge cache never
       // re-exchanges (its src layout satisfies the join), the rank
@@ -121,6 +159,21 @@ object GraphQueries {
         .groupBy($"dst".as("id"))
         .agg(sum(expr("r div outdeg")).as("s"))
         .select($"id", (lit(150000L) + expr("(85 * s) div 100")).as("r"))
+      if (checkpointRounds) {
+        val cached = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val next = cached.checkpoint() // eager; cache keeps the write pass from re-running the round
+        cached.unpersist()
+        prevCheckpoint.foreach(deleteCheckpoint)
+        prevCheckpoint = graft.similarity.ConnectedComponents.checkpointFileOf(
+          next.queryExecution.toRdd)
+        // the now-dead round's shuffle dependency is only reclaimed when
+        // the driver GC notices it — on a mostly-empty multi-GB bench
+        // heap that never happens inside one query, so nudge it (the
+        // cleaner then deletes the files asynchronously); costs one
+        // driver GC per round, noise next to a checkpointed round
+        System.gc()
+        ranks = next
+      }
     }
     // every node keeps outdeg >= 1 in the undirected graph, so each
     // round's inner join preserves the full vertex set
@@ -131,6 +184,9 @@ object GraphQueries {
     // to the caller (the returned plan must not depend on the cache)
     val rows = out.collect()
     edges.unpersist()
+    // the result is on the driver now — the final round's checkpoint
+    // files no longer back anything
+    prevCheckpoint.foreach(deleteCheckpoint)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       .orderBy($"rank_u".desc, $"id")
   }

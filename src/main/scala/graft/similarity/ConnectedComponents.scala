@@ -171,8 +171,9 @@ object ConnectedComponents {
   }
 
   /** The checkpoint file backing an RDD, if any — walks dependencies to
-    * the ReliableCheckpointRDD a checkpointed Dataset wraps. */
-  private def checkpointFileOf(rdd: org.apache.spark.rdd.RDD[_]): Option[String] =
+    * the ReliableCheckpointRDD a checkpointed Dataset wraps. Shared by
+    * the other per-round-checkpointing iterative operator (PageRank). */
+  private[graft] def checkpointFileOf(rdd: org.apache.spark.rdd.RDD[_]): Option[String] =
     rdd.getCheckpointFile.orElse(
       rdd.dependencies.iterator.flatMap(d => checkpointFileOf(d.rdd)).nextOption())
 

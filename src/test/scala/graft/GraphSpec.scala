@@ -131,5 +131,11 @@ class GraphSpec extends SparkSpec {
     val got = operators.GraphQueries.graphPagerank(spark, sf)
       .as[(Long, Long)].collect().toSeq
     assert(got == expectedTop)
+
+    // the large-graph path (per-round reliable checkpoints, threshold
+    // forced to 0) must produce the identical ranking
+    val gotCkpt = operators.GraphQueries.graphPagerank(spark, sf, ckptMinEdges = 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(gotCkpt == expectedTop)
   }
 }
