@@ -112,6 +112,9 @@ object SparkEntry {
     // rows-only gate: k-means training isn't SQL-expressible;
     // ClusterSpec pins assignment, partition, and determinism
     "doc_cluster_kmeans"       -> (ClusterQueries.docClusterKmeans _),
+    "embed_hard_negatives"     -> (AnnQueries.embedHardNegatives _),
+    "dedup_cluster_rep"        -> (DedupQueries.dedupClusterRep _),
+    "docs_quality_buckets"     -> (CorpusQueries.docsQualityBuckets _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -1389,5 +1392,117 @@ object SparkEntry {
         |FROM documents d JOIN cuts c USING (lang)
         |GROUP BY d.lang, c.lo_chars, c.hi_chars, c.n_total
         |ORDER BY d.lang""".stripMargin,
+
+    // same broadcast-scan semantics as ann_bruteforce_topk with the
+    // different-label predicate added; sims are the same pairwise
+    // cosine values that oracle already matches at milli-point rounding
+    "embed_hard_negatives" ->
+      """SELECT qid, rk, vid, CAST(floor(1000 * s + 0.5) AS BIGINT) AS sim_mbp
+        |FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id AS vid,
+        |    list_cosine_similarity(q.embedding, e.embedding) AS s,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+        |               e.vec_id) AS BIGINT) AS rk
+        |  FROM embeddings q JOIN embeddings e
+        |    ON e.vec_id != q.vec_id AND e.label != q.label
+        |  WHERE q.vec_id < 10)
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // the dedup_ngram_jaccard pair set (all-pairs restatement), closed
+    // into components by recursive CTE (the graph_components shape),
+    // representative per cluster by (quality_bp desc, doc_id) — the
+    // quality formula is text_quality_score's, verbatim
+    "dedup_cluster_rep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |g2 AS (SELECT * FROM grams WHERE len(g) > 0),
+        |p0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS inter,
+        |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS BIGINT) AS uni
+        |  FROM g2 a JOIN g2 b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM p0 WHERE CAST(inter AS DOUBLE) / uni >= 0.7),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM und),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT reach.id, und.dst FROM reach JOIN und ON reach.r = und.src),
+        |comp AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(floor((10000.0 * (2*m*t*c + 750*h*c + 750*(c-p)*t) + 1250.0*t*c)
+        |         / (2500.0*t*c)) AS BIGINT) AS q_bp
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(greatest(length(text), 1) AS BIGINT) AS c,
+        |      CAST(least(length(text), 500) AS BIGINT) AS m,
+        |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END, 1) AS BIGINT) AS t,
+        |      CAST(len(list_filter(
+        |           CASE WHEN length(trim(text)) = 0 THEN []
+        |                ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END,
+        |           tok -> list_contains(['the','a','an','of','and','to','in','is','it','that'], tok))) AS BIGINT) AS h,
+        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS p
+        |    FROM documents)),
+        |members AS (
+        |  SELECT comp.cluster_id, comp.id, q.q_bp
+        |  FROM comp JOIN q ON comp.id = q.doc_id),
+        |ranked AS (
+        |  SELECT cluster_id, id, q_bp,
+        |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY q_bp DESC, id) AS rn
+        |  FROM members)
+        |SELECT cluster_id, n_docs, id AS rep_id, q_bp AS rep_q_bp
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // per-doc LM score is text_lm_score's (verbatim CTEs), quartile
+    // thresholds via quantile_cont on integer-valued data (the
+    // q_group_quantiles cross-engine precedent; 0.25/0.75 are exact
+    // binary doubles)
+    "docs_quality_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM gr GROUP BY g),
+        |c1 AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |model AS (
+        |  SELECT g, CAST(floor(10000 * c2.c2 / c1.c1) AS BIGINT) AS bp
+        |  FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1),
+        |lm AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(sum(bp) AS BIGINT) / count(*)) AS BIGINT) AS avg_bp
+        |  FROM gr JOIN model USING (g) GROUP BY doc_id),
+        |perdoc AS (
+        |  SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |    coalesce(lm.avg_bp, 0) AS score
+        |  FROM documents d LEFT JOIN lm ON d.doc_id = lm.doc_id),
+        |th AS (SELECT lang, quantile_cont(score, 0.25) AS t1,
+        |              quantile_cont(score, 0.75) AS t2
+        |       FROM perdoc GROUP BY lang)
+        |SELECT p.lang,
+        |  CASE WHEN score > t2 THEN 'head'
+        |       WHEN score > t1 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM perdoc p JOIN th ON p.lang = th.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -43,6 +43,33 @@ object AnnQueries {
     topKPerQuery(scored)
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-k most-similar corpus vectors with a DIFFERENT label —
+    * the near-misses a contrastive loss learns the most from (the
+    * in-batch-negatives upgrade every embedding-training pipeline
+    * ships eventually). Same plan shape as [[annBruteforceTopk]]:
+    * broadcast query set, one corpus scan with the label-mismatch
+    * predicate evaluated map-side BEFORE any shuffle (the codegen'd
+    * cosine runs only on surviving rows), two-phase salted top-k on
+    * (qid, vid, sim) scalars. The corpus never shuffles; at 100 TB
+    * the scale variant swaps the scan for the LSH/IVF candidate
+    * generators exactly as the ANN family does. SQL oracle:
+    * list_cosine_similarity with the label filter — hash-exact. */
+  def embedHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding", $"label")
+    val queries = emb.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qlabel"))
+
+    val scored = emb.join(broadcast(queries),
+        $"vec_id" =!= $"qid" && $"label" =!= $"qlabel")
+      .select($"qid", $"vec_id".as("vid"),
+        Similarity.cosine($"qvec", $"embedding").as("sim"))
+
+    topKPerQuery(scored)
+  }
+
   /** LSH-bucketed ANN: 16-bit random-hyperplane signatures, 4×4-bit
     * bands; a corpus vector is scored only when it shares a band value
     * with the query — the scale path where scoring the full corpus per

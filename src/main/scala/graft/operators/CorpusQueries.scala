@@ -166,6 +166,49 @@ object CorpusQueries {
     scored.orderBy($"doc_id")
   }
 
+  /** CCNet-style quality bucketing: split each language's corpus into
+    * head / middle / tail by the bigram-LM fluency score
+    * ([[textLmScore]]'s integer avg_bp; docs with no modeled bigram
+    * score 0), cut at the per-language quartiles — head above p75,
+    * tail at or below p25, middle between. Training pipelines sample
+    * the buckets at different rates (CCNet keeps head+middle,
+    * Wenzek '19), so the operator reports per-(lang, bucket) volume.
+    *
+    * Scale posture: the score is map-side above the LM join; the
+    * threshold aggregate is an exact `percentile` whose per-group
+    * state is bounded by DISTINCT score values — avg_bp lives in
+    * [0, 10000], so the aggregate state is a ≤10001-entry counts map
+    * per language regardless of corpus size (no per-group sort, no
+    * global window — the trap here would be ntile, which needs a full
+    * per-language sort); thresholds then BROADCAST back (rows =
+    * languages), and the final rollup is one partial-agg shuffle on
+    * (lang, bucket). Quartile fractions 0.25/0.75 are exact binary
+    * doubles and the interpolation runs on integer-valued data, so
+    * the thresholds are cross-engine bit-equal (the q_group_quantiles
+    * precedent) — hash-exact SQL oracle. */
+  def docsQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = textLmScore(spark, dir).select($"doc_id", $"avg_bp")
+    val perDoc = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", $"lang", length($"text").cast("long").as("n_chars"))
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang", $"n_chars",
+        coalesce($"avg_bp", lit(0L)).as("score"))
+    val thresholds = perDoc.groupBy($"lang").agg(
+      percentile($"score", lit(0.25)).as("t1"),
+      percentile($"score", lit(0.75)).as("t2"))
+    perDoc.join(broadcast(thresholds), "lang")
+      .withColumn("bucket",
+        when($"score" > $"t2", lit("head"))
+          .when($"score" > $"t1", lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum($"score").as("sum_score"))
+      .orderBy($"lang", $"bucket")
+  }
+
   /** BPE tokenizer train + encode — the subword-vocabulary step a
     * training-data pipeline runs between curation and packing
     * (text/Bpe.scala holds the algorithm; Sennrich '16 shape).

@@ -111,6 +111,15 @@ object DedupQueries {
     * candidates at sf0.1). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    ngramJaccardPairs(spark, dir).orderBy($"id_a", $"id_b")
+  }
+
+  /** The verified (id_a, id_b, j_bp) near-dup pairs behind
+    * [[dedupNgramJaccard]], unordered. Returned frame is PERSISTED and
+    * materialized (its persisted inputs are already released) — callers
+    * unpersist it once consumed. */
+  private[operators] def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // persisted: the exploded-shingle pipeline feeds the document-
     // frequency aggregate and the per-doc array aggregate — two
     // executions without the cache (same reasoning as the signature
@@ -196,7 +205,49 @@ object DedupQueries {
     pairs.count()
     ex.unpersist()
     arrays.unpersist()
-    pairs.orderBy($"id_a", $"id_b")
+    pairs
+  }
+
+  /** End-to-end fuzzy dedup with quality-based canonical selection —
+    * the full "collapse near-duplicate clusters, keep the best copy"
+    * pass a training-data pipeline runs after candidate generation:
+    * exact-jaccard near-dup pairs ([[ngramJaccardPairs]], prefix
+    * filtered — never all-pairs) → connected components over the pair
+    * graph (bounded label propagation / driver union-find per
+    * ConnectedComponents' honest size split) → per cluster, keep the
+    * member with the highest quality score (integer basis points,
+    * ties to the smallest doc_id — deterministic).
+    *
+    * Scale posture: the pair graph near-dup verification emits is
+    * many orders smaller than the corpus (true near-dup pairs only),
+    * quality scoring is map-side codegen over the cluster MEMBERS
+    * (a semi-joined subset — the corpus is never re-scored), and the
+    * argmax is one partial-aggregated shuffle keyed by component.
+    * Output: one row per near-dup cluster (size >= 2 by construction:
+    * singletons never enter the pair graph).
+    *
+    * SQL oracle: recursive-CTE closure over the same all-pairs
+    * jaccard pair set, representative by (quality desc, doc_id) —
+    * hash-exact. */
+  def dedupClusterRep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccardPairs(spark, dir)
+    // label() materializes its output before returning — the pair
+    // frame has no further consumer after this line
+    val labels = ConnectedComponents.label(
+      pairs.select($"id_a".as("src"), $"id_b".as("dst")))
+    pairs.unpersist()
+    val quality = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", TextFunctions.qualityScoreBp($"text").as("q_bp"))
+    labels.join(quality, $"id" === $"doc_id")
+      // argmax by (q_bp, -doc_id): one max-struct aggregate — partial
+      // map-side combine, no per-cluster sort or window
+      .groupBy($"component".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct($"q_bp".as("q"), (-$"id").as("nid"))).as("rep"))
+      .select($"cluster_id", $"n_docs",
+        (-$"rep.nid").as("rep_id"), $"rep.q".as("rep_q_bp"))
+      .orderBy($"cluster_id")
   }
 
   /** MinHash + LSH near-dup clustering: 64 codegen'd min-aggregate

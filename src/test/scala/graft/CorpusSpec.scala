@@ -49,6 +49,44 @@ class CorpusSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("quality buckets: per-lang quartile split matches a local recomputation") {
+    val got = CorpusQueries.docsQualityBuckets(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+
+    // rebuild from the (already spec-pinned) per-doc LM scores: local
+    // quartiles with Spark percentile's index formula, local bucketing,
+    // local rollup
+    val lm = CorpusQueries.textLmScore(spark, sf)
+      .select($"doc_id", $"avg_bp").as[(Long, Long)].collect().toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", length($"text").cast("long"))
+      .as[(Long, String, Long)].collect()
+    def quantile(v: Seq[Long], p: Double): Double = {
+      val s = v.sorted
+      val idx = p * (s.length - 1)
+      val lo = s(idx.toInt).toDouble
+      val hi = s(math.ceil(idx).toInt).toDouble
+      lo + (idx - math.floor(idx)) * (hi - lo)
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val scores = ds.map(d => lm.getOrElse(d._1, 0L)).toSeq
+      val t1 = quantile(scores, 0.25)
+      val t2 = quantile(scores, 0.75)
+      ds.toSeq.map { d =>
+        val sc = lm.getOrElse(d._1, 0L)
+        val b = if (sc > t2) "head" else if (sc > t1) "middle" else "tail"
+        (lang, b, d._3, sc)
+      }
+    }.groupBy(x => (x._1, x._2)).map { case ((l, b), xs) =>
+      (l, b, xs.size.toLong, xs.map(_._3).sum, xs.map(_._4).sum)
+    }.toSet
+    assert(got.toSet === expected)
+    // the buckets PARTITION each language (nothing dropped or doubled)
+    val gotTotals = got.groupBy(_._1).map { case (l, rs) => l -> rs.map(_._3).sum }
+    val langTotals = docs.groupBy(_._2).map { case (l, ds) => l -> ds.length.toLong }
+    assert(gotTotals === langTotals)
+  }
+
   test("text_bm25 matches a brute-force BM25 computed in memory") {
     val got = CorpusQueries.textBm25(spark, sf)
       .as[(Long, Long, Long, Long)].collect().toSeq

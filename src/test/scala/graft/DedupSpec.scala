@@ -310,4 +310,36 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val r = df.select(size(array_intersect($"bx", $"by")).as("shared")).collect()(0)
     assert(r.getInt(0) >= 1)
   }
+
+  test("cluster representatives: local union-find + quality argmax agree (sf0.001)") {
+    import spark.implicits._
+    val got = DedupQueries.dedupClusterRep(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (cid, n, rid, q) => cid -> ((n, rid, q)) }.toMap
+
+    // independent reconstruction: verified pairs (spec'd == brute force
+    // above), a local union-find, quality via the REGEX reference
+    // formulation (not the native scan the operator uses)
+    val pairs = DedupQueries.dedupNgramJaccard(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val quality = graft.Tables.documents(spark, sf)
+      .select($"doc_id", TextFunctions.qualityScoreBpRegex($"text").as("q"))
+      .as[(Long, Long)].collect().toMap
+    val expected = members.groupBy(find).map { case (cid, ms) =>
+      val (q, nid) = ms.map(id => (quality(id), -id)).max
+      cid -> ((ms.length.toLong, -nid, q))
+    }
+    assert(got === expected)
+    assert(got.nonEmpty && got.values.forall(_._1 >= 2))
+  }
 }

@@ -102,6 +102,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hard negatives: no embedding column crosses an exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.operators.AnnQueries.embedHardNegatives(spark, sf)
+    val phys = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = phys.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    // same posture as the other ANN paths: the scored rows entering the
+    // top-k windows are (qid, vid, sim) scalars only
+    shuffles.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("embedding"),
+        s"embedding crosses an exchange: $names")
+    }
+  }
+
   test("bottom-k sample aggregates partially before the shuffle") {
     graft.functions.BottomK.ensureRegistered(spark)
     val s = fmt(graft.operators.SampleQueries.qSampleDeterministic(spark, sf))
