@@ -115,6 +115,8 @@ object SparkEntry {
     "embed_hard_negatives"     -> (AnnQueries.embedHardNegatives _),
     "dedup_cluster_rep"        -> (DedupQueries.dedupClusterRep _),
     "docs_quality_buckets"     -> (CorpusQueries.docsQualityBuckets _),
+    "text_ngram_novelty"       -> (CurationQueries.textNgramNovelty _),
+    "embed_int8_quantize"      -> (PqQueries.embedInt8Quantize _),
   )
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
@@ -1504,5 +1506,49 @@ object SparkEntry {
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM perdoc p JOIN th ON p.lang = th.lang
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // distinct-3-gram construction restates dedup_ngram_jaccard's (the
+    // Spark side groups by the 64-bit gram hash — collision-equivalent,
+    // same trade as the dedup family); novelty_bp is the j_bp
+    // round-half-up pattern on exact integers
+    "text_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |  FROM toks),
+        |firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+        |  CAST(floor((20000 * CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |       + count(*)) / (2.0 * count(*))) AS BIGINT) AS novelty_bp
+        |FROM grams JOIN firsts USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // float→double widening is exact and both engines state the same
+    // IEEE division + floor(x + 0.5) half-up, so codes are
+    // bit-identical; md5 over the comma-joined stream pins assignment
+    "embed_int8_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(len(embedding) AS BIGINT) AS n_dims,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |coded AS (
+        |  SELECT vec_id, n_dims, scale,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN scale = 0 THEN 0
+        |           ELSE CAST(greatest(least(floor(CAST(x AS DOUBLE) / scale + 0.5),
+        |                127), -127) AS BIGINT) END) AS codes
+        |  FROM base)
+        |SELECT vec_id, n_dims,
+        |  CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
+        |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+        |  CAST(len(list_filter(codes, c -> c = 0)) AS BIGINT) AS n_zero,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  md5(array_to_string(codes, ',')) AS code_md5
+        |FROM coded ORDER BY vec_id""".stripMargin,
   )
 }

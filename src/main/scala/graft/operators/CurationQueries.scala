@@ -258,4 +258,47 @@ object CurationQueries {
         sum(when($"n_chars".between($"lo_chars", $"hi_chars"), $"n_chars").otherwise(0L)).as("kept_chars"))
       .orderBy($"lang")
   }
+
+  /** Per-document content novelty under ingestion order — the
+    * curriculum / dedup-direction signal: what fraction of a doc's
+    * distinct word-3-gram shingles occur FIRST in this doc (doc_id as
+    * arrival order) versus being inherited from earlier corpus
+    * documents. A low-novelty doc is mostly restating what the corpus
+    * already holds (the redundancy that substring/fuzzy dedup then
+    * removes); pipelines use the score to order training data or to
+    * drop late echoes outright.
+    *
+    * Plan: distinct (doc, gram) explode → grams hashed to 64 bits at
+    * the scan (the dedup-family rule: shuffles carry longs, never
+    * gram strings; collision odds ~n·|S|·2^-64, the oracle's raw-string
+    * grouping agrees at every gate scale) → first-occurrence =
+    * partial-combined min per gram → join back at (gram) granularity →
+    * per-doc counts. Two gram-keyed exchanges and one doc-keyed
+    * combine; nothing is ever all-pairs and no text leaves the scan.
+    * novelty_bp = round-half-up(10000 · novel / n_grams) in exact
+    * integer arithmetic (the j_bp pattern). */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // persisted: feeds the first-occurrence aggregate AND the join
+    // probe — two executions of the scan+explode otherwise
+    val ex = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", explode(
+        graft.similarity.Similarity.wordNgrams(TextFunctions.wsTokens($"text"), 3)).as("gram"))
+      .select($"doc_id", xxhash64($"gram").as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = ex.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    val out = ex.join(first, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("novel"))
+      .select($"doc_id", $"n_grams", $"novel",
+        floor((lit(20000L) * $"novel" + $"n_grams") / (lit(2L) * $"n_grams"))
+          .cast("long").as("novelty_bp"))
+      // materialized + persisted so ex can be released eagerly (the
+      // dedup-family discipline; the returned frame is PERSISTED)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ex.unpersist()
+    out.orderBy($"doc_id")
+  }
 }

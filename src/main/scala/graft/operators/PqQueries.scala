@@ -153,4 +153,45 @@ object PqQueries {
 
     AnnQueries.topKPerQuery(reranked)
   }
+
+  /** Scalar int8 quantization of the embedding corpus — the 4×
+    * compression every vector store applies at ingestion (PQ above is
+    * the 32× variant; int8 is the accuracy-first one): per vector,
+    * scale = max|x| / 127, code_d = round-half-up(x_d / scale) clamped
+    * to [-127, 127] (an all-zero vector quantizes to all-zero codes).
+    * Reported per vector: the scale in exact nano-units, saturated-dim
+    * and zeroed-dim counts, the code sum, and an md5 over the
+    * comma-joined code stream — so the gate pins the exact code
+    * assignment byte-for-byte, not just summary stats.
+    *
+    * Exactness: float→double widening is exact, max over exact values
+    * is exact, and both engines state the SAME IEEE division and
+    * floor(x + 0.5) half-up — so codes are cross-engine bit-identical
+    * (no round()/bround() banker's-rounding divergence).
+    *
+    * Scale posture: a pure map pass — zero shuffles before the final
+    * ordered output; per-element work uses Catalyst HOFs (interpreted
+    * per element, but one pass over 64 dims — the measured HOF tax
+    * matters on the 64-LANE signature builds, not here where the work
+    * per element is one divide; bench carries the honest number). */
+  def embedInt8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xs = transform($"embedding", x => x.cast("double"))
+    val scale = array_max(transform($"embedding", x => abs(x.cast("double")))) / lit(127.0)
+    val codes = transform(xs, x =>
+      when($"scale" === 0d, lit(0L)).otherwise(
+        greatest(least(floor(x / $"scale" + lit(0.5)), lit(127L)), lit(-127L))
+          .cast("long")))
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", scale.as("scale"))
+      .select($"vec_id", size($"embedding").cast("long").as("n_dims"),
+        floor($"scale" * lit(1e9) + lit(0.5)).cast("long").as("scale_e9"),
+        codes.as("codes"))
+      .select($"vec_id", $"n_dims", $"scale_e9",
+        size(filter($"codes", c => abs(c) === 127L)).cast("long").as("n_sat"),
+        size(filter($"codes", c => c === 0L)).cast("long").as("n_zero"),
+        aggregate($"codes", lit(0L), (acc, c) => acc + c).as("code_sum"),
+        md5(concat_ws(",", transform($"codes", _.cast("string")))).as("code_md5"))
+      .orderBy($"vec_id")
+  }
 }

@@ -143,4 +143,29 @@ class CurationSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
     assert(got == expected)
   }
+
+  test("ngram novelty matches a local first-occurrence walk; totals conserve") {
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", graft.text.TextFunctions.wsTokens($"text"))
+      .as[(Long, Seq[String])].collect()
+    val docGrams = toks
+      .map { case (id, t) => id -> t.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet }
+      .filter(_._2.nonEmpty)
+    val firstOf = docGrams.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expected = docGrams.map { case (id, gs) =>
+      val n = gs.size.toLong
+      val novel = gs.count(g => firstOf(g) == id).toLong
+      id -> ((n, novel, math.floor((20000L * novel + n) / (2.0 * n)).toLong))
+    }.toMap
+    val got = operators.CurationQueries.textNgramNovelty(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expected)
+    // every distinct corpus gram is novel in exactly one doc
+    assert(got.values.map(_._2).sum === firstOf.size.toLong)
+    // the earliest doc restates nothing: full novelty
+    assert(got(docGrams.map(_._1).min)._3 === 10000L)
+  }
 }

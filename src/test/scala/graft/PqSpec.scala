@@ -51,6 +51,36 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@5 $mean below floor")
   }
 
+  test("int8 quantization: codes match a local recomputation and bound the error") {
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val expected = emb.map { case (id, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      val codes = v.map { x =>
+        if (scale == 0) 0L
+        else math.max(math.min(math.floor(x.toDouble / scale + 0.5), 127d), -127d).toLong
+      }
+      // half-up rounding ⇒ per-dim reconstruction error <= scale/2 + fp noise
+      codes.zip(v).foreach { case (c, x) =>
+        assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-12,
+          s"vec $id: reconstruction error exceeds scale/2")
+      }
+      id -> ((codes.count(c => math.abs(c) == 127).toLong, codes.count(_ == 0L).toLong,
+        codes.sum, codes.mkString(",")))
+    }.toMap
+    val got = PqQueries.embedInt8Quantize(spark, sf)
+      .select($"vec_id", $"n_sat", $"n_zero", $"code_sum", $"code_md5")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got.length === emb.length)
+    got.foreach { case (id, sat, zero, sum, md5got) =>
+      val (esat, ezero, esum, ecodes) = expected(id)
+      assert((sat, zero, sum) === ((esat, ezero, esum)), s"vec $id stats")
+      val md5loc = java.security.MessageDigest.getInstance("MD5")
+        .digest(ecodes.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5got === md5loc, s"vec $id code stream")
+    }
+  }
+
   test("re-ranked scores are EXACT cosines (quantization never reaches the output)") {
     val got = PqQueries.annPqTopk(spark, sf)
       .select($"qid", $"vid", $"sim_mbp").as[(Long, Long, Long)].collect()
