@@ -219,10 +219,14 @@ object DedupQueries {
     * ties to the smallest doc_id — deterministic).
     *
     * Scale posture: the pair graph near-dup verification emits is
-    * many orders smaller than the corpus (true near-dup pairs only),
-    * quality scoring is map-side codegen over the cluster MEMBERS
-    * (a semi-joined subset — the corpus is never re-scored), and the
-    * argmax is one partial-aggregated shuffle keyed by component.
+    * many orders smaller than the corpus (true near-dup pairs only);
+    * quality is scored map-side over ONE corpus scan — scoring every
+    * doc in the codegen pass is deliberate: restricting to members
+    * first would move document TEXT through a semi-join exchange,
+    * which costs more than the arithmetic it saves — and only member
+    * rows survive the labels join (label side sized by cluster
+    * membership; AQE picks broadcast vs shuffle). The argmax is one
+    * partial-aggregated shuffle keyed by component.
     * Output: one row per near-dup cluster (size >= 2 by construction:
     * singletons never enter the pair graph).
     *
