@@ -271,26 +271,34 @@ object CurationQueries {
     * Plan: distinct (doc, gram) explode → grams hashed to 64 bits at
     * the scan (the dedup-family rule: shuffles carry longs, never
     * gram strings; collision odds ~n·|S|·2^-64, the oracle's raw-string
-    * grouping agrees at every gate scale) → first-occurrence =
-    * partial-combined min per gram → join back at (gram) granularity →
-    * per-doc counts. Two gram-keyed exchanges and one doc-keyed
-    * combine; nothing is ever all-pairs and no text leaves the scan.
+    * grouping agrees at every gate scale) → TWO independent aggregates
+    * over the shared exploded frame: per-doc distinct-gram counts
+    * (doc-keyed combine) and per-gram first occurrence (gram-keyed
+    * min) immediately re-aggregated to per-doc novel counts — "novel
+    * in doc D" ≡ "first_doc = D", so the novel count needs NO join
+    * back at (gram) granularity (the first formulation joined the
+    * first-occurrence table against every (doc, gram) row — a
+    * corpus-of-grams-sized shuffle that the sf100 study priced at
+    * ~2x the whole query; both aggregate outputs here are doc-count-
+    * sized scalars and their join is trivial at any scale).
     * novelty_bp = round-half-up(10000 · novel / n_grams) in exact
     * integer arithmetic (the j_bp pattern). */
   def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // persisted: feeds the first-occurrence aggregate AND the join
-    // probe — two executions of the scan+explode otherwise
+    // persisted: feeds both aggregates — two executions of the
+    // scan+explode otherwise
     val ex = Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id", explode(
         graft.similarity.Similarity.wordNgrams(TextFunctions.wsTokens($"text"), 3)).as("gram"))
       .select($"doc_id", xxhash64($"gram").as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val first = ex.groupBy($"g").agg(min($"doc_id").as("first_doc"))
-    val out = ex.join(first, "g")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("novel"))
+    val perDoc = ex.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val novelPerDoc = ex.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+      .groupBy($"first_doc".as("doc_id")).agg(count(lit(1)).as("novel"))
+    // left: a doc whose every gram first occurred earlier has no
+    // novelPerDoc row — it scores 0, it does not disappear
+    val out = perDoc.join(novelPerDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams", coalesce($"novel", lit(0L)).as("novel"))
       .select($"doc_id", $"n_grams", $"novel",
         floor((lit(20000L) * $"novel" + $"n_grams") / (lit(2L) * $"n_grams"))
           .cast("long").as("novelty_bp"))
