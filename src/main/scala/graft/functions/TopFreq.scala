@@ -198,6 +198,19 @@ object TopFreq {
       if (map.size() < k) 0L
       else { ensureBuckets(); buckets.firstKey() }
 
+    /** [[minIfFull]] by flat O(k) scan, NOT via the bucket index — for
+      * the merge path only, which invalidates the index right after
+      * reading one minimum: building an O(k log k) TreeMap to answer a
+      * single min question and then discarding it would make every
+      * shuffle-combine strictly more expensive than the scan. */
+    private def minScan(k: Int): Long =
+      if (map.size() < k) 0L
+      else {
+        var mn = Long.MaxValue
+        map.forEach((_, e) => if (e.cnt < mn) mn = e.cnt)
+        mn
+      }
+
     /** Count an occurrence batch: present → add; room → insert; full →
       * evict a minimum-count entry (the byte-smallest among minima, so
       * eviction is deterministic) and inherit its count as error.
@@ -240,8 +253,8 @@ object TopFreq {
       * maximum possible count there) in BOTH cnt and err; then trim to
       * the k largest by the deterministic output order. */
     def mergeIn(other: Buffer, k: Int): Unit = {
-      val minSelf = minIfFull(k)
-      val minOther = other.minIfFull(k)
+      val minSelf = minScan(k)
+      val minOther = other.minScan(k)
       // count mutations below invalidate the bucket index; merge on
       // the map alone and defer the rebuild to the next need (merges
       // are per task-pair — O(k log k) there is noise next to the

@@ -194,12 +194,25 @@ object CurationQueries {
       .select(explode(array($"doc_id", $"doc_id" + 1000000L)).as("doc_id"),
         $"lang", $"dg")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize in a single-stage job BEFORE wiring up the two
+    // consumers: their stages have no dependency on each other, so the
+    // scheduler runs both concurrently and the cache does NOT dedupe
+    // in-flight partition computation — without this count the "one
+    // digest pass" claim above only holds on re-execution
+    digests.count()
     val reps = digests.groupBy($"dg").agg(min($"doc_id").as("rep"))
 
-    digests.join(reps, "dg")
+    val out = digests.join(reps, "dg")
       .withColumn("split",
         when(substring(sha2($"rep".cast("string"), 256), 1, 8) < "e6666666", "train")
           .otherwise("test"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized + persisted so digests can be released eagerly (the
+    // file's materialize-then-release discipline) — otherwise library
+    // callers strand the exploded digest cache for the session
+    out.count()
+    digests.unpersist()
+    out
   }
 
   def splitTrainTest(spark: SparkSession, dir: String): DataFrame = {

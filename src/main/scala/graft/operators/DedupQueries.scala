@@ -59,12 +59,6 @@ object DedupQueries {
       .select($"doc_id", $"x.s".as("s"), xxhash64($"x.gram").as("gram"))
   }
 
-  /** Per-doc sorted hashed-shingle arrays (for exact jaccard verify). */
-  private def shingleArrays(ex: DataFrame): DataFrame = {
-    import ex.sparkSession.implicits._
-    ex.groupBy($"doc_id").agg(sort_array(collect_list($"gram")).as("g"))
-  }
-
   /** Exact-jaccard verify of candidate (id_a, id_b) pairs against the
     * hashed-shingle arrays; adds inter/uni counts, keeps J >= tau. */
   private def verifyJaccard(candidates: DataFrame, arrays: DataFrame): DataFrame = {
