@@ -1,21 +1,28 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 scripts/check.py [sfdir] [outdir]
+Usage: python3 scripts/check.py [sfdir] [outdir] [oracle_timeout_sec]
 
 1. (caller already ran) graft.Verify to dump each SparkEntry.queries
    result as parquet under outdir + oracle_sql.json.
 2. For each query with an oracle: run the SQL in DuckDB over views named
-   after the sfdir parquet tables, sort columns by name, sort rows,
-   compare cell-by-cell (exact for non-floats, 1e-9 rel for floats).
+   after the sfdir parquet tables, sort columns by name, sort rows, and
+   compare EXACTLY — the driver's gate hashes rendered values, so this
+   gate renders every cell to a canonical string (type-tagged: a
+   Decimal('0.0494000') renders differently from the float 0.0494) and
+   requires bit-identical representation. A numeric-only near-miss is
+   reported as REPR_MISMATCH with the offending cells so the divergence
+   class (decimal-vs-double, float noise) is visible at a glance.
 """
 import glob
 import json
 import math
 import os
 import sys
+from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -23,22 +30,87 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+    # sort on rendered reprs, not raw values: mixed object columns
+    # (Decimal vs float) and array columns are not totally ordered
+    key = df.apply(lambda col: [cell_repr(v) for v in col], axis=0)
+    order = key.sort_values(by=list(key.columns)).index
+    return df.loc[order].reset_index(drop=True)
 
 
-def cells_equal(a, b) -> bool:
-    if pd.isna(a) and pd.isna(b):
-        return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            af, bf = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(af) and math.isnan(bf):
+def cell_repr(v) -> str:
+    """Canonical, type-tagged rendering — two cells hash-equal for the
+    driver iff they render equal here. float and Decimal deliberately
+    render differently: that is exactly the class the tolerant v1 of
+    this gate let ship (r5's decimal-output regression)."""
+    if v is None:
+        return "␀"
+    if isinstance(v, float) or isinstance(v, np.floating):
+        f = float(v)
+        if math.isnan(f):
+            return "f:nan"
+        return f"f:{f!r}"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(cell_repr(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        return f"ts:{v.isoformat()}"
+    # pd.NA / NaT and other scalar nulls
+    try:
+        if pd.isna(v):
+            return "␀"
+    except (TypeError, ValueError):
+        pass
+    return f"s:{v}"
+
+
+def cells_close(a, b) -> bool:
+    """Numeric near-equality — used only to CLASSIFY a failure (exact
+    repr already diverged), never to pass it."""
+    try:
+        if pd.isna(a) and pd.isna(b):
             return True
-        return af == bf or abs(af - bf) <= 1e-9 * max(1.0, abs(af), abs(bf))
-    return a == b
+    except (TypeError, ValueError):
+        pass
+    try:
+        af, bf = float(a), float(b)
+    except (TypeError, ValueError):
+        return False
+    if math.isnan(af) and math.isnan(bf):
+        return True
+    return af == bf or abs(af - bf) <= 1e-9 * max(1.0, abs(af), abs(bf))
+
+
+def dtype_tag(col: pd.Series) -> str:
+    """Representation-CLASS tag for a column. Widths are normalized
+    (int32 == int64, float32 == float64) because the driver hashes
+    rendered VALUES — `1` hashes equal across integer widths (its r05
+    gate passed Spark's int32 rank vs DuckDB's int64), while a parquet
+    DECIMAL renders `0.0494000` vs the DOUBLE's `0.0494` and fails.
+    Width-level precision divergence (a float32 that can't represent
+    the oracle's double) is still caught by the per-cell repr compare."""
+    base = str(col.dtype)
+    if base == "object":
+        nn = col.dropna()
+        if not len(nn):
+            return "object<null>"  # caller treats as wildcard
+        t = type(nn.iloc[0]).__name__
+        if t == "int":
+            return "int"
+        if t == "float":
+            return "float"
+        return f"object<{t}>"
+    if base.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if base.startswith(("float", "Float")):
+        return "float"
+    return base
 
 
 def main():
@@ -108,13 +180,42 @@ def main():
         if len(m) != len(o):
             results[name] = f"ROWCOUNT_MISMATCH mine={len(m)} oracle={len(o)}"
             continue
-        bad = []
+        # dtype gate: representation class must match before values do
+        dt_bad = []
+        for c in m.columns:
+            tm, to = dtype_tag(m[c]), dtype_tag(o[c])
+            if tm != to and "object<null>" not in (tm, to):
+                dt_bad.append(f"{c}({tm}!={to})")
+        if dt_bad:
+            results[name] = f"DTYPE_MISMATCH {','.join(dt_bad)}"
+            continue
+        # exact representation compare (the driver hashes values — a
+        # representational divergence fails its gate even when every
+        # cell is numerically equal)
+        exact_bad, near_only = [], []
         for col in m.columns:
             mv, ov = m[col].tolist(), o[col].tolist()
-            nbad = sum(0 if cells_equal(a, b) else 1 for a, b in zip(mv, ov))
+            nbad = nnear = 0
+            sample = None
+            for a, b in zip(mv, ov):
+                if cell_repr(a) == cell_repr(b):
+                    continue
+                nbad += 1
+                if sample is None:
+                    sample = f"{cell_repr(a)} vs {cell_repr(b)}"
+                if cells_close(a, b):
+                    nnear += 1
             if nbad:
-                bad.append(f"{col}:{nbad}")
-        results[name] = "OK" if not bad else f"VALUE_MISMATCH {','.join(bad)}"
+                exact_bad.append(f"{col}:{nbad} (e.g. {sample})")
+                if nnear == nbad:
+                    near_only.append(col)
+        if not exact_bad:
+            results[name] = "OK"
+        elif near_only and len(near_only) == len(exact_bad):
+            results[name] = ("REPR_MISMATCH (numerically equal, representation "
+                             f"differs) {'; '.join(exact_bad)}")
+        else:
+            results[name] = f"VALUE_MISMATCH {'; '.join(exact_bad)}"
 
     npass = sum(1 for v in results.values() if v == "OK" or v.startswith("ROWS_ONLY"))
     nskip = sum(1 for v in results.values() if v.startswith("ORACLE_TIMEOUT"))

@@ -46,9 +46,14 @@ object Analytics {
     // 2^53 at sf10, losing the +n tie-break bit); truncation == floor
     // because every operand is non-negative. Exact while
     // 2·S·k + n < 2^63 — ~3e16 at sf10, overflow only past ~sf1000.
-    // k = 10^4 / inScale; the final /10^4 is exact (quotient < 2^53)
+    // k = 10^4 / inScale; the final /10^4 is exact (quotient < 2^53).
+    // The quotient is cast to double BEFORE a double-literal division:
+    // inside `expr`, `/ 10000.0` would parse the literal as DECIMAL and
+    // make the output column DECIMAL — numerically identical to the
+    // oracle's DOUBLE but representationally different (hash mismatch).
     def avg4(unitSumName: String, nName: String, k: Long): Column =
-      expr(s"((2 * $unitSumName * $k + $nName) div (2 * $nName)) / 10000.0")
+      expr(s"(2 * $unitSumName * $k + $nName) div (2 * $nName)")
+        .cast("double") / lit(10000.0d)
     Tables.lineitem(spark, dir)
       .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
@@ -189,7 +194,10 @@ object Analytics {
       .agg(count(lit(1)).as("n_parts"),
         sum(floor($"p_retailprice" * 100 + lit(0.5)).cast("long")).as("cents"))
       .select($"p_brand", $"n_parts",
-        expr("((2 * cents + n_parts) div (2 * n_parts)) / 100.0").as("avg_price"))
+        // double-typed division (a decimal literal inside `expr` would
+        // make the column DECIMAL and hash-mismatch the DOUBLE oracle)
+        (expr("(2 * cents + n_parts) div (2 * n_parts)")
+          .cast("double") / lit(100.0d)).as("avg_price"))
       .orderBy($"p_brand")
   }
 

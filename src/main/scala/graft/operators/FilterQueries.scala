@@ -71,8 +71,11 @@ object FilterQueries {
       .agg(count(lit(1)).as("n"),
         sum(floor($"value" * 10000 + lit(0.5)).cast("long")).as("v_u"))
       .select($"event_type", $"n",
-        // pure long round-half-up (see Analytics.q1PricingSummary)
-        expr("((2 * v_u + n) div (2 * n)) / 10000.0").as("avg_value"))
+        // pure long round-half-up (see Analytics.q1PricingSummary);
+        // double-typed division — a decimal literal inside `expr`
+        // would make the column DECIMAL vs the oracle's DOUBLE
+        (expr("(2 * v_u + n) div (2 * n)")
+          .cast("double") / lit(10000.0d)).as("avg_value"))
       .orderBy($"event_type")
   }
 }
