@@ -209,10 +209,12 @@ object CurationQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialized + persisted so digests can be released eagerly (the
     // file's materialize-then-release discipline) — otherwise library
-    // callers strand the exploded digest cache for the session
+    // callers strand the exploded digest cache for the session. The
+    // returned frame itself stays persisted: ledger-registered so
+    // callers can release it (harnesses clearCache() per query).
     out.count()
     digests.unpersist()
-    out
+    graft.CacheLedger.register("assign_splits", out)
   }
 
   def splitTrainTest(spark: SparkSession, dir: String): DataFrame = {
@@ -316,10 +318,12 @@ object CurationQueries {
         floor((lit(20000L) * $"novel" + $"n_grams") / (lit(2L) * $"n_grams"))
           .cast("long").as("novelty_bp"))
       // materialized + persisted so ex can be released eagerly (the
-      // dedup-family discipline; the returned frame is PERSISTED)
+      // dedup-family discipline; the returned frame is PERSISTED —
+      // registered in the CacheLedger so library callers can release
+      // it; the gate harnesses clearCache() per query)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     ex.unpersist()
-    out.orderBy($"doc_id")
+    graft.CacheLedger.register("text_ngram_novelty", out).orderBy($"doc_id")
   }
 }

@@ -105,13 +105,19 @@ object DedupQueries {
     * candidates at sf0.1). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    ngramJaccardPairs(spark, dir).orderBy($"id_a", $"id_b")
+    // the pairs frame stays persisted under the returned orderBy —
+    // ledger-registered so library callers can release it after
+    // consumption (dedupClusterRep unpersists it directly; the gate
+    // harnesses clearCache() per query)
+    graft.CacheLedger.register("ngram_jaccard_pairs",
+      ngramJaccardPairs(spark, dir)).orderBy($"id_a", $"id_b")
   }
 
   /** The verified (id_a, id_b, j_bp) near-dup pairs behind
     * [[dedupNgramJaccard]], unordered. Returned frame is PERSISTED and
     * materialized (its persisted inputs are already released) — callers
-    * unpersist it once consumed. */
+    * unpersist it once consumed (dedupClusterRep does; dedupNgramJaccard
+    * instead registers it in [[graft.CacheLedger]] for its callers). */
   private[operators] def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // persisted: the exploded-shingle pipeline feeds the document-

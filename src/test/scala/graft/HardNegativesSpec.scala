@@ -41,6 +41,17 @@ class HardNegativesSpec extends SparkSpec {
 
     assert(got.toSet === expected)
     assert(got.forall { case (q, _, v, _) => labelOf(v) != labelOf(q) })
-    assert(got.groupBy(_._1).values.forall(_.length == 5))
+    // per-query result count = min(k, candidates with a DIFFERENT
+    // label) computed from the data — a flat `== 5` would silently
+    // depend on the generator giving every query >= 5 cross-label
+    // candidates, and a label-distribution change would fail it with a
+    // misleading message instead of pointing at the data assumption
+    val gotByQ = got.groupBy(_._1).view.mapValues(_.length).toMap
+    emb.filter(_._1 < 10).foreach { case (q, _, ql) =>
+      val avail = emb.count(e => e._1 != q && e._3 != ql)
+      assert(gotByQ.getOrElse(q, 0) == math.min(5, avail),
+        s"query $q: expected min(5, $avail available cross-label " +
+          s"candidates), got ${gotByQ.getOrElse(q, 0)}")
+    }
   }
 }

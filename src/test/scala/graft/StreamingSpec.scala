@@ -504,4 +504,99 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"stale change resurrected after restart: ${got(1L)}")
     assert(got(2L) === CdcUpdate(2L, 7L, live = false, 0.0), s"got ${got(2L)}")
   }
+
+  test("streaming heavy hitters recover the SpaceSaving summary across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("hh_ckpt").toString
+
+    val in = MemoryStream[String]
+    // complete-mode memory sink can't recover from a checkpoint;
+    // foreachBatch can — keep only the LATEST complete emission
+    val latest = new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](Map.empty)
+    def start() = EventStreams.topFreq(in.toDF().toDF("item"), "item", k = 8)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        latest.set(batch.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete).start()
+
+    // run A: counts live ONLY in the aggregation state store at stop
+    val q1 = start()
+    try {
+      in.addData("a", "b", "a")
+      q1.processAllAvailable()
+      assert(latest.get() === Map("a" -> 2L, "b" -> 1L))
+    } finally q1.stop()
+
+    // run B: the recovered summary must MERGE with new partials — if
+    // state had been lost, "a" would vanish and "b" would restart at 1
+    val q2 = start()
+    try {
+      in.addData("b", "c")
+      q2.processAllAvailable()
+      assert(latest.get() === Map("a" -> 2L, "b" -> 2L, "c" -> 1L),
+        s"summary did not survive the restart: ${latest.get()}")
+    } finally q2.stop()
+  }
+
+  test("stream-stream interval join recovers buffered click state across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ivj_ckpt").toString
+
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id", "value")
+
+    // (purchase_id, click_id or None) — accumulated across both runs
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long])]()
+    def start() = EventStreams.attributionJoin(cdf, pdf, lagMinutes = 60)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select($"purchase_id", $"click_id").collect().foreach { r =>
+          emitted.add(r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    // run A: ONLY a click arrives — it exists solely in the join's
+    // buffered state when the query stops
+    val q1 = start()
+    try {
+      clicks.addData((1L, ts(1000), 101L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // run B: a purchase 30 minutes later must match the RECOVERED
+    // click (inner matches emit without waiting for the watermark);
+    // a second, unattributed purchase must surface with a NULL click
+    // once the watermark passes its join window (the left-outer half)
+    val q2 = start()
+    try {
+      purchases.addData((1L, ts(1030), 201L, 9.99))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(emitted.asScala.toSet === Set(201L -> Some(101L)),
+        s"buffered click state did not survive the restart: ${emitted.asScala.toSet}")
+
+      purchases.addData((2L, ts(1040), 202L, 5.0))
+      q2.processAllAvailable()
+      // advance BOTH watermarks (global watermark = min across inputs)
+      // past 1040 + lag + the 2-hour delay so the outer result flushes;
+      // two nudge batches because eviction runs a batch behind the
+      // watermark update
+      clicks.addData((8L, ts(5000), 801L))
+      purchases.addData((9L, ts(5000), 901L, 0.0))
+      q2.processAllAvailable()
+      clicks.addData((8L, ts(5001), 802L))
+      purchases.addData((9L, ts(5001), 902L, 0.0))
+      q2.processAllAvailable()
+      assert(emitted.asScala.toSet.contains(202L -> None),
+        s"unattributed purchase never flushed: ${emitted.asScala.toSet}")
+    } finally q2.stop()
+  }
 }
