@@ -75,6 +75,11 @@ object SparkEntry {
     "docs_source_stats"        -> (CorpusQueries.docsSourceStats _),
     "text_bm25"                -> (CorpusQueries.textBm25 _),
     "text_lm_score"            -> (CorpusQueries.textLmScore _),
+    // the 100 TB posture: model thresholded to its head + broadcast
+    "text_lm_score_head"       -> ((s: SparkSession, d: String) =>
+      CorpusQueries.textLmScoreHead(s, d)),
+    "docs_quality_buckets_head" -> ((s: SparkSession, d: String) =>
+      CorpusQueries.docsQualityBucketsHead(s, d)),
     // rows-only gate: LSH banding + cosine aren't SQL-expressible;
     // PipelineSpec pins equality with all-pairs brute force
     "text_decontaminate_semantic" -> (PipelineQueries.textDecontaminateSemantic _),
@@ -894,6 +899,33 @@ object SparkEntry {
         |FROM grams JOIN model USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // head-model variant: model rows restricted to c2 >= 2 AFTER the
+    // full-table c1 denominator (surviving bp identical to the exact
+    // model); LEFT join + coalesce keeps n_bigrams unchanged and
+    // scores dropped tail grams 0
+    "text_lm_score_head" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY g),
+        |c1 AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |model AS (
+        |  SELECT g, CAST(floor(10000 * c2.c2 / c1.c1) AS BIGINT) AS bp
+        |  FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1
+        |  WHERE c2.c2 >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(coalesce(bp, 0)) AS BIGINT) AS sum_bp,
+        |  CAST(floor(CAST(sum(coalesce(bp, 0)) AS BIGINT) / count(*)) AS BIGINT) AS avg_bp
+        |FROM grams LEFT JOIN model USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // same change derivation as the Spark side; update-then-delete on
     // one key resolves by highest seq (delete wins)
     "io_merge_upsert" ->
@@ -1491,6 +1523,46 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CAST(floor(CAST(sum(bp) AS BIGINT) / count(*)) AS BIGINT) AS avg_bp
         |  FROM gr JOIN model USING (g) GROUP BY doc_id),
+        |perdoc AS (
+        |  SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |    coalesce(lm.avg_bp, 0) AS score
+        |  FROM documents d LEFT JOIN lm ON d.doc_id = lm.doc_id),
+        |th AS (SELECT lang, quantile_cont(score, 0.25) AS t1,
+        |              quantile_cont(score, 0.75) AS t2
+        |       FROM perdoc GROUP BY lang)
+        |SELECT p.lang,
+        |  CASE WHEN score > t2 THEN 'head'
+        |       WHEN score > t1 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM perdoc p JOIN th ON p.lang = th.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // head-model bucketing: identical CTEs except the model keeps only
+    // c2 >= 2 rows (c1 still full-table) and lm LEFT-joins with
+    // coalesce — thresholds re-derive from the head scores
+    "docs_quality_buckets_head" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM gr GROUP BY g),
+        |c1 AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |model AS (
+        |  SELECT g, CAST(floor(10000 * c2.c2 / c1.c1) AS BIGINT) AS bp
+        |  FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1
+        |  WHERE c2.c2 >= 2),
+        |lm AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(sum(coalesce(bp, 0)) AS BIGINT) / count(*)) AS BIGINT) AS avg_bp
+        |  FROM gr LEFT JOIN model USING (g) GROUP BY doc_id),
         |perdoc AS (
         |  SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars,
         |    coalesce(lm.avg_bp, 0) AS score

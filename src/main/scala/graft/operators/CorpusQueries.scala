@@ -159,11 +159,11 @@ object CorpusQueries {
         floor($"sum_bp" / $"n_bigrams").cast("long").as("avg_bp"))
       // materialized + persisted so docGrams can be released eagerly
       // (the dedup-family discipline; the returned frame is PERSISTED —
-      // long-lived sessions unpersist it once consumed)
+      // ledger-registered so long-lived sessions can release it)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count()
     docGrams.unpersist()
-    scored.orderBy($"doc_id")
+    graft.CacheLedger.register("text_lm_score", scored).orderBy($"doc_id")
   }
 
   /** CCNet-style quality bucketing: split each language's corpus into
@@ -188,7 +188,28 @@ object CorpusQueries {
     * precedent) — hash-exact SQL oracle. */
   def docsQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = textLmScore(spark, dir).select($"doc_id", $"avg_bp")
+    bucketsFromScores(spark, dir,
+      textLmScore(spark, dir).select($"doc_id", $"avg_bp"))
+  }
+
+  /** [[docsQualityBuckets]] over the broadcast head model
+    * ([[textLmScoreHead]]) — the 100 TB pairing: bucketing's own plan
+    * is unchanged (it is already scale-correct), only the score feed
+    * swaps to the variant whose model join never shuffles the corpus.
+    * Hash-gated with its own oracle: the thresholds re-derive from the
+    * head scores, so the buckets are exact FOR THE HEAD SCORE, not an
+    * approximation of the exact-score buckets (a doc near a quartile
+    * boundary can land differently — that is the documented trade). */
+  def docsQualityBucketsHead(
+      spark: SparkSession, dir: String, minCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    bucketsFromScores(spark, dir,
+      textLmScoreHead(spark, dir, minCount).select($"doc_id", $"avg_bp"))
+  }
+
+  private def bucketsFromScores(
+      spark: SparkSession, dir: String, scored: DataFrame): DataFrame = {
+    import spark.implicits._
     val perDoc = Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id", $"lang", length($"text").cast("long").as("n_chars"))
       .join(scored, Seq("doc_id"), "left")
@@ -294,8 +315,16 @@ object CorpusQueries {
     * the ONE definition of bp both [[textLmScore]] (which already holds
     * counts at (doc, g) granularity) and [[lmBigramModel]] (instance
     * granularity, the streaming twin's entry point) reduce to, so the
-    * batch and streaming models cannot drift. */
-  private[graft] def lmBigramModelFromCounts(c2: DataFrame): DataFrame = {
+    * batch and streaming models cannot drift.
+    *
+    * `minCount` keeps only the model HEAD (bigrams seen >= minCount
+    * times) — the [[textLmScoreHead]] scale posture. The threshold is
+    * applied AFTER the c1 denominator sums the FULL table, so a
+    * surviving bigram's bp is bit-identical to the unthresholded
+    * model's; dropping is the only approximation. Default 1 = keep
+    * everything (the exact paths are unchanged). */
+  private[graft] def lmBigramModelFromCounts(
+      c2: DataFrame, minCount: Long = 1L): DataFrame = {
     val spark = c2.sparkSession
     import spark.implicits._
     // w1 recovered from the gram key: tokens contain no spaces, so
@@ -303,8 +332,48 @@ object CorpusQueries {
     // derivation stated in the oracle via split_part)
     val c1 = c2.groupBy(substring_index($"g", " ", 1).as("w1"))
       .agg(sum($"c2").as("c1"))
-    c2.withColumn("w1", substring_index($"g", " ", 1))
+    c2.filter($"c2" >= minCount)
+      .withColumn("w1", substring_index($"g", " ", 1))
       .join(c1, "w1")
       .select($"g", floor(lit(10000L) * $"c2" / $"c1").cast("long").as("bp"))
+  }
+
+  /** The production 100 TB variant of [[textLmScore]] — the posture the
+    * exact query's docstring describes: threshold the model to its HEAD
+    * (bigrams with corpus count >= `minCount`) and BROADCAST it, so the
+    * (doc, g, cnt) frame never shuffles for the scoring join. The full
+    * model is corpus-vocabulary-sized (unbroadcastable at scale, the
+    * exact path shuffles for its join); the head is bounded by the
+    * frequency threshold — the long tail of near-singleton bigrams it
+    * drops scores ~0 bp anyway (bp = floor(10000·c2/c1) with c2 small).
+    *
+    * Approximation contract (LmHeadSpec pins all three):
+    *  - minCount = 1 is bit-identical to [[textLmScore]];
+    *  - n_bigrams is UNCHANGED (left join; dropped grams score 0, they
+    *    don't disappear from the denominator);
+    *  - the error is one-sided and exactly the tail mass: per doc,
+    *    exact sum_bp − head sum_bp = Σ cnt·bp over that doc's grams
+    *    with corpus count < minCount. avg_bp can therefore only
+    *    round DOWN relative to the exact score, never up. */
+  def textLmScoreHead(
+      spark: SparkSession, dir: String, minCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val docGrams = bigramInstances(Tables.widened(Tables.documents(spark, dir)))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head = lmBigramModelFromCounts(
+      docGrams.groupBy($"g").agg(sum($"cnt").as("c2")), minCount)
+    val scored = docGrams.join(broadcast(head), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_bigrams"),
+        sum($"cnt" * coalesce($"bp", lit(0L))).as("sum_bp"))
+      .select($"doc_id", $"n_bigrams", $"sum_bp",
+        floor($"sum_bp" / $"n_bigrams").cast("long").as("avg_bp"))
+      // materialize-then-release (the dedup-family discipline); the
+      // returned frame stays persisted, ledger-registered for callers
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    docGrams.unpersist()
+    graft.CacheLedger.register("text_lm_score_head", scored).orderBy($"doc_id")
   }
 }

@@ -53,6 +53,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("head-model LM scoring joins by broadcast — the corpus frame never shuffles for the model") {
+    val s = fmt(graft.operators.CorpusQueries.textLmScoreHead(spark, sf))
+    assert(s.contains("BroadcastHashJoin"),
+      s"head model not broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"scoring join shuffles the (doc, g, cnt) frame:\n$s")
+    graft.CacheLedger.releaseAll()
+  }
+
   test("range join plans as an equi-join, not a nested loop") {
     val s = fmt(Analytics.qRangeJoin(spark, sf))
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
