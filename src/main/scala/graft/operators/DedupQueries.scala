@@ -263,18 +263,19 @@ object DedupQueries {
     import spark.implicits._
     val ex = explodedShingles(spark, dir)
 
-    // ONE aggregation produces both the 64 minhash lanes (codegen'd
-    // min aggs) and the sorted shingle array the verify step needs —
-    // the banding path and the verify path then reference the same
-    // subplan, so the shuffle is planned once and reused instead of
-    // re-shingling the corpus per consumer.
+    // Lanes-ONLY signature aggregate: 64 codegen'd min lanes combine
+    // map-side, so the exchange carries ~520 B/doc of partial minima —
+    // not the corpus. (An earlier formulation folded
+    // sort_array(collect_list(gram)) into this same aggregate so the
+    // verify arrays came "for free"; collect_list has no map-side
+    // combine, so the whole corpus-as-shingles crossed the shuffle AND
+    // sat in the persist — the superlinear term the sf100 decade
+    // measured. Verify arrays are now built candidate-restricted,
+    // below.)
     val laneAggs = (0 until MinhashLanes).map(i =>
-      min(xxhash64(lit(i), $"gram")).as(s"h$i")) :+
-      sort_array(collect_list($"gram")).as("g")
-    // persisted: referenced FOUR times downstream (both sides of the
-    // band self-join, both sides of the verify join) and AQE's exchange
-    // reuse across those references is not guaranteed — without the
-    // cache the shingle+aggregate pipeline can execute up to 4x.
+      min(xxhash64(lit(i), $"gram")).as(s"h$i"))
+    // persisted: referenced by both sides of the band self-join, and
+    // fixed-width (one 520-byte row per doc) at any scale.
     // Unpersisted below once the edge list is materialized.
     val sigs = ex.groupBy($"doc_id").agg(laneAggs.head, laneAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -289,29 +290,49 @@ object DedupQueries {
         .select($"doc_id", $"bb.band", $"bb.band_hash"),
       Seq("band", "band_hash"), MaxBucket)
 
+    // persisted: referenced twice below (the candidate-id semi-join
+    // AND the verify join) — without the cache the band self-join
+    // re-executes per reference. Candidate-pair-sized, far below the
+    // corpus.
     val candidates = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val edges = verifyJaccard(candidates, sigs.select($"doc_id", $"g"))
+    // Verify arrays for CANDIDATE docs only: re-shingle the corpus (a
+    // second map-only scan — no exchange) and keep candidate ids via a
+    // semi-join, so the unavoidable collect_list shuffle is sized by
+    // the candidate set, not the corpus. AQE broadcasts the id side at
+    // every measured scale; at 100 TB (candidate ids past the
+    // broadcast threshold) the posture is a bloom prune on doc_id
+    // ahead of this semi-join — same shape as q_bloom_prune_join.
+    val candIds = candidates.select($"id_a".as("doc_id"))
+      .union(candidates.select($"id_b".as("doc_id")))
+      .distinct()
+    val arrays = ex.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy($"doc_id").agg(sort_array(collect_list($"gram")).as("g"))
+
+    val edges = verifyJaccard(candidates, arrays)
       .select($"id_a".as("src"), $"id_b".as("dst"))
 
     // label() materializes (and persists) the edge list up front, after
-    // which nothing re-reads sigs: safe to release here
+    // which nothing re-reads sigs or candidates: safe to release here
     val labels = ConnectedComponents.label(edges)
     sigs.unpersist()
+    candidates.unpersist()
     labels
       .select($"id".as("doc_id"), $"component".as("cluster_rep"))
       .orderBy($"doc_id")
   }
 
   /** SimHash near-dup pairs: 64-bit token simhash from codegen'd
-    * per-bit sum aggregates over exploded token hashes, 4×16-bit band
-    * blocking (pigeonhole-complete for hamming <= 3), exact hamming
-    * verify. Produces the same signatures as
-    * Similarity.simhash64 (ties set the bit). */
+    * per-bit sum aggregates over exploded token hashes, block-
+    * combination blocking (6 blocks choose 3, complete for hamming
+    * <= 3 — see Similarity.simhashBlockCombos for why 4×16-bit bands
+    * go quadratic in corpus size), exact hamming verify. Produces the
+    * same signatures as Similarity.simhash64 (ties set the bit). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val maxHamming = 3
@@ -338,7 +359,7 @@ object DedupQueries {
 
     val buckets = Similarity.boundBuckets(
       sigs.select($"doc_id", $"sig",
-          explode(Similarity.simhashBands($"sig", 4)).as("bb"))
+          explode(Similarity.simhashBlockCombos($"sig", 6, maxHamming)).as("bb"))
         .select($"doc_id", $"sig", $"bb.band", $"bb.band_bits"),
       Seq("band", "band_bits"), MaxBucket)
 

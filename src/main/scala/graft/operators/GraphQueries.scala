@@ -106,26 +106,30 @@ object GraphQueries {
         $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
-    // ONE persisted edge layout: (src, dst, outdeg), hash-partitioned
-    // on src for every round's join. Both orientations EXPLODE from a
-    // single pass over the deduped pairs (a union of e0 with its flip
-    // would evaluate the distinct subtree twice); they land in disjoint
-    // (even → odd / odd → even) key spaces, so no re-dedup is needed.
-    // outdeg attaches via a count aggregate + shuffle_hash join on the
-    // same src key — NOT a count window: the window needed a full sort
-    // of the edge list inside its exchange (an O(|E|) external sort,
-    // measured as the single biggest spill of the 1000x run), where
-    // the aggregate's shuffle carries one (src, count) row per node
-    // and the join's probe-side exchange is the src layout the rounds
-    // reuse anyway.
+    // ONE persisted edge layout: SLIM (src, dst) rows — 2 longs —
+    // hash-partitioned on src for every round's join. Both
+    // orientations EXPLODE from a single pass over the deduped pairs
+    // (a union of e0 with its flip would evaluate the distinct subtree
+    // twice); they land in disjoint (even → odd / odd → even) key
+    // spaces, so no re-dedup is needed. outdeg is NOT carried per edge
+    // (an earlier layout stored (src, dst, outdeg) — +50% cache bytes
+    // duplicating a per-NODE value onto every edge row; at the sf100
+    // decade that third column was pure spill): the r/outdeg division
+    // happens on the node-sized rank table each round, and the edge
+    // join attaches the finished per-node contribution.
     val both = e0.select(explode(array(
         struct($"src", $"dst"),
         struct($"dst".as("src"), $"src".as("dst")))).as("e"))
       .select($"e.src", $"e.dst")
-    val deg = both.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    val edges = both.join(deg.hint("shuffle_hash"), "src")
+    val edges = both.repartition($"src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgeCount = edges.count() // materialize: every round (and r0) reads the cache
+    // node-sized (src, outdeg) — computed ON the cache's src layout
+    // (groupBy src re-uses the partitioning: no exchange) and itself
+    // persisted so rounds don't re-scan the edge cache for degrees
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deg.count()
     val checkpointRounds = edgeCount >= ckptMinEdges
 
     val sc = spark.sparkContext
@@ -150,14 +154,24 @@ object GraphQueries {
       .select($"id", lit(1000000L).as("r"))
     var prevCheckpoint: Option[String] = None
     (1 to PagerankIters).foreach { _ =>
+      // per-NODE contribution first: r div outdeg on the rank table —
+      // a node-sized shuffle_hash join against the cached degree
+      // layout (deg never re-exchanges; ranks exchanges node-sized
+      // rows, which it did in any formulation). Identical integer
+      // arithmetic to dividing per edge: r div outdeg is constant
+      // across a node's out-edges.
+      val contribs = ranks.withColumnRenamed("id", "src")
+        .join(deg.hint("shuffle_hash"), "src")
+        .select($"src", expr("r div outdeg").as("c"))
       // shuffle_hash on the node-sized side: the edge cache never
-      // re-exchanges (its src layout satisfies the join), the rank
-      // table shuffles — at any scale the corpus-sized side stays put
-      // (a broadcast of ranks would be node-count-sized: not scale-safe)
+      // re-exchanges (its src layout satisfies the join), and contribs
+      // arrives already src-partitioned from the deg join — at any
+      // scale the corpus-sized side stays put (a broadcast of ranks
+      // would be node-count-sized: not scale-safe)
       ranks = edges
-        .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
+        .join(contribs.hint("shuffle_hash"), "src")
         .groupBy($"dst".as("id"))
-        .agg(sum(expr("r div outdeg")).as("s"))
+        .agg(sum($"c").as("s"))
         .select($"id", (lit(150000L) + expr("(85 * s) div 100")).as("r"))
       if (checkpointRounds) {
         val cached = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -184,6 +198,7 @@ object GraphQueries {
     // to the caller (the returned plan must not depend on the cache)
     val rows = out.collect()
     edges.unpersist()
+    deg.unpersist()
     // the result is on the driver now — the final round's checkpoint
     // files no longer back anything
     prevCheckpoint.foreach(deleteCheckpoint)

@@ -136,6 +136,41 @@ object Similarity {
         shrDyn(sig, i * lit(width)).bitwiseAND(lit(mask)).as("band_bits")))
   }
 
+  /** Block-combination blocking for hamming <= `maxHamming` over a
+    * `bits`-wide signature (Manku, Jain & Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW'07 §3): split the
+    * signature into `blocks` contiguous slices; a pair within hamming
+    * k differs in at most k blocks, so it agrees EXACTLY on some
+    * (blocks - k)-subset — one (combo, key) row per such combination
+    * and an equi-join on the key finds every pair. Like
+    * [[simhashBands]] with bands = k+1, but the key carries
+    * (blocks-k)/blocks of the signature's bits instead of 1/(k+1), so
+    * bucket entropy comes from key width, not corpus luck: 16-bit
+    * band keys top out at 65536 buckets — a 10x-bigger corpus means
+    * 10x-fuller buckets and ~100x the self-join pairs (the
+    * superlinear term the sf100 decade measured) — where C(6,3)
+    * ~32-bit triple keys keep buckets near-singleton until ~2^32
+    * docs. Cost: C(blocks, blocks-k) rows per doc (20 at 6 choose 3)
+    * vs k+1. The key is an xxhash64 of the slice triple — a hash
+    * collision only ADDS a candidate pair (killed by the caller's
+    * exact hamming verify), never loses one. */
+  def simhashBlockCombos(
+      sig: Column, blocks: Int, maxHamming: Int, bits: Int = 64): Column = {
+    require(blocks > maxHamming, "need more blocks than flipped bits")
+    val base = bits / blocks
+    val extra = bits % blocks // first `extra` blocks are one bit wider
+    val widths = (0 until blocks).map(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blockCols = (0 until blocks).map(i =>
+      shiftright(sig, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1)))
+    val structs = (0 until blocks).combinations(blocks - maxHamming)
+      .toSeq.zipWithIndex.map { case (combo, ci) =>
+        struct(lit(ci).as("band"),
+          xxhash64(lit(ci) +: combo.map(blockCols): _*).as("band_bits"))
+      }
+    array(structs: _*)
+  }
+
   /** Random-hyperplane signature for cosine LSH: bit i is the sign of
     * the dot product with a deterministic ±1 hyperplane derived from
     * xxhash64(plane, dim). Angle between vectors ∝ expected bit
