@@ -30,6 +30,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    if not len(df):
+        # DataFrame.apply on an empty frame raises (apply_empty_result
+        # wraps an empty list in a columns-indexed Series); nothing to
+        # sort anyway
+        return df.reset_index(drop=True)
     # sort on rendered reprs, not raw values: mixed object columns
     # (Decimal vs float) and array columns are not totally ordered
     key = df.apply(lambda col: [cell_repr(v) for v in col], axis=0)

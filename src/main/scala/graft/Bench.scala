@@ -45,7 +45,11 @@ object Bench {
         // so a repeat of the same query would silently reuse the
         // previous run's persisted intermediates — clear so every
         // timed run recomputes from the parquet sources (JIT warmth is
-        // what repeat is meant to keep; data-cache warmth is not)
+        // what repeat is meant to keep; data-cache warmth is not).
+        // Drain the ledger too: clearCache frees the cached data but
+        // the (tag, frame) entries and their plan trees would
+        // accumulate across a many-query bench session otherwise.
+        CacheLedger.releaseAll()
         spark.catalog.clearCache()
         // Shuffle files are only deleted when the ContextCleaner sees
         // the shuffle dependency get GC'd on the DRIVER — and a 64 GB

@@ -10,10 +10,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * (exploded shingle/digest frames) before returning. The returned
   * cache entry itself, however, outlives the call: a library caller who
   * never unpersists it strands one entry per invocation for the life of
-  * the session. The gate harnesses are already clean (Verify runs
-  * `catalog.clearCache()` after every query; Bench before every timed
-  * run); this ledger closes the library path — operators register the
-  * frames they return persisted, and callers release them in one call:
+  * the session. The gate harnesses drain it (Verify calls
+  * `releaseAll()` + `catalog.clearCache()` after every query; Bench
+  * before every timed run — clearCache alone frees the cached data but
+  * would leave ledger entries, and their retained plan trees,
+  * accumulating); library callers release the frames they were
+  * returned in one call:
   *
   * {{{
   *   val novelty = CurationQueries.textNgramNovelty(spark, dir)

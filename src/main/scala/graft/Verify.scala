@@ -23,7 +23,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release frames the operators persisted (dedup pipelines cache
-      // intermediates); keeps one query's cache from outliving its dump
+      // intermediates); keeps one query's cache from outliving its dump.
+      // Also drain the ledger of returned-persisted frames — clearCache
+      // frees the cached data but the ledger's (tag, frame) entries
+      // (and their retained plan trees) would otherwise accumulate for
+      // the session's lifetime.
+      CacheLedger.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -43,10 +43,12 @@ object DedupQueries {
     * (doc_id, gram_hash), with the doc's distinct-shingle count `s`.
     * Shared head of every near-dup pipeline. Persistence is the
     * CALLER's decision, per consumption pattern: the minhash path
-    * persists its downstream signature aggregate (4 references), the
-    * ngram path persists this frame directly (3 references), and at
-    * 100 TB the equivalent decision is an explicit checkpoint table,
-    * made by the pipeline author, not buried in this helper. */
+    * scans it twice map-only (lanes-only signature aggregate, then the
+    * candidate-restricted verify arrays) and persists those two
+    * downstream frames instead of this corpus-sized one; the ngram
+    * path persists this frame directly (3 references); and at 100 TB
+    * the equivalent decision is an explicit checkpoint table, made by
+    * the pipeline author, not buried in this helper. */
   private def explodedShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // ONE Generate evaluation per row: the (count, gram) structs come
@@ -290,10 +292,10 @@ object DedupQueries {
         .select($"doc_id", $"bb.band", $"bb.band_hash"),
       Seq("band", "band_hash"), MaxBucket)
 
-    // persisted: referenced twice below (the candidate-id semi-join
-    // AND the verify join) — without the cache the band self-join
-    // re-executes per reference. Candidate-pair-sized, far below the
-    // corpus.
+    // persisted: referenced three times below (both candIds union
+    // legs AND the verify join) — without the cache the band
+    // self-join re-executes per reference. Candidate-pair-sized, far
+    // below the corpus.
     val candidates = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
           $"a.doc_id" < $"b.doc_id")
@@ -311,17 +313,24 @@ object DedupQueries {
     val candIds = candidates.select($"id_a".as("doc_id"))
       .union(candidates.select($"id_b".as("doc_id")))
       .distinct()
+    // persisted: verifyJaccard joins this frame once per pair side,
+    // and AQE exchange reuse across the two references is not
+    // guaranteed — without the cache the corpus re-shingle scan and
+    // the collect_list shuffle can run twice. Candidate-doc-sized.
     val arrays = ex.join(candIds, Seq("doc_id"), "left_semi")
       .groupBy($"doc_id").agg(sort_array(collect_list($"gram")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val edges = verifyJaccard(candidates, arrays)
       .select($"id_a".as("src"), $"id_b".as("dst"))
 
     // label() materializes (and persists) the edge list up front, after
-    // which nothing re-reads sigs or candidates: safe to release here
+    // which nothing re-reads sigs, candidates or arrays: safe to
+    // release here
     val labels = ConnectedComponents.label(edges)
     sigs.unpersist()
     candidates.unpersist()
+    arrays.unpersist()
     labels
       .select($"id".as("doc_id"), $"component".as("cluster_rep"))
       .orderBy($"doc_id")
