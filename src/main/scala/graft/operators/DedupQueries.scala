@@ -338,10 +338,16 @@ object DedupQueries {
 
   /** SimHash near-dup pairs: 64-bit token simhash from codegen'd
     * per-bit sum aggregates over exploded token hashes, block-
-    * combination blocking (6 blocks choose 3, complete for hamming
+    * combination blocking (5 blocks choose 2, complete for hamming
     * <= 3 — see Similarity.simhashBlockCombos for why 4×16-bit bands
-    * go quadratic in corpus size), exact hamming verify. Produces the
-    * same signatures as Similarity.simhash64 (ties set the bit). */
+    * go quadratic in corpus size), exact hamming verify. blocks=5
+    * emits 10 rows/doc with ~25-bit pair keys (~670M slots across the
+    * 10 combos): buckets stay near-singleton to ~10^8 docs at half
+    * the row cost of C(6,3); past that, raise blocks to 6 (32-bit
+    * keys) — measured at sf10: bands 44.6M raw candidate pairs,
+    * C(5,2) 7.0M, C(6,3) 2.9M, all verifying to the same 97149 pair
+    * set. Produces the same signatures as Similarity.simhash64 (ties
+    * set the bit). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val maxHamming = 3
@@ -368,7 +374,7 @@ object DedupQueries {
 
     val buckets = Similarity.boundBuckets(
       sigs.select($"doc_id", $"sig",
-          explode(Similarity.simhashBlockCombos($"sig", 6, maxHamming)).as("bb"))
+          explode(Similarity.simhashBlockCombos($"sig", 5, maxHamming)).as("bb"))
         .select($"doc_id", $"sig", $"bb.band", $"bb.band_bits"),
       Seq("band", "band_bits"), MaxBucket)
 

@@ -315,7 +315,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     // exhaustive-ish: 200 seeded random signatures, each paired with a
     // copy whose 0..3 flipped bit positions are themselves seeded —
-    // every pair must share at least one of the C(6,3)=20 triple keys
+    // every pair must share at least one combo key, for BOTH the
+    // query's C(5,2) parameterization and the large-corpus C(6,3) one
     val rnd = new scala.util.Random(42)
     val cases = (0 until 200).map { _ =>
       val x = rnd.nextLong()
@@ -323,21 +324,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       val flips = rnd.shuffle((0 until 64).toList).take(k)
       (x, flips.foldLeft(x)((s, b) => s ^ (1L << b)))
     }
-    val df = cases.toDF("x", "y").select(
-      Similarity.simhashBlockCombos($"x", 6, 3).as("bx"),
-      Similarity.simhashBlockCombos($"y", 6, 3).as("by"))
-    val minShared = df.select(size(array_intersect($"bx", $"by")).as("shared"))
-      .agg(min($"shared")).collect()(0).getInt(0)
-    assert(minShared >= 1)
-    // and a pair differing in 4 DISTINCT blocks (bits 0/11/22/33 hit
-    // blocks 0-3, leaving only 2 intact — no triple survives) must
-    // share nothing: the keys separate non-near pairs instead of
-    // flooding buckets
-    val farSig = (1L << 0) | (1L << 11) | (1L << 22) | (1L << 33)
-    val far = Seq((0L, farSig)).toDF("x", "y").select(
-      Similarity.simhashBlockCombos($"x", 6, 3).as("bx"),
-      Similarity.simhashBlockCombos($"y", 6, 3).as("by"))
-    assert(far.select(size(array_intersect($"bx", $"by"))).collect()(0).getInt(0) === 0)
+    for (blocks <- Seq(5, 6)) {
+      val df = cases.toDF("x", "y").select(
+        Similarity.simhashBlockCombos($"x", blocks, 3).as("bx"),
+        Similarity.simhashBlockCombos($"y", blocks, 3).as("by"))
+      val minShared = df.select(size(array_intersect($"bx", $"by")).as("shared"))
+        .agg(min($"shared")).collect()(0).getInt(0)
+      assert(minShared >= 1, s"blocks=$blocks")
+    }
+    // and a pair differing in every block must share nothing: the keys
+    // separate non-near pairs instead of flooding buckets. Bits
+    // 0/11/22/33/44/55 hit all 5 blocks of the C(5,2) split (widths
+    // 13,13,13,13,12) and all 6 of the C(6,3) one (widths
+    // 11,11,11,11,10,10).
+    val farSig = Seq(0, 11, 22, 33, 44, 55).map(1L << _).reduce(_ | _)
+    for (blocks <- Seq(5, 6)) {
+      val far = Seq((0L, farSig)).toDF("x", "y").select(
+        Similarity.simhashBlockCombos($"x", blocks, 3).as("bx"),
+        Similarity.simhashBlockCombos($"y", blocks, 3).as("by"))
+      assert(far.select(size(array_intersect($"bx", $"by"))).collect()(0).getInt(0) === 0,
+        s"blocks=$blocks")
+    }
   }
 
   test("cluster representatives: local union-find + quality argmax agree (sf0.001)") {
