@@ -303,21 +303,29 @@ object DedupQueries {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Verify arrays for CANDIDATE docs only: re-shingle the corpus (a
-    // second map-only scan — no exchange) and keep candidate ids via a
-    // semi-join, so the unavoidable collect_list shuffle is sized by
-    // the candidate set, not the corpus. AQE broadcasts the id side at
-    // every measured scale; at 100 TB (candidate ids past the
-    // broadcast threshold) the posture is a bloom prune on doc_id
-    // ahead of this semi-join — same shape as q_bloom_prune_join.
+    // Verify arrays for CANDIDATE docs only: semi-join the RAW
+    // documents scan down to candidate ids BEFORE shingling (a left
+    // semi does not push below a Generate on its own — explain-
+    // verified — so joining the exploded frame would re-pay the full
+    // corpus shingle CPU), then shingle and collect just those docs:
+    // the shingle kernel AND the unavoidable collect_list shuffle are
+    // both sized by the candidate set, not the corpus. AQE broadcasts
+    // the id side at every measured scale; at 100 TB (candidate ids
+    // past the broadcast threshold) the posture is a bloom prune on
+    // doc_id ahead of this semi-join — same shape as
+    // q_bloom_prune_join.
     val candIds = candidates.select($"id_a".as("doc_id"))
       .union(candidates.select($"id_b".as("doc_id")))
       .distinct()
     // persisted: verifyJaccard joins this frame once per pair side,
     // and AQE exchange reuse across the two references is not
-    // guaranteed — without the cache the corpus re-shingle scan and
+    // guaranteed — without the cache the candidate shingle scan and
     // the collect_list shuffle can run twice. Candidate-doc-sized.
-    val arrays = ex.join(candIds, Seq("doc_id"), "left_semi")
+    val arrays = Tables.documents(spark, dir)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select($"doc_id",
+        explode(Similarity.wordNgramStructs(TextFunctions.wsTokens($"text"), 3)).as("x"))
+      .select($"doc_id", xxhash64($"x.gram").as("gram"))
       .groupBy($"doc_id").agg(sort_array(collect_list($"gram")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
