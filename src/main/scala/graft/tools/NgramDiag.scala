@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Harness
+
+/** Scratch diagnostic: where does dedup_ngram_jaccard's cost go as the
+  * corpus scales? Reproduces the PPJoin pipeline's stage row counts —
+  * prefix rows, raw prefix-bucket join pairs (the quadratic-in-bucket
+  * term), candidates after the two positional bounds, verified pairs —
+  * so a scaling decade can be attributed to a specific stage. Not part
+  * of the library surface. */
+object NgramDiag {
+  private val Tau = 0.7
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = Harness.buildSession(dir, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+
+    val ex = graft.Tables.widened(graft.Tables.documents(spark, dir))
+      .select($"doc_id",
+        explode(graft.similarity.Similarity.wordNgramStructs(
+          graft.text.TextFunctions.wsTokens($"text"), 3)).as("x"))
+      .select($"doc_id", $"x.s".as("s"), xxhash64($"x.gram").as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[diag] shingle_rows=${ex.count()}")
+
+    val freq2 = ex.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" >= 2)
+    val arrays = ex.join(freq2, Seq("gram"), "left")
+      .select($"doc_id", $"s",
+        struct(coalesce($"df", lit(1L)).as("df"), $"gram").as("kg"))
+      .groupBy($"doc_id")
+      .agg(first($"s").as("s"), collect_list($"kg").as("kgs"))
+      .select($"doc_id", $"s",
+        expr(s"transform(slice(array_sort(kgs), 1, int(s - ceil(s * $Tau) + 1)), x -> x.gram)")
+          .as("prefix"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[diag] docs=${arrays.count()}")
+
+    val preAB = arrays.select($"doc_id", $"s", posexplode($"prefix").as(Seq("p0", "gram")))
+      .select($"doc_id", $"s", ($"p0" + 1).as("p"), $"gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[diag] prefix_rows=${preAB.count()}")
+    val occ = preAB.groupBy($"gram").agg(count(lit(1)).as("n"))
+      .agg(max($"n").as("max_occ"), sum(expr("n * (n - 1) div 2")).as("bucket_pairs"))
+      .collect()(0)
+    println(s"[diag] max_bucket=${occ.getLong(0)} bucket_pair_rows=${occ.getLong(1)}")
+
+    var t0 = System.nanoTime()
+    val joined = preAB.as("a").join(preAB.as("b"),
+        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id" &&
+          $"b.s" >= ceil($"a.s" * Tau) && $"a.s" >= ceil($"b.s" * Tau))
+    val rawPairRows = joined.count()
+    println(f"[diag] joined_rows_after_length=$rawPairRows (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+
+    t0 = System.nanoTime()
+    val candidates = joined
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        $"a.s".as("sa"), $"b.s".as("sb"))
+      .agg(min($"a.p").as("pa"), min($"b.p").as("pb"),
+        max($"a.p").as("qa"), max($"b.p").as("qb"), count(lit(1)).as("c"))
+      .filter(lit(1) + least($"sa" - $"pa", $"sb" - $"pb") >=
+        expr("(7 * (sa + sb) + 16) div 17") &&
+        $"c" + least($"sa" - $"qa", $"sb" - $"qb") >=
+        expr("(7 * (sa + sb) + 16) div 17"))
+      .select($"id_a", $"id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(f"[diag] candidates=${candidates.count()} (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+
+    // distinct pairs before positional bounds — how much do the bounds buy?
+    t0 = System.nanoTime()
+    val distinctPairs = joined.select($"a.doc_id", $"b.doc_id").distinct().count()
+    println(f"[diag] distinct_pairs_no_positional=$distinctPairs (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+
+    preAB.unpersist()
+    ex.unpersist()
+    arrays.unpersist()
+    candidates.unpersist()
+    spark.stop()
+  }
+}
