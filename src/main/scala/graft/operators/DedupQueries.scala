@@ -29,7 +29,7 @@ import graft.similarity.{ConnectedComponents, Similarity}
   */
 object DedupQueries {
 
-  private val Tau = 0.7
+  private[graft] val Tau = 0.7
   private val MinhashLanes = 64
   private val MinhashBands = 16 // 4 rows per band
 
@@ -49,7 +49,7 @@ object DedupQueries {
     * path persists this frame directly (3 references); and at 100 TB
     * the equivalent decision is an explicit checkpoint table, made by
     * the pipeline author, not buried in this helper. */
-  private def explodedShingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def explodedShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // ONE Generate evaluation per row: the (count, gram) structs come
     // pre-paired, so neither a filter nor a size() projection
@@ -349,9 +349,10 @@ object DedupQueries {
     * combination blocking (5 blocks choose 2, complete for hamming
     * <= 3 — see Similarity.simhashBlockCombos for why 4×16-bit bands
     * go quadratic in corpus size), exact hamming verify. blocks=5
-    * emits 10 rows/doc with ~25-bit pair keys (~670M slots across the
-    * 10 combos): buckets stay near-singleton to ~10^8 docs at half
-    * the row cost of C(6,3); past that, raise blocks to 6 (32-bit
+    * emits 10 rows/doc with 25–26-bit pair keys (block widths
+    * 13,13,13,13,12 → 6·2^26 + 4·2^25 ≈ 537M slots across the 10
+    * combos): buckets average ~2 occupants at 10^8 docs at half the
+    * row cost of C(6,3); past that, raise blocks to 6 (32-bit
     * keys) — measured at sf10: bands 44.6M raw candidate pairs,
     * C(5,2) 7.0M, C(6,3) 2.9M, all verifying to the same 97149 pair
     * set. Produces the same signatures as Similarity.simhash64 (ties

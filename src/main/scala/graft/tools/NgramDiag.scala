@@ -9,20 +9,24 @@ import graft.Harness
   * prefix rows, raw prefix-bucket join pairs (the quadratic-in-bucket
   * term), candidates after the two positional bounds, verified pairs —
   * so a scaling decade can be attributed to a specific stage. Not part
-  * of the library surface. */
+  * of the library surface.
+  *
+  * Shares DedupQueries' shingle builder and Tau so the input side
+  * cannot drift from the production query; the prefix/candidate
+  * stages below MIRROR DedupQueries.ngramJaccardPairs (they need
+  * per-stage count taps the production pipeline deliberately fuses
+  * away) — any change to that pipeline's prefix formula or positional
+  * bounds must be reflected here or the attribution evidence in
+  * BASELINE.md goes stale. */
 object NgramDiag {
-  private val Tau = 0.7
+  private val Tau = graft.operators.DedupQueries.Tau
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val spark = Harness.buildSession(dir, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
 
-    val ex = graft.Tables.widened(graft.Tables.documents(spark, dir))
-      .select($"doc_id",
-        explode(graft.similarity.Similarity.wordNgramStructs(
-          graft.text.TextFunctions.wsTokens($"text"), 3)).as("x"))
-      .select($"doc_id", $"x.s".as("s"), xxhash64($"x.gram").as("gram"))
+    val ex = graft.operators.DedupQueries.explodedShingles(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[diag] shingle_rows=${ex.count()}")
 
