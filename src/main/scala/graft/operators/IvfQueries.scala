@@ -28,17 +28,33 @@ object IvfQueries {
   private val NQueries = 10
   private val TrainSample = 4096
 
-  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
+    annIvfTopkWith(spark, dir, trainCentroids(spark, dir))
+
+  /** The training half of the train/serve split: fit the coarse
+    * quantizer alone, e.g. to persist via [[graft.io.ModelIO]] and
+    * serve from in later runs. 5 Lloyd's iterations: cell assignments
+    * stabilize well before centroid convergence, and IVF recall
+    * depends only on assignments (probing covers NProbe cells
+    * anyway). */
+  def trainCentroids(spark: SparkSession, dir: String): Array[Array[Float]] = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val sample = LocalKMeans.sample(emb, "vec_id", "embedding", TrainSample)
+    LocalKMeans.train(sample, NList, 5, 42L)
+  }
+
+  /** The serving half: run the IVF probe/score pipeline under a
+    * PRE-TRAINED quantizer (typically [[graft.io.ModelIO.loadCentroids]]
+    * output). Bit-identical centroids give bit-identical results, so a
+    * persisted model makes serving reproducible across runs with no
+    * training scan. */
+  def annIvfTopkWith(
+      spark: SparkSession, dir: String, centroids: Array[Array[Float]]): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.ensureRegistered(spark)
 
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-
-    // 5 Lloyd's iterations: cell assignments stabilize well before
-    // centroid convergence, and IVF recall depends only on assignments
-    // (probing covers NProbe cells anyway)
-    val sample = LocalKMeans.sample(emb, "vec_id", "embedding", TrainSample)
-    val centroids = LocalKMeans.train(sample, NList, 5, 42L)
 
     // corpus annotated with its cell (at scale: the partitioning key)
     // in one map pass over the broadcast centroids

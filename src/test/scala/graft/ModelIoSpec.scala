@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.ModelIO
+import graft.operators.IvfQueries
+import graft.similarity.LocalKMeans
+import graft.text.Bpe
+
+/** Model persistence (the train/serve split): every artifact must
+  * round-trip parquet BIT-exactly — a served model that differs from
+  * the trained one by even an ulp silently changes cell assignments
+  * and scores, which is exactly the non-reproducibility the split is
+  * meant to kill. */
+class ModelIoSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_model_$name").resolve("m").toString
+
+  test("centroids round-trip bit-exactly and the served IVF path equals the trained one") {
+    val centroids = IvfQueries.trainCentroids(spark, sf)
+    val path = tmp("centroids")
+    ModelIO.saveCentroids(spark, centroids, path)
+    val loaded = ModelIO.loadCentroids(spark, path)
+    assert(loaded.length === centroids.length)
+    centroids.zip(loaded).foreach { case (a, b) => assert(a.sameElements(b)) }
+
+    val trained = IvfQueries.annIvfTopk(spark, sf).collect().toSeq
+    val served = IvfQueries.annIvfTopkWith(spark, sf, loaded).collect().toSeq
+    assert(served === trained)
+  }
+
+  test("PQ codebooks round-trip bit-exactly (ragged subspace shapes preserved)") {
+    // small deterministic books via the real trainer on sliced samples
+    val emb = Tables.embeddings(spark, sf)
+    val sample = LocalKMeans.sample(emb, "vec_id", "embedding", 256)
+    val dim = sample(0).length
+    val sub = dim / 4
+    val books = (0 until 4).toArray.map { s =>
+      LocalKMeans.train(sample.map(_.slice(s * sub, (s + 1) * sub)), 8, 3, 7L + s)
+    }
+    val path = tmp("books")
+    ModelIO.saveCodebooks(spark, books, path)
+    val loaded = ModelIO.loadCodebooks(spark, path)
+    assert(loaded.length === books.length)
+    books.zip(loaded).foreach { case (b, l) =>
+      assert(l.length === b.length)
+      b.zip(l).foreach { case (c, d) => assert(c.sameElements(d)) }
+    }
+  }
+
+  test("BPE merges round-trip in rank order and loaded merges encode identically") {
+    val words = Seq(("lower", 5L), ("lowest", 3L), ("newer", 4L), ("wider", 2L))
+    val merges = Bpe.train(words, 12)
+    assert(merges.nonEmpty)
+    val path = tmp("bpe")
+    ModelIO.saveBpeMerges(spark, merges, path)
+    val loaded = ModelIO.loadBpeMerges(spark, path)
+    assert(loaded === merges)
+    words.map(_._1).foreach { w =>
+      assert(Bpe.encode(w, loaded) === Bpe.encode(w, merges))
+    }
+  }
+
+  test("LM head round-trips as a distributed frame and rejects a non-model path") {
+    import spark.implicits._
+    val docs = Tables.widened(Tables.documents(spark, sf))
+    val model = graft.operators.CorpusQueries.lmBigramModel(
+      graft.operators.CorpusQueries.bigramInstances(docs))
+    val path = tmp("lmhead")
+    ModelIO.saveLmHead(model, path)
+    val loaded = ModelIO.loadLmHead(spark, path)
+    val a = model.select($"g", $"bp").collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val b = loaded.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(b === a)
+
+    val bad = tmp("notamodel")
+    docs.select($"doc_id").write.parquet(bad)
+    intercept[IllegalArgumentException](ModelIO.loadLmHead(spark, bad))
+  }
+}
