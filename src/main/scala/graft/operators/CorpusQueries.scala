@@ -261,24 +261,56 @@ object CorpusQueries {
   def textBpeEncode(
       spark: SparkSession, dir: String, numMerges: Int = 200,
       maxTrainVocab: Int = 1 << 16): DataFrame = {
+    val vocab = topVocab(spark, dir, maxTrainVocab)
+    encodeCore(spark, dir, graft.text.Bpe.train(vocab, numMerges), vocab.map(_._1))
+  }
+
+  /** The training half of the train/serve split: fit the ranked merge
+    * table alone, e.g. to persist via [[graft.io.ModelIO.saveBpeMerges]]
+    * and serve from in later runs. */
+  def trainBpeMerges(
+      spark: SparkSession, dir: String, numMerges: Int = 200,
+      maxTrainVocab: Int = 1 << 16): Vector[graft.text.Bpe.Merge] =
+    graft.text.Bpe.train(topVocab(spark, dir, maxTrainVocab), numMerges)
+
+  /** The serving half: encode a corpus under a PRE-TRAINED merge table
+    * (typically [[graft.io.ModelIO.loadBpeMerges]] output). Encoding
+    * depends ONLY on the merge ranks — the vocabulary lookup table is
+    * a memoized fast path whose entries equal the merge replay by
+    * construction — so serving re-derives the memo from the SERVED
+    * corpus's own top-k vocabulary (one distributed top-k, no driver
+    * merge loop) and produces the same subword streams the inline
+    * train+encode does for the same merges. */
+  def textBpeEncodeWith(
+      spark: SparkSession, dir: String, merges: Seq[graft.text.Bpe.Merge],
+      maxTrainVocab: Int = 1 << 16): DataFrame =
+    encodeCore(spark, dir, merges, topVocab(spark, dir, maxTrainVocab).map(_._1))
+
+  // the collect is BOUNDED by construction, not just by corpus
+  // statistics: take the maxTrainVocab most frequent words
+  // (deterministic (f desc, w asc) tie-break; TakeOrderedAndProject,
+  // so the sort is a distributed partial top-k, not a global sort).
+  // On every gate corpus the full vocabulary is far below the cap
+  // (3.1k words at sf10), so the cap changes nothing there; on a real
+  // 100 TB corpus it is what keeps the driver model bounded while the
+  // frequency tail falls back to merge-rank replay in the encoder.
+  private def topVocab(
+      spark: SparkSession, dir: String, maxTrainVocab: Int): Seq[(String, Long)] = {
     import spark.implicits._
-    // the collect is BOUNDED by construction, not just by corpus
-    // statistics: take the maxTrainVocab most frequent words
-    // (deterministic (f desc, w asc) tie-break; TakeOrderedAndProject,
-    // so the sort is a distributed partial top-k, not a global sort).
-    // On every gate corpus the full vocabulary is far below the cap
-    // (3.1k words at sf10), so the cap changes nothing there; on a real
-    // 100 TB corpus it is what keeps the driver model bounded while the
-    // frequency tail falls back to merge-rank replay in the encoder.
-    val vocab = Tables.widened(Tables.documents(spark, dir))
+    Tables.widened(Tables.documents(spark, dir))
       .select(explode(wsTokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("f"))
       .orderBy($"f".desc, $"w")
       .limit(maxTrainVocab)
       .as[(String, Long)].collect().toSeq
-    val merges = graft.text.Bpe.train(vocab, numMerges)
+  }
+
+  private def encodeCore(
+      spark: SparkSession, dir: String, merges: Seq[graft.text.Bpe.Merge],
+      memoWords: Seq[String]): DataFrame = {
+    import spark.implicits._
     val table: Map[String, Seq[String]] =
-      vocab.map { case (w, _) => w -> graft.text.Bpe.encode(w, merges) }.toMap
+      memoWords.map(w => w -> graft.text.Bpe.encode(w, merges)).toMap
     val bcTable = spark.sparkContext.broadcast(table)
     val bcMerges = spark.sparkContext.broadcast(merges)
     val enc = udf((toks: Seq[String]) => toks.flatMap { w =>

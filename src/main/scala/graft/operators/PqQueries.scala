@@ -69,15 +69,25 @@ object PqQueries {
     * direct JVM argmin loop over 128 centroids; a Catalyst HOF argmin
     * over 128 literal arrays would be interpreted per element and
     * slower than this single call. */
-  private[graft] def encode(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val emb = Tables.widened(Tables.embeddings(spark, dir)).select($"vec_id", $"embedding")
+  private[graft] def encode(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    encodeWith(spark, dir, trainCodebooks(spark, dir))
 
+  /** The training half of the train/serve split: fit the per-subspace
+    * codebooks alone, e.g. to persist via [[graft.io.ModelIO.saveCodebooks]]
+    * and serve from in later runs. */
+  def trainCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Float]]] = {
     val sample = LocalKMeans.sample(
       Tables.embeddings(spark, dir), "vec_id", "embedding", TrainSample)
-    val codebooks: Array[Array[Array[Float]]] = (0 until M).toArray.map { s =>
+    (0 until M).toArray.map { s =>
       LocalKMeans.train(sample.map(_.slice(s * SubDim, (s + 1) * SubDim)), Ks, 5, 42L + s)
     }
+  }
+
+  private[graft] def encodeWith(
+      spark: SparkSession, dir: String,
+      codebooks: Array[Array[Array[Float]]]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val emb = Tables.widened(Tables.embeddings(spark, dir)).select($"vec_id", $"embedding")
 
     val cb = spark.sparkContext.broadcast(codebooks)
     val codesOf = udf { (e: Seq[Float]) =>
@@ -105,9 +115,19 @@ object PqQueries {
     (melted, centroids)
   }
 
-  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame =
+    annPqTopkWith(spark, dir, trainCodebooks(spark, dir))
+
+  /** The serving half: ADC search under PRE-TRAINED codebooks
+    * (typically [[graft.io.ModelIO.loadCodebooks]] output) —
+    * bit-identical codebooks give bit-identical codes, shortlists and
+    * re-ranked results, so a persisted model serves reproducibly with
+    * no training scan. */
+  def annPqTopkWith(
+      spark: SparkSession, dir: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
     import spark.implicits._
-    val (corpus, centroids) = encode(spark, dir)
+    val (corpus, centroids) = encodeWith(spark, dir, codebooks)
 
     // ADC lookup tables: exact squared L2 from each query SUBVECTOR to
     // each centroid — NQueries × M × Ks rows, broadcast everywhere

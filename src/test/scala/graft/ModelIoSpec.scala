@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.io.ModelIO
 import graft.operators.IvfQueries
-import graft.similarity.LocalKMeans
+
 import graft.text.Bpe
 
 /** Model persistence (the train/serve split): every artifact must
@@ -32,15 +32,8 @@ class ModelIoSpec extends AnyFunSuite with SparkSpec {
     assert(served === trained)
   }
 
-  test("PQ codebooks round-trip bit-exactly (ragged subspace shapes preserved)") {
-    // small deterministic books via the real trainer on sliced samples
-    val emb = Tables.embeddings(spark, sf)
-    val sample = LocalKMeans.sample(emb, "vec_id", "embedding", 256)
-    val dim = sample(0).length
-    val sub = dim / 4
-    val books = (0 until 4).toArray.map { s =>
-      LocalKMeans.train(sample.map(_.slice(s * sub, (s + 1) * sub)), 8, 3, 7L + s)
-    }
+  test("PQ codebooks round-trip bit-exactly and the served ADC search equals the trained one") {
+    val books = graft.operators.PqQueries.trainCodebooks(spark, sf)
     val path = tmp("books")
     ModelIO.saveCodebooks(spark, books, path)
     val loaded = ModelIO.loadCodebooks(spark, path)
@@ -49,9 +42,13 @@ class ModelIoSpec extends AnyFunSuite with SparkSpec {
       assert(l.length === b.length)
       b.zip(l).foreach { case (c, d) => assert(c.sameElements(d)) }
     }
+
+    val trained = graft.operators.PqQueries.annPqTopk(spark, sf).collect().toSeq
+    val served = graft.operators.PqQueries.annPqTopkWith(spark, sf, loaded).collect().toSeq
+    assert(served === trained)
   }
 
-  test("BPE merges round-trip in rank order and loaded merges encode identically") {
+  test("BPE merges round-trip in rank order and the served encode equals the trained one") {
     val words = Seq(("lower", 5L), ("lowest", 3L), ("newer", 4L), ("wider", 2L))
     val merges = Bpe.train(words, 12)
     assert(merges.nonEmpty)
@@ -62,6 +59,16 @@ class ModelIoSpec extends AnyFunSuite with SparkSpec {
     words.map(_._1).foreach { w =>
       assert(Bpe.encode(w, loaded) === Bpe.encode(w, merges))
     }
+
+    // corpus-trained table through the persistence round trip drives
+    // the distributed encoder to the identical subword streams
+    val corpusMerges = graft.operators.CorpusQueries.trainBpeMerges(spark, sf)
+    val path2 = tmp("bpe_corpus")
+    ModelIO.saveBpeMerges(spark, corpusMerges, path2)
+    val trained = graft.operators.CorpusQueries.textBpeEncode(spark, sf).collect().toSeq
+    val served = graft.operators.CorpusQueries
+      .textBpeEncodeWith(spark, sf, ModelIO.loadBpeMerges(spark, path2)).collect().toSeq
+    assert(served === trained)
   }
 
   test("LM head round-trips as a distributed frame and rejects a non-model path") {
