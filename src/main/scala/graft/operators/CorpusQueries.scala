@@ -262,7 +262,12 @@ object CorpusQueries {
       spark: SparkSession, dir: String, numMerges: Int = 200,
       maxTrainVocab: Int = 1 << 16): DataFrame = {
     val vocab = topVocab(spark, dir, maxTrainVocab)
-    encodeCore(spark, dir, graft.text.Bpe.train(vocab, numMerges), vocab.map(_._1))
+    val merges = graft.text.Bpe.train(vocab, numMerges)
+    // the training vocab is already on the driver, so seeding the
+    // memo from it is free here (the served path seeds nothing and
+    // memoizes per task instead)
+    encodeCore(spark, dir, merges,
+      vocab.map { case (w, _) => w -> graft.text.Bpe.encode(w, merges) }.toMap)
   }
 
   /** The training half of the train/serve split: fit the ranked merge
@@ -275,16 +280,17 @@ object CorpusQueries {
 
   /** The serving half: encode a corpus under a PRE-TRAINED merge table
     * (typically [[graft.io.ModelIO.loadBpeMerges]] output). Encoding
-    * depends ONLY on the merge ranks — the vocabulary lookup table is
-    * a memoized fast path whose entries equal the merge replay by
-    * construction — so serving re-derives the memo from the SERVED
-    * corpus's own top-k vocabulary (one distributed top-k, no driver
-    * merge loop) and produces the same subword streams the inline
-    * train+encode does for the same merges. */
+    * depends ONLY on the merge ranks — the driver-built vocabulary
+    * lookup table is a memoized fast path whose entries equal the
+    * merge replay by construction — so serving runs ZERO extra Spark
+    * jobs and no driver merge loop: the encode kernel memoizes merge
+    * replays per task (the Zipf head repeats within every partition),
+    * and produces the same subword streams the inline train+encode
+    * does for the same merges. */
   def textBpeEncodeWith(
-      spark: SparkSession, dir: String, merges: Seq[graft.text.Bpe.Merge],
-      maxTrainVocab: Int = 1 << 16): DataFrame =
-    encodeCore(spark, dir, merges, topVocab(spark, dir, maxTrainVocab).map(_._1))
+      spark: SparkSession, dir: String,
+      merges: Seq[graft.text.Bpe.Merge]): DataFrame =
+    encodeCore(spark, dir, merges, Map.empty)
 
   // the collect is BOUNDED by construction, not just by corpus
   // statistics: take the maxTrainVocab most frequent words
@@ -307,14 +313,28 @@ object CorpusQueries {
 
   private def encodeCore(
       spark: SparkSession, dir: String, merges: Seq[graft.text.Bpe.Merge],
-      memoWords: Seq[String]): DataFrame = {
+      seedMemo: Map[String, Seq[String]]): DataFrame = {
     import spark.implicits._
-    val table: Map[String, Seq[String]] =
-      memoWords.map(w => w -> graft.text.Bpe.encode(w, merges)).toMap
-    val bcTable = spark.sparkContext.broadcast(table)
+    val bcTable = spark.sparkContext.broadcast(seedMemo)
     val bcMerges = spark.sparkContext.broadcast(merges)
-    val enc = udf((toks: Seq[String]) => toks.flatMap { w =>
-      bcTable.value.getOrElse(w, graft.text.Bpe.encode(w, bcMerges.value))
+    // taskMemo deserializes EMPTY with each task closure and fills as
+    // the task encodes its partition — replay runs once per distinct
+    // word per task (the Zipf head dominates every partition), so the
+    // amortized cost matches the broadcast-table fast path without any
+    // extra job or driver loop. Bounded by the task's distinct words.
+    val enc = udf(new (Seq[String] => Seq[String]) with Serializable {
+      @transient private lazy val taskMemo =
+        new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+      def apply(toks: Seq[String]): Seq[String] = toks.flatMap { w =>
+        bcTable.value.getOrElse(w, {
+          val hit = taskMemo.get(w)
+          if (hit != null) hit
+          else {
+            val e = graft.text.Bpe.encode(w, bcMerges.value)
+            taskMemo.put(w, e); e
+          }
+        })
+      }
     })
     Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id", wsTokens($"text").as("toks"))

@@ -87,6 +87,15 @@ object PqQueries {
       spark: SparkSession, dir: String,
       codebooks: Array[Array[Array[Float]]]): (DataFrame, DataFrame) = {
     import spark.implicits._
+    // fail loudly at plan time: the encode kernel below indexes the
+    // fixed (M, Ks, SubDim) geometry, so a persisted artifact of any
+    // other shape would otherwise throw deep inside executor tasks
+    // (smaller) or be silently truncated into wrong codes (larger)
+    require(codebooks.length == M &&
+      codebooks.forall(b => b.length == Ks && b.forall(_.length == SubDim)),
+      s"codebook shape mismatch: expected ${M}x${Ks}x$SubDim, got " +
+        s"${codebooks.length}x${codebooks.headOption.map(_.length).getOrElse(0)}x" +
+        s"${codebooks.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)}")
     val emb = Tables.widened(Tables.embeddings(spark, dir)).select($"vec_id", $"embedding")
 
     val cb = spark.sparkContext.broadcast(codebooks)

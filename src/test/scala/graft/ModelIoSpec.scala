@@ -46,6 +46,24 @@ class ModelIoSpec extends AnyFunSuite with SparkSpec {
     val trained = graft.operators.PqQueries.annPqTopk(spark, sf).collect().toSeq
     val served = graft.operators.PqQueries.annPqTopkWith(spark, sf, loaded).collect().toSeq
     assert(served === trained)
+
+    // ragged shapes (unequal centroid counts and subspace dims) must
+    // survive the round trip too — the loader reshapes by explicit
+    // (subspace, code) keys, never by fixed stride
+    val ragged: Array[Array[Array[Float]]] = Array(
+      Array(Array(1.0f, 2.0f), Array(3.0f, 4.0f), Array(5.0f, 6.0f)),
+      Array(Array(7.0f), Array(8.0f)))
+    val rPath = tmp("ragged")
+    ModelIO.saveCodebooks(spark, ragged, rPath)
+    val rLoaded = ModelIO.loadCodebooks(spark, rPath)
+    assert(rLoaded.length === ragged.length)
+    ragged.zip(rLoaded).foreach { case (b, l) =>
+      assert(l.length === b.length)
+      b.zip(l).foreach { case (c, d) => assert(c.sameElements(d)) }
+    }
+    // and the PQ serve path refuses a wrong-shaped artifact loudly
+    intercept[IllegalArgumentException](
+      graft.operators.PqQueries.annPqTopkWith(spark, sf, rLoaded))
   }
 
   test("BPE merges round-trip in rank order and the served encode equals the trained one") {
