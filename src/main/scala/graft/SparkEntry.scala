@@ -104,6 +104,7 @@ object SparkEntry {
     "graph_components"         -> (GraphQueries.graphComponents _),
     "io_stats_prune_scan"      -> (IoQueries.ioStatsPruneScan _),
     "io_export_shards"         -> (IoQueries.ioExportShards _),
+    "io_profile_columns"       -> (IoQueries.ioProfileColumns _),
     "events_dedup_window"      -> (EventQueries.eventsDedupWindow _),
     "text_classifier_score"    -> (TextQueries.textClassifierScore _),
     "ann_mmr_rerank"           -> (AnnQueries.annMmrRerank _),
@@ -1301,6 +1302,40 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  count(DISTINCT lang) AS n_langs
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // per-column profile of orders: min/max rendered AFTER the typed
+    // aggregate (rendering first would compare lexicographically);
+    // the double column renders as exact half-up integer cents so
+    // cross-engine float formatting never reaches the hash
+    "io_profile_columns" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_null,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |    count(DISTINCT o_totalprice),
+        |    CAST(CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR),
+        |    CAST(CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |    count(DISTINCT o_orderdate),
+        |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+        |) ORDER BY col_name""".stripMargin,
 
     // hashed-feature linear inference: bucket = first two md5 hex
     // digits of the token (strpos decode as in io_export_shards);

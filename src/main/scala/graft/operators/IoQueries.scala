@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -98,6 +98,50 @@ object IoQueries {
     docs.withColumn("shard",
       (conv(substring(md5($"doc_id".cast("string")), 1, 2), 16, 10).cast("long") % n)
         .cast("long"))
+  }
+
+  /** Per-column table profile — the "know your data" pass every data
+    * toolkit ships (pandas describe / SUMMARIZE): for every column,
+    * row count, null count, EXACT distinct count, and min/max rendered
+    * to strings. ONE scan of the table: all 6·k aggregates run in a
+    * single agg (Spark plans multi-column count(DISTINCT) via one
+    * Expand — k× widened rows in exchange for exactness; at 100 TB
+    * swap countDistinct for approx_count_distinct and the Expand
+    * disappears, the text_vocab_sketch posture). min/max are computed
+    * on the TYPED column and rendered after (rendering first would
+    * compare lexicographically); doubles render as exact half-up
+    * integer cents — cross-engine double→string formatting diverges
+    * (scientific notation thresholds), integer strings never do. The
+    * single collected row is 6·k scalars: bounded by schema width,
+    * not data. */
+  def ioProfileColumns(spark: SparkSession, dir: String): DataFrame =
+    profileColumns(Tables.orders(spark, dir))
+
+  def profileColumns(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def render(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        floor(c * 100 + lit(0.5)).cast("long").cast("string")
+      case _ => c.cast("string")
+    }
+    val fields = df.schema.fields
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: fields.toSeq.flatMap { f =>
+      val c = col(f.name)
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__distinct"),
+        render(min(c), f.dataType).as(s"${f.name}__min"),
+        render(max(c), f.dataType).as(s"${f.name}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nRows = row.getLong(0)
+    val out = fields.zipWithIndex.map { case (f, i) =>
+      val b = 1 + i * 4
+      (f.name, nRows, row.getLong(b), row.getLong(b + 1),
+        row.getString(b + 2), row.getString(b + 3))
+    }
+    out.toSeq.toDF("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+      .orderBy($"col_name")
   }
 
   /** Gzip jsonlines roundtrip of orders. */

@@ -142,4 +142,23 @@ class IoSpec extends SparkSpec {
     val back = GraftIO.read(spark, out, GraftIO.Dsv, sep = "\t")
     assert(back.schema.fields.forall(_.dataType.typeName == "string"))
   }
+
+  test("profileColumns: null counting, exact distinct, typed-then-rendered min/max") {
+    import spark.implicits._
+    // the gate table has no nulls, so pin null semantics here: nulls
+    // are excluded from distinct AND from min/max in both engines
+    val df = Seq(
+      (1L, Some("b"), Some(1.25)),
+      (2L, None, Some(2.0)),
+      (3L, Some("a"), None),
+      (4L, Some("a"), Some(2.0))
+    ).toDF("id", "s", "d")
+    val p = graft.operators.IoQueries.profileColumns(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(p("s") === ((4L, 1L, 2L, "a", "b")))
+    // doubles render as half-up integer cents AFTER the typed min/max
+    assert(p("d") === ((4L, 1L, 2L, "125", "200")))
+  }
 }
