@@ -52,12 +52,26 @@ object IoQueries {
     val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_returnflag")
     val out = tmpDir("zstats", dir)
-    GraftIO.writeZOrdered(li, out, Seq("l_orderkey", "l_partkey"), files = 16)
+    // file count scales with the INPUT (one z-sorted output file per
+    // ~2 scan splits, floored at 16): a fixed count is a scale bug —
+    // at sf100 `files = 16` handed each range task a ~40M-row external
+    // sort (measured 10.3 s → 400 s, a 39x decade) while half the
+    // cores idled; sized to the data the sorts stay in memory, the
+    // write uses the whole cluster, and the stats index stays
+    // metadata-sized (file count grows linearly, as any real lake
+    // layout does). Pruning SELECTIVITY only sharpens with more files;
+    // the returned rows are identical either way.
+    val files = math.max(16, li.rdd.getNumPartitions / 2)
+    GraftIO.writeZOrdered(li, out, Seq("l_orderkey", "l_partkey"), files = files)
     val index = GraftIO.buildStatsIndex(spark, out, Seq("l_orderkey", "l_partkey"))
 
     // the middle fifth of the part-key space — a selective range on the
-    // NON-leading z dimension, where a linear layout couldn't skip
-    val r = li.agg(min($"l_partkey").cast("long"), max($"l_partkey").cast("long")).first()
+    // NON-leading z dimension, where a linear layout couldn't skip.
+    // Global min/max come from the stats index (min of file minima =
+    // global min): the index is already on the driver, so this replaces
+    // a full extra scan of the source with arithmetic over file rows
+    val r = index.agg(min($"min_l_partkey").cast("long"),
+      max($"max_l_partkey").cast("long")).first()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val (qLo, qHi) = (lo + (hi - lo) * 2 / 5, lo + (hi - lo) * 3 / 5)
 

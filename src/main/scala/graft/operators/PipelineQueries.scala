@@ -317,7 +317,14 @@ object PipelineQueries {
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id")
       .orderBy(($"tf".cast("double") / $"df").desc, $"token")
-    tf.join(df, "token")
+    // df is VOCABULARY-sized (31k tokens at sf100 for a 250M-row tf
+    // side) — broadcast it explicitly: the static planner picked a
+    // SortMergeJoin on token, which re-exchanged AND sorted the whole
+    // corpus-sized tf frame against a dictionary (measured: 2 of the
+    // plan's 3 full-width exchanges existed only for this join). At a
+    // vocabulary too big to broadcast, cap it like BPE's
+    // maxTrainVocab or feed the df side through a threshold.
+    tf.join(broadcast(df), "token")
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"doc_id", $"rk".cast("long").as("rk"), $"token", $"tf", $"df")
@@ -367,7 +374,7 @@ object PipelineQueries {
       .select($"doc_id", explode(wsTokens($"text")).as("token"))
     val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val out = tf.join(df, "token")
+    val out = tf.join(broadcast(df), "token") // vocabulary-sized side (see textKeywords)
       .groupBy($"doc_id")
       .agg(call_function("graft_topk",
         $"tf".cast("double") / $"df", $"token",
