@@ -101,6 +101,12 @@ def dtype_tag(col: pd.Series) -> str:
     Width-level precision divergence (a float32 that can't represent
     the oracle's double) is still caught by the per-cell repr compare."""
     base = str(col.dtype)
+    # unit/zone normalization: pandas read_parquet of Spark output is
+    # datetime64[ns] while duckdb .df() yields datetime64[us] — a width
+    # detail like int32/int64; the per-cell repr compare still catches
+    # real value divergence
+    if base.startswith("datetime64"):
+        return "datetime"
     if base == "object":
         nn = col.dropna()
         if not len(nn):
@@ -110,6 +116,10 @@ def dtype_tag(col: pd.Series) -> str:
             return "int"
         if t == "float":
             return "float"
+        # container-class normalization: list-valued parquet columns come
+        # back as ndarray from pandas but list from duckdb .df()
+        if t in ("ndarray", "list", "tuple"):
+            return "array"
         return f"object<{t}>"
     if base.startswith(("int", "uint", "Int", "UInt")):
         return "int"

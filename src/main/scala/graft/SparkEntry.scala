@@ -123,7 +123,41 @@ object SparkEntry {
     "docs_quality_buckets"     -> (CorpusQueries.docsQualityBuckets _),
     "text_ngram_novelty"       -> (CurationQueries.textNgramNovelty _),
     "embed_int8_quantize"      -> (PqQueries.embedInt8Quantize _),
+    // served twins: the SAME result answered from a PERSISTED ModelIO
+    // artifact (train → save → load → serve); the LM head one is
+    // hash-gated against the inline twin's oracle, the IVF one is
+    // rows-only (same as its twin) with IvfSpec pinning bit-equality
+    "text_lm_score_head_served" -> ((s: SparkSession, d: String) =>
+      CorpusQueries.textLmScoreHeadServed(s, d)),
+    "ann_ivf_topk_served"      -> (IvfQueries.annIvfTopkServed _),
   )
+
+  /** Shared by the inline-trained and served LM-head gate queries —
+    * the served twin must hash-match the SAME oracle, which is what
+    * makes its CORRECTNESS entry a proof of the persisted-artifact
+    * path. */
+  private val LmHeadOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      |  FROM toks WHERE len(t) >= 2),
+      |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY g),
+      |c1 AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      |       FROM c2 GROUP BY 1),
+      |model AS (
+      |  SELECT g, CAST(floor(10000 * c2.c2 / c1.c1) AS BIGINT) AS bp
+      |  FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1
+      |  WHERE c2.c2 >= 2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(coalesce(bp, 0)) AS BIGINT) AS sum_bp,
+      |  CAST(floor(CAST(sum(coalesce(bp, 0)) AS BIGINT) / count(*)) AS BIGINT) AS avg_bp
+      |FROM grams LEFT JOIN model USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB-runnable oracles, same table names, same output column names. */
   def oracleSql: Map[String, String] = Map(
@@ -903,29 +937,10 @@ object SparkEntry {
     // head-model variant: model rows restricted to c2 >= 2 AFTER the
     // full-table c1 denominator (surviving bp identical to the exact
     // model); LEFT join + coalesce keeps n_bigrams unchanged and
-    // scores dropped tail grams 0
-    "text_lm_score_head" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
-        |  FROM toks WHERE len(t) >= 2),
-        |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY g),
-        |c1 AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
-        |       FROM c2 GROUP BY 1),
-        |model AS (
-        |  SELECT g, CAST(floor(10000 * c2.c2 / c1.c1) AS BIGINT) AS bp
-        |  FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1
-        |  WHERE c2.c2 >= 2)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(coalesce(bp, 0)) AS BIGINT) AS sum_bp,
-        |  CAST(floor(CAST(sum(coalesce(bp, 0)) AS BIGINT) / count(*)) AS BIGINT) AS avg_bp
-        |FROM grams LEFT JOIN model USING (g)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // scores dropped tail grams 0. The served twin answers from a
+    // persisted ModelIO artifact and must match the SAME oracle.
+    "text_lm_score_head" -> LmHeadOracle,
+    "text_lm_score_head_served" -> LmHeadOracle,
 
     // same change derivation as the Spark side; update-then-delete on
     // one key resolves by highest seq (delete wins)

@@ -428,4 +428,48 @@ object CorpusQueries {
     docGrams.unpersist()
     graft.CacheLedger.register("text_lm_score_head", scored).orderBy($"doc_id")
   }
+
+  /** Training half of the LM-head train/serve split: fit the
+    * thresholded bigram head alone (one corpus scan), e.g. to persist
+    * via [[graft.io.ModelIO.saveLmHead]] and serve from in later runs.
+    * Identical model to the one [[textLmScoreHead]] fits inline: both
+    * reduce to [[lmBigramModelFromCounts]] over the same instance
+    * counts. */
+  def trainLmHead(spark: SparkSession, dir: String, minCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    lmBigramModelFromCounts(
+      bigramInstances(Tables.widened(Tables.documents(spark, dir)))
+        .groupBy($"g").agg(count(lit(1)).as("c2")), minCount)
+  }
+
+  /** Serving half: score the corpus under a PRE-TRAINED head model
+    * (typically [[graft.io.ModelIO.loadLmHead]] output) — the model is
+    * broadcast exactly as the inline-trained frame is, and the ONLY
+    * corpus work is the one scoring scan: zero training jobs. Unlike
+    * [[textLmScoreHead]] there is no persist here — the gram frame has
+    * a single consumer when the model arrives from disk. */
+  def textLmScoreHeadWith(spark: SparkSession, dir: String, model: DataFrame): DataFrame = {
+    import spark.implicits._
+    bigramInstances(Tables.widened(Tables.documents(spark, dir)))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(model.select($"g", $"bp")), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_bigrams"),
+        sum($"cnt" * coalesce($"bp", lit(0L))).as("sum_bp"))
+      .select($"doc_id", $"n_bigrams", $"sum_bp",
+        floor($"sum_bp" / $"n_bigrams").cast("long").as("avg_bp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Gate query for the full persisted-model round trip: train → save
+    * → load → serve, with the serving result flowing from the LOADED
+    * artifact (bit-exact parquet round trip per ModelIO's contract).
+    * Hash-gated against the SAME oracle as [[textLmScoreHead]]: a
+    * match proves the persisted-artifact path, not just the inline
+    * one. */
+  def textLmScoreHeadServed(spark: SparkSession, dir: String, minCount: Long = 2L): DataFrame = {
+    val path = s"/tmp/graft_io/lm_head_${math.abs(dir.hashCode)}"
+    graft.io.ModelIO.saveLmHead(trainLmHead(spark, dir, minCount), path)
+    textLmScoreHeadWith(spark, dir, graft.io.ModelIO.loadLmHead(spark, path))
+  }
 }

@@ -142,7 +142,10 @@ object IoQueries {
     val fields = df.schema.fields
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: fields.toSeq.flatMap { f =>
       val c = col(f.name)
-      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+      // coalesce: a zero-row input makes sum() null, and getLong on a
+      // null cell NPEs — an empty table profiles as all-zero counts
+      // with null min_s/max_s instead of crashing
+      Seq(coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"${f.name}__nulls"),
         countDistinct(c).as(s"${f.name}__distinct"),
         render(min(c), f.dataType).as(s"${f.name}__min"),
         render(max(c), f.dataType).as(s"${f.name}__max"))

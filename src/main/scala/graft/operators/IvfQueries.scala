@@ -31,6 +31,16 @@ object IvfQueries {
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
     annIvfTopkWith(spark, dir, trainCentroids(spark, dir))
 
+  /** Gate query for the persisted-quantizer round trip: train → save →
+    * load → serve, the serving half running entirely from the LOADED
+    * centroids ([[graft.io.ModelIO]] round-trips floats bit-exact, so
+    * this is bit-identical to [[annIvfTopk]] — IvfSpec pins that). */
+  def annIvfTopkServed(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_io/ivf_centroids_${math.abs(dir.hashCode)}"
+    graft.io.ModelIO.saveCentroids(spark, trainCentroids(spark, dir), path)
+    annIvfTopkWith(spark, dir, graft.io.ModelIO.loadCentroids(spark, path))
+  }
+
   /** The training half of the train/serve split: fit the coarse
     * quantizer alone, e.g. to persist via [[graft.io.ModelIO]] and
     * serve from in later runs. 5 Lloyd's iterations: cell assignments
@@ -55,6 +65,19 @@ object IvfQueries {
     graft.functions.CosineSimilarity.ensureRegistered(spark)
 
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+
+    // fail loudly at plan time, mirroring PqQueries.encodeWith: a
+    // persisted artifact with a different dimension would otherwise be
+    // silently truncated by LocalKMeans.assign (loops over the
+    // centroid's length) and null-padded by Similarity.dot's zip_with —
+    // wrong probe ranking instead of an error
+    require(centroids.nonEmpty, "annIvfTopkWith: empty centroid set")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      s"annIvfTopkWith: ragged centroids (dims ${centroids.map(_.length).distinct.mkString(",")})")
+    val embDim = emb.limit(1).select(size($"embedding")).as[Int].collect().headOption
+    embDim.foreach(d => require(d == dim,
+      s"annIvfTopkWith: centroid dim $dim != embedding dim $d"))
 
     // corpus annotated with its cell (at scale: the partitioning key)
     // in one map pass over the broadcast centroids

@@ -161,4 +161,14 @@ class IoSpec extends SparkSpec {
     // doubles render as half-up integer cents AFTER the typed min/max
     assert(p("d") === ((4L, 1L, 2L, "125", "200")))
   }
+
+  test("profileColumns: an empty table profiles as zero counts, not an NPE") {
+    import spark.implicits._
+    val empty = Seq((1L, "a")).toDF("id", "s").limit(0)
+    val p = graft.operators.IoQueries.profileColumns(empty)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") === ((0L, 0L, 0L, null, null)))
+    assert(p("s") === ((0L, 0L, 0L, null, null)))
+  }
 }

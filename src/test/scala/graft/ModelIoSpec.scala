@@ -32,6 +32,30 @@ class ModelIoSpec extends AnyFunSuite with SparkSpec {
     assert(served === trained)
   }
 
+  test("the served gate twins (full train→save→load→serve) equal their inline twins") {
+    // these are the gate-registered entry points — the equality here is
+    // what lets their CORRECTNESS rows stand in for the serve path
+    assert(IvfQueries.annIvfTopkServed(spark, sf).collect().toSeq ===
+      IvfQueries.annIvfTopk(spark, sf).collect().toSeq)
+    assert(graft.operators.CorpusQueries.textLmScoreHeadServed(spark, sf).collect().toSeq ===
+      graft.operators.CorpusQueries.textLmScoreHead(spark, sf).collect().toSeq)
+    graft.CacheLedger.releaseAll() // textLmScoreHead registers its persisted frame
+  }
+
+  test("annIvfTopkWith fails loudly on an empty, ragged, or wrong-dimension quantizer") {
+    intercept[IllegalArgumentException] {
+      IvfQueries.annIvfTopkWith(spark, sf, Array.empty[Array[Float]])
+    }
+    intercept[IllegalArgumentException] {
+      IvfQueries.annIvfTopkWith(spark, sf, Array(Array(1f, 2f), Array(1f)))
+    }
+    // uniform but not the embedding dimension: previously silently
+    // truncated by assign() and null-padded by zip_with
+    intercept[IllegalArgumentException] {
+      IvfQueries.annIvfTopkWith(spark, sf, Array(Array(1f, 2f, 3f)))
+    }
+  }
+
   test("PQ codebooks round-trip bit-exactly and the served ADC search equals the trained one") {
     val books = graft.operators.PqQueries.trainCodebooks(spark, sf)
     val path = tmp("books")
