@@ -107,13 +107,31 @@ object DedupQueries {
     * candidates at sf0.1). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // the pairs frame stays persisted under the returned orderBy —
-    // ledger-registered so library callers can release it after
-    // consumption (dedupClusterRep unpersists it directly; the gate
-    // harnesses clearCache() per query)
+    // the pairs frame stays persisted under the returned orderBy; this
+    // wrapper does NOT unpersist it — it registers the frame in
+    // graft.CacheLedger under "ngram_jaccard_pairs" so callers release
+    // it after consumption (the gate harnesses drain the ledger per
+    // query; dedupClusterRep calls ngramJaccardPairs directly and
+    // unpersists by hand)
     graft.CacheLedger.register("ngram_jaccard_pairs",
       ngramJaccardPairs(spark, dir)).orderBy($"id_a", $"id_b")
   }
+
+  /** Gram-count sketch geometry for the verify prune: 32 hash buckets
+    * of exact per-doc gram counts, packed 4 per long as 16-bit lanes
+    * (8 longs = 64 B per doc). For any pair, the common grams of A and
+    * B land in the SAME bucket on both sides, so
+    * inter <= Σ_k min(cntA_k, cntB_k) — an EXACT upper bound (never
+    * under), making the prune provably lossless: a candidate with
+    * 17·Σmin < 7·(sa+sb) cannot reach J >= 0.7. Lanes are plain sum
+    * aggregates (codegen + map-side combine); counts are only trusted
+    * when s < 65536 (a 16-bit lane could otherwise carry into its
+    * neighbor — such docs skip the prune and go straight to the exact
+    * verify). 32 buckets over ~52-gram docs put a non-near-dup pair's
+    * Σmin ~4σ below the 7/17 overlap bar, so ~all false candidates die
+    * while every true pair provably survives. */
+  private val SketchWords = 8
+  private val SketchMaxS = 65536L
 
   /** The verified (id_a, id_b, j_bp) near-dup pairs behind
     * [[dedupNgramJaccard]], unordered. Returned frame is PERSISTED and
@@ -137,25 +155,34 @@ object DedupQueries {
     val freq2 = ex.groupBy($"gram").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2)
 
-    // ONE doc-keyed aggregate builds both verify arrays and prefixes —
-    // per doc: the sorted hashed-shingle array `g` (exact-jaccard
-    // verify input) and the rarest-prefix gram list (the first
-    // s - ceil(tau*s) + 1 grams under the global (df, gram) order,
-    // sorted per doc after collection). The earlier formulation
+    // ONE doc-keyed aggregate builds verify arrays, prefixes, AND the
+    // gram-count sketch lanes — per doc: the sorted hashed-shingle
+    // array `g` (exact-jaccard verify input), the rarest-prefix gram
+    // list (the first s - ceil(tau*s) + 1 grams under the global
+    // (df, gram) order, sorted per doc after collection), and 8 packed
+    // sketch longs (see SketchWords). The earlier formulation
     // computed prefixes with a corpus-wide row_number window — a
     // second full shuffle AND sort of every (doc, gram) row that this
     // aggregate's per-doc array sort replaces; at sf100 that exchange
     // (with the separate verify-array shuffle it duplicated) was a
     // double-digit-GB contributor to the run that filled the disk.
+    val sketchAggs = (0 until SketchWords).map { w =>
+      // bucket = low 5 bits of the (uniform) gram hash; lane w*4+b
+      // accumulates at bit 16·b of long w (gram read from the kg
+      // struct so the pre-aggregate exchange carries no extra column)
+      sum(expr("CASE WHEN pmod(kg.gram, 32L) div 4 = " + w +
+        " THEN shiftleft(1L, 16 * int(pmod(kg.gram, 32L) % 4)) ELSE 0L END")).as(s"sk$w")
+    }
     val arrays = ex.join(freq2, Seq("gram"), "left")
       .select($"doc_id", $"s",
         struct(coalesce($"df", lit(1L)).as("df"), $"gram").as("kg"))
       .groupBy($"doc_id")
-      .agg(first($"s").as("s"), collect_list($"kg").as("kgs"))
-      .select($"doc_id", $"s",
-        sort_array(transform($"kgs", x => x("gram"))).as("g"),
+      .agg(first($"s").as("s"), collect_list($"kg").as("kgs") +: sketchAggs: _*)
+      .select($"doc_id" +: $"s" +:
+        sort_array(transform($"kgs", x => x("gram"))).as("g") +:
         expr(s"transform(slice(array_sort(kgs), 1, int(s - ceil(s * $Tau) + 1)), x -> x.gram)")
-          .as("prefix"))
+          .as("prefix") +:
+        (0 until SketchWords).map(w => col(s"sk$w")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Prefix rows carry their 1-based POSITION, which — because the
@@ -194,9 +221,35 @@ object DedupQueries {
         expr("(7 * (sa + sb) + 16) div 17") &&
         $"c" + least($"sa" - $"qa", $"sb" - $"qb") >=
         expr("(7 * (sa + sb) + 16) div 17"))
+      .select($"id_a", $"id_b", $"sa", $"sb")
+
+    // Sketch prune BEFORE any gram array is attached per pair: at sf100
+    // the unpruned verify exchange carried (pair, two ~52-gram long
+    // arrays) ≈ 25 GB through one shuffle — candidates outnumber true
+    // pairs ~100:1, so per-pair payload is the whole bill. The sketch
+    // joins ship 64 B of packed counts per pair instead; candidates
+    // whose exact intersection upper bound cannot reach the 7/17
+    // overlap bar (the same integer arithmetic as the positional
+    // filter) die here, and only the survivors — essentially the true
+    // pair set — ever fetch full arrays. Provably lossless: see
+    // SketchWords. Docs with s >= 65536 skip the prune (lane overflow
+    // would void the bound) and go straight to the exact verify.
+    val skA = arrays.select($"doc_id".as("id_a") +:
+      (0 until SketchWords).map(w => col(s"sk$w").as(s"ska$w")): _*)
+    val skB = arrays.select($"doc_id".as("id_b") +:
+      (0 until SketchWords).map(w => col(s"sk$w").as(s"skb$w")): _*)
+    val minSum = (for { w <- 0 until SketchWords; b <- 0 until 4 } yield
+      least(shiftright(col(s"ska$w"), 16 * b).bitwiseAND(lit(0xFFFFL)),
+        shiftright(col(s"skb$w"), 16 * b).bitwiseAND(lit(0xFFFFL))))
+      .reduce(_ + _)
+    val pruned = candidates
+      .join(skA, "id_a")
+      .join(skB, "id_b")
+      .filter($"sa" >= SketchMaxS || $"sb" >= SketchMaxS ||
+        lit(17L) * minSum >= lit(7L) * ($"sa" + $"sb"))
       .select($"id_a", $"id_b")
 
-    val pairs = verifyJaccard(candidates, arrays.select($"doc_id", $"g"))
+    val pairs = verifyJaccard(pruned, arrays.select($"doc_id", $"g"))
       // jaccard in exact integer basis points (see TextFunctions.qualityScoreBp)
       .select($"id_a", $"id_b",
         floor((lit(20000L) * $"inter" + $"uni") / (lit(2L) * $"uni")).cast("long").as("j_bp"))

@@ -31,14 +31,19 @@ object NgramDiag {
     println(s"[diag] shingle_rows=${ex.count()}")
 
     val freq2 = ex.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" >= 2)
+    val sketchAggs = (0 until 8).map { w =>
+      sum(expr("CASE WHEN pmod(kg.gram, 32L) div 4 = " + w +
+        " THEN shiftleft(1L, 16 * int(pmod(kg.gram, 32L) % 4)) ELSE 0L END")).as(s"sk$w")
+    }
     val arrays = ex.join(freq2, Seq("gram"), "left")
       .select($"doc_id", $"s",
         struct(coalesce($"df", lit(1L)).as("df"), $"gram").as("kg"))
       .groupBy($"doc_id")
-      .agg(first($"s").as("s"), collect_list($"kg").as("kgs"))
-      .select($"doc_id", $"s",
+      .agg(first($"s").as("s"), collect_list($"kg").as("kgs") +: sketchAggs: _*)
+      .select($"doc_id" +: $"s" +:
         expr(s"transform(slice(array_sort(kgs), 1, int(s - ceil(s * $Tau) + 1)), x -> x.gram)")
-          .as("prefix"))
+          .as("prefix") +:
+        (0 until 8).map(w => col(s"sk$w")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[diag] docs=${arrays.count()}")
 
@@ -68,9 +73,27 @@ object NgramDiag {
         expr("(7 * (sa + sb) + 16) div 17") &&
         $"c" + least($"sa" - $"qa", $"sb" - $"qb") >=
         expr("(7 * (sa + sb) + 16) div 17"))
-      .select($"id_a", $"id_b")
+      .select($"id_a", $"id_b", $"sa", $"sb")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(f"[diag] candidates=${candidates.count()} (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+
+    // round-7 sketch prune tap: how many candidates survive the
+    // 32-bucket count-sketch bound (these are the only pairs that
+    // ever fetch full gram arrays in the production verify)
+    t0 = System.nanoTime()
+    val skA = arrays.select($"doc_id".as("id_a") +:
+      (0 until 8).map(w => col(s"sk$w").as(s"ska$w")): _*)
+    val skB = arrays.select($"doc_id".as("id_b") +:
+      (0 until 8).map(w => col(s"sk$w").as(s"skb$w")): _*)
+    val minSum = (for { w <- 0 until 8; b <- 0 until 4 } yield
+      least(shiftright(col(s"ska$w"), 16 * b).bitwiseAND(lit(0xFFFFL)),
+        shiftright(col(s"skb$w"), 16 * b).bitwiseAND(lit(0xFFFFL))))
+      .reduce(_ + _)
+    val survivors = candidates.join(skA, "id_a").join(skB, "id_b")
+      .filter($"sa" >= 65536L || $"sb" >= 65536L ||
+        lit(17L) * minSum >= lit(7L) * ($"sa" + $"sb"))
+      .count()
+    println(f"[diag] sketch_survivors=$survivors (${(System.nanoTime() - t0) / 1e9}%.1f s)")
 
     // distinct pairs before positional bounds — how much do the bounds buy?
     t0 = System.nanoTime()
