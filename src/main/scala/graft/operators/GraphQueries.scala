@@ -100,28 +100,61 @@ object GraphQueries {
 
   def graphPagerank(spark: SparkSession, dir: String, ckptMinEdges: Long): DataFrame = {
     import spark.implicits._
+    // Key-width probe for the edge-cache bytes diet below: the edge
+    // endpoints are 2·custkey / 2·suppkey+1, and both key families are
+    // bounded by their DIMENSION tables (the generator preserves the
+    // FK domains at every scale), so two dimension-sized aggregates —
+    // never a fact-table pass — decide whether the doubled id space
+    // fits an int. At 100 TB with >1B customers the layout silently
+    // stays long; same arithmetic either way.
+    val cr = Tables.customer(spark, dir)
+      .agg(min($"c_custkey").as("mn"), max($"c_custkey").as("mx")).first()
+    val sr = Tables.supplier(spark, dir)
+      .agg(min($"s_suppkey").as("mn"), max($"s_suppkey").as("mx")).first()
+    val fitsInt = !cr.isNullAt(0) && !sr.isNullAt(0) &&
+      cr.getLong(0) >= 0L && sr.getLong(0) >= 0L &&
+      math.max(2L * cr.getLong(1), 2L * sr.getLong(1) + 1L) < Int.MaxValue.toLong
+    val keyType = if (fitsInt) "int" else "bigint"
+
     // disjoint node spaces: customers on even ids, suppliers on odd
     val e0 = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
-      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .select(($"o_custkey" * 2).cast(keyType).as("src"),
+        ($"l_suppkey" * 2 + 1).cast(keyType).as("dst"))
       .distinct()
-    // ONE persisted edge layout: SLIM (src, dst) rows — 2 longs —
-    // hash-partitioned on src for every round's join. Both
-    // orientations EXPLODE from a single pass over the deduped pairs
-    // (a union of e0 with its flip would evaluate the distinct subtree
-    // twice); they land in disjoint (even → odd / odd → even) key
-    // spaces, so no re-dedup is needed. outdeg is NOT carried per edge
-    // (an earlier layout stored (src, dst, outdeg) — +50% cache bytes
-    // duplicating a per-NODE value onto every edge row; at the sf100
-    // decade that third column was pure spill): the r/outdeg division
-    // happens on the node-sized rank table each round, and the edge
-    // join attaches the finished per-node contribution.
+    // ONE persisted edge layout: SLIM (src, dst) rows — two ints when
+    // the id space allows — hash-partitioned on src for every round's
+    // join and SORTED by src within each partition. Both orientations
+    // EXPLODE from a single pass over the deduped pairs (a union of e0
+    // with its flip would evaluate the distinct subtree twice); they
+    // land in disjoint (even → odd / odd → even) key spaces, so no
+    // re-dedup is needed. outdeg is NOT carried per edge (an earlier
+    // layout stored (src, dst, outdeg) — +50% cache bytes duplicating
+    // a per-NODE value onto every edge row; at the sf100 decade that
+    // third column was pure spill): the r/outdeg division happens on
+    // the node-sized rank table each round, and the edge join attaches
+    // the finished per-node contribution.
+    //
+    // Cache-bytes diet (the sf100 finding: at ~1.07B rows the cache
+    // outgrows executor storage memory and all 5 rounds re-read it
+    // from disk, so BYTES are the round cost): (a) SQL caches are
+    // already serialized compressed columnar batches — a *_SER
+    // storage level changes nothing for an InMemoryRelation — the
+    // levers that do work are (b) the int key cast above (8 B → 4 B
+    // per endpoint) and (c) sortWithinPartitions(src), which turns
+    // the src column into runs the columnar RLE/delta encoders store
+    // at ~1 B/row. Together ~16 B/row → ~5 B/row, measured below in
+    // BASELINE.md. A single-orientation cache would halve bytes again
+    // but forces either a per-round exchange of the flipped edge side
+    // (5 rounds × corpus-sized shuffle ≫ the cache read it saves) or
+    // a second dst-partitioned cache (same total bytes as both
+    // orientations) — rejected on arithmetic, not taste.
     val both = e0.select(explode(array(
         struct($"src", $"dst"),
         struct($"dst".as("src"), $"src".as("dst")))).as("e"))
       .select($"e.src", $"e.dst")
-    val edges = both.repartition($"src")
+    val edges = both.repartition($"src").sortWithinPartitions($"src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgeCount = edges.count() // materialize: every round (and r0) reads the cache
     // node-sized (src, outdeg) — computed ON the cache's src layout
@@ -190,9 +223,11 @@ object GraphQueries {
       }
     }
     // every node keeps outdeg >= 1 in the undirected graph, so each
-    // round's inner join preserves the full vertex set
+    // round's inner join preserves the full vertex set. The id is cast
+    // back to long so the narrow cache layout never leaks into the
+    // result schema.
     val out = ranks.orderBy($"r".desc, $"id").limit(PagerankTopN)
-      .select($"id", $"r".as("rank_u"))
+      .select($"id".cast("long").as("id"), $"r".as("rank_u"))
     // the result is a bounded top-N: land it on the driver so the edge
     // cache can be released here instead of leaking a persisted frame
     // to the caller (the returned plan must not depend on the cache)
