@@ -244,29 +244,111 @@ object GraftIO {
   }
 
   /** Per-file min/max statistics index over `statCols` — the metadata
-    * half of data skipping: one distributed pass computes each file's
-    * column ranges; the tiny result (one row per file) is the scan
-    * planner's input. At 100 TB this table IS the difference between
-    * listing+opening every object and opening the handful a predicate
-    * can touch — pair it with [[writeZOrdered]] so the ranges are
-    * actually narrow on every indexed column. */
+    * half of data skipping: the tiny result (one row per file) is the
+    * scan planner's input. At 100 TB this table IS the difference
+    * between listing+opening every object and opening the handful a
+    * predicate can touch — pair it with [[writeZOrdered]] so the
+    * ranges are actually narrow on every indexed column.
+    *
+    * The writer ALREADY computed these statistics: every parquet file
+    * footer records per-column min/max. For numeric columns (where
+    * parquet stats are exact — string stats may be truncated) the
+    * index is therefore assembled from footers alone — a metadata
+    * read, no data pass; at sf100 the former full re-scan of the
+    * z-ordered layout was one of the operator's four dataset passes.
+    * Non-numeric columns, or files written without statistics, fall
+    * back to the distributed one-pass scan. */
   def buildStatsIndex(spark: SparkSession, path: String, statCols: Seq[String]): DataFrame = {
     require(statCols.nonEmpty, "statCols must not be empty")
-    val aggs = statCols.flatMap(c => Seq(
-      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val stats = spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-    // MATERIALIZE the index: it is one row per file, but its lineage is
-    // a scan of the stat columns of the whole dataset — returned lazy,
-    // every readPruned would re-run that scan, inverting the point of
-    // the index. Collected to the driver and rebuilt as a local
-    // DataFrame (NOT localCheckpoint: that stores the blocks on
-    // executors, so losing one executor — dynamic allocation, spot
-    // nodes — would make every later readPruned fail unrecoverably).
-    // One row per file keeps this strictly metadata-sized.
-    spark.createDataFrame(
-      java.util.Arrays.asList(stats.collect(): _*), stats.schema)
+    footerStatsIndex(spark, path, statCols).getOrElse {
+      val aggs = statCols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      // MATERIALIZE the index: it is one row per file, but its lineage
+      // is a scan of the stat columns of the whole dataset — returned
+      // lazy, every readPruned would re-run that scan, inverting the
+      // point of the index. Collected to the driver and rebuilt as a
+      // local DataFrame (NOT localCheckpoint: that stores the blocks on
+      // executors, so losing one executor — dynamic allocation, spot
+      // nodes — would make every later readPruned fail unrecoverably).
+      // One row per file keeps this strictly metadata-sized.
+      spark.createDataFrame(
+        java.util.Arrays.asList(stats.collect(): _*), stats.schema)
+    }
+  }
+
+  /** Footer fast path for [[buildStatsIndex]]: per-file min/max read
+    * from parquet metadata. Returns None (caller falls back to the
+    * scan) when a stat column is non-numeric (string min/max can be
+    * TRUNCATED in footers — sound for pruning but not equal to the
+    * scan the contract states), absent from a file, or written without
+    * statistics. The driver-side footer loop is metadata-scale (one
+    * ranged read of a few KB per file); a deployment with millions of
+    * files would distribute it, same as its file listing. */
+  private[graft] def footerStatsIndex(
+      spark: SparkSession, path: String, statCols: Seq[String]): Option[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = spark.read.parquet(path).schema
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val supported = statCols.forall(c => types.get(c).exists {
+      case LongType | IntegerType | DoubleType | FloatType => true
+      case _ => false
+    })
+    if (!supported) return None
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (files.isEmpty) return None
+
+    object MissingStats extends scala.util.control.ControlThrowable
+    try {
+      val rows: Seq[org.apache.spark.sql.Row] = files.toSeq.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val blocks = try reader.getFooter.getBlocks.asScala.toSeq finally reader.close()
+        val vals = statCols.flatMap { c =>
+          // fold row-group stats to file stats; an all-null group
+          // contributes nothing (matching min()/max() null semantics —
+          // an all-null FILE yields null bounds, which every pruning
+          // predicate evaluates to false: the file is skipped, exactly
+          // as the scan-built index would)
+          var mn: AnyRef = null
+          var mx: AnyRef = null
+          blocks.foreach { b =>
+            val chunk = b.getColumns.asScala.find(_.getPath.toDotString == c)
+              .getOrElse(throw MissingStats)
+            val stats = chunk.getStatistics
+            if (stats == null || stats.isEmpty) throw MissingStats
+            if (stats.hasNonNullValue) {
+              val bmn = stats.genericGetMin.asInstanceOf[AnyRef]
+              val bmx = stats.genericGetMax.asInstanceOf[AnyRef]
+              def lt(a: AnyRef, b: AnyRef) =
+                a.asInstanceOf[Comparable[AnyRef]].compareTo(b) < 0
+              if (mn == null || lt(bmn, mn)) mn = bmn
+              if (mx == null || lt(mx, bmx)) mx = bmx
+            }
+          }
+          Seq(mn, mx)
+        }
+        org.apache.spark.sql.Row.fromSeq(st.getPath.toString +: vals)
+      }
+      val indexSchema = StructType(
+        StructField("file", StringType, nullable = false) +:
+          statCols.flatMap(c => Seq(
+            StructField(s"min_$c", types(c), nullable = true),
+            StructField(s"max_$c", types(c), nullable = true))))
+      Some(spark.createDataFrame(rows.asJava, indexSchema))
+    } catch {
+      case MissingStats => None
+    }
   }
 
   /** Stats-index-pruned read: keep only the files whose [min, max]

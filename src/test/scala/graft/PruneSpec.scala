@@ -53,4 +53,34 @@ class PruneSpec extends SparkSpec {
         col("min_l_orderkey") <= qoHi && col("max_l_orderkey") >= qoLo).count()
     assert(openedBoth <= opened, s"conjunction must not open more files: $openedBoth > $opened")
   }
+
+  test("footer-built index == scan-built index on numeric columns; strings fall back") {
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey", $"l_returnflag")
+    val path = Files.createTempDirectory("prune_footer").toString + "/z"
+    GraftIO.writeZOrdered(li, path, Seq("l_orderkey", "l_partkey"), files = 8)
+
+    // the footer path must actually engage for numeric stat columns —
+    // buildStatsIndex silently falling back to the scan would revert
+    // the metadata-only contract without failing any behavior test
+    val footer = GraftIO.footerStatsIndex(spark, path, Seq("l_orderkey", "l_partkey"))
+    assert(footer.isDefined, "footer stats path must engage on a numeric parquet layout")
+
+    // parquet footer min/max for fixed-width types are exact: the two
+    // builders must agree file-for-file (file name, not full URI — the
+    // scan's input_file_name() renders the scheme differently)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(regexp_extract($"file", "[^/]+$", 0).as("f"),
+        $"min_l_orderkey", $"max_l_orderkey", $"min_l_partkey", $"max_l_partkey")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val aggs = Seq(min($"l_orderkey").as("min_l_orderkey"), max($"l_orderkey").as("max_l_orderkey"),
+      min($"l_partkey").as("min_l_partkey"), max($"l_partkey").as("max_l_partkey"))
+    val scanned = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+    assert(canon(footer.get).toSeq == canon(scanned).toSeq)
+
+    // string stats may be footer-truncated — that column must fall back
+    assert(GraftIO.footerStatsIndex(spark, path, Seq("l_returnflag")).isEmpty)
+    // and the public builder still serves it via the scan path
+    assert(GraftIO.buildStatsIndex(spark, path, Seq("l_returnflag")).count() == 8)
+  }
 }
