@@ -302,7 +302,16 @@ object GraftIO {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root).filter { st =>
+    val entries = fs.listStatus(root)
+    // any subdirectory means spark.read.parquet(path) would discover
+    // leaf files this flat listing misses (partitioned/appended
+    // layouts) — an index over a silent SUBSET would violate
+    // readPruned's same-rows-as-full-scan contract, so fall back
+    if (entries.exists(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))) {
+      return None
+    }
+    val files = entries.filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
@@ -310,10 +319,15 @@ object GraftIO {
 
     object MissingStats extends scala.util.control.ControlThrowable
     try {
-      val rows: Seq[org.apache.spark.sql.Row] = files.toSeq.map { st =>
+      val rows: Seq[org.apache.spark.sql.Row] = files.toSeq.flatMap { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         val blocks = try reader.getFooter.getBlocks.asScala.toSeq finally reader.close()
+        // a zero-row file gets NO index row — matching the scan-built
+        // index, where groupBy(input_file_name()) never sees the file
+        // (repartitionByRange can emit empty files when the requested
+        // file count exceeds the distinct range keys)
+        if (blocks.map(_.getRowCount).sum == 0L) Seq.empty else {
         val vals = statCols.flatMap { c =>
           // fold row-group stats to file stats; an all-null group
           // contributes nothing (matching min()/max() null semantics —
@@ -338,7 +352,8 @@ object GraftIO {
           }
           Seq(mn, mx)
         }
-        org.apache.spark.sql.Row.fromSeq(st.getPath.toString +: vals)
+        Seq(org.apache.spark.sql.Row.fromSeq(st.getPath.toString +: vals))
+        }
       }
       val indexSchema = StructType(
         StructField("file", StringType, nullable = false) +:

@@ -415,18 +415,27 @@ object CorpusQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val head = lmBigramModelFromCounts(
       docGrams.groupBy($"g").agg(sum($"cnt").as("c2")), minCount)
-    val scored = docGrams.join(broadcast(head), Seq("g"), "left")
+    // materialize-then-release (the dedup-family discipline); the
+    // returned frame stays persisted, ledger-registered for callers
+    val scored = scoreUnderHead(docGrams, head)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    docGrams.unpersist()
+    graft.CacheLedger.register("text_lm_score_head", scored).orderBy($"doc_id")
+  }
+
+  /** The one scoring plan every head-model variant shares: per-doc
+    * gram counts left-joined to the BROADCAST head (the corpus side
+    * never shuffles for the model), absent grams scoring 0 bp without
+    * leaving the n_bigrams denominator. */
+  private def scoreUnderHead(docGrams: DataFrame, model: DataFrame): DataFrame = {
+    import docGrams.sparkSession.implicits._
+    docGrams.join(broadcast(model.select($"g", $"bp")), Seq("g"), "left")
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_bigrams"),
         sum($"cnt" * coalesce($"bp", lit(0L))).as("sum_bp"))
       .select($"doc_id", $"n_bigrams", $"sum_bp",
         floor($"sum_bp" / $"n_bigrams").cast("long").as("avg_bp"))
-      // materialize-then-release (the dedup-family discipline); the
-      // returned frame stays persisted, ledger-registered for callers
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scored.count()
-    docGrams.unpersist()
-    graft.CacheLedger.register("text_lm_score_head", scored).orderBy($"doc_id")
   }
 
   /** Training half of the LM-head train/serve split: fit the
@@ -450,14 +459,10 @@ object CorpusQueries {
     * a single consumer when the model arrives from disk. */
   def textLmScoreHeadWith(spark: SparkSession, dir: String, model: DataFrame): DataFrame = {
     import spark.implicits._
-    bigramInstances(Tables.widened(Tables.documents(spark, dir)))
-      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
-      .join(broadcast(model.select($"g", $"bp")), Seq("g"), "left")
-      .groupBy($"doc_id")
-      .agg(sum($"cnt").as("n_bigrams"),
-        sum($"cnt" * coalesce($"bp", lit(0L))).as("sum_bp"))
-      .select($"doc_id", $"n_bigrams", $"sum_bp",
-        floor($"sum_bp" / $"n_bigrams").cast("long").as("avg_bp"))
+    scoreUnderHead(
+      bigramInstances(Tables.widened(Tables.documents(spark, dir)))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt")),
+      model)
       .orderBy($"doc_id")
   }
 
@@ -466,10 +471,25 @@ object CorpusQueries {
     * artifact (bit-exact parquet round trip per ModelIO's contract).
     * Hash-gated against the SAME oracle as [[textLmScoreHead]]: a
     * match proves the persisted-artifact path, not just the inline
-    * one. */
+    * one. The per-doc gram counts are computed ONCE and persisted
+    * across both halves — training sums them to corpus counts, serving
+    * scores from them under the loaded model — so this gate pays one
+    * corpus scan like its inline twin, not two (the model still
+    * round-trips through parquet; only the gram frame is shared, which
+    * a real train-then-serve deployment would checkpoint the same
+    * way). */
   def textLmScoreHeadServed(spark: SparkSession, dir: String, minCount: Long = 2L): DataFrame = {
+    import spark.implicits._
     val path = s"/tmp/graft_io/lm_head_${math.abs(dir.hashCode)}"
-    graft.io.ModelIO.saveLmHead(trainLmHead(spark, dir, minCount), path)
-    textLmScoreHeadWith(spark, dir, graft.io.ModelIO.loadLmHead(spark, path))
+    val docGrams = bigramInstances(Tables.widened(Tables.documents(spark, dir)))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.io.ModelIO.saveLmHead(lmBigramModelFromCounts(
+      docGrams.groupBy($"g").agg(sum($"cnt").as("c2")), minCount), path)
+    val scored = scoreUnderHead(docGrams, graft.io.ModelIO.loadLmHead(spark, path))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    docGrams.unpersist()
+    graft.CacheLedger.register("text_lm_score_head_served", scored).orderBy($"doc_id")
   }
 }

@@ -124,14 +124,18 @@ object DedupQueries {
     * inter <= Σ_k min(cntA_k, cntB_k) — an EXACT upper bound (never
     * under), making the prune provably lossless: a candidate with
     * 17·Σmin < 7·(sa+sb) cannot reach J >= 0.7. Lanes are plain sum
-    * aggregates (codegen + map-side combine); counts are only trusted
-    * when s < 65536 (a 16-bit lane could otherwise carry into its
-    * neighbor — such docs skip the prune and go straight to the exact
-    * verify). 32 buckets over ~52-gram docs put a non-near-dup pair's
-    * Σmin ~4σ below the 7/17 overlap bar, so ~all false candidates die
-    * while every true pair provably survives. */
-  private val SketchWords = 8
-  private val SketchMaxS = 65536L
+    * aggregates (codegen + map-side combine); only docs with
+    * s < 32768 participate — the aggregate itself emits 0 for larger
+    * docs (not just the filter skipping them), because a lane carry
+    * would corrupt neighbors and a top-lane (bit-48) count >= 2^15
+    * crosses Long.MaxValue mid-sum, which Spark 4's default ANSI
+    * arithmetic turns into a query-killing overflow error. Such docs
+    * go straight to the exact verify. 32 buckets over ~52-gram docs
+    * put a non-near-dup pair's Σmin ~4σ below the 7/17 overlap bar,
+    * so ~all false candidates die while every true pair provably
+    * survives. (private[graft]: NgramDiag mirrors the geometry.) */
+  private[graft] val SketchWords = 8
+  private[graft] val SketchMaxS = 32768L
 
   /** The verified (id_a, id_b, j_bp) near-dup pairs behind
     * [[dedupNgramJaccard]], unordered. Returned frame is PERSISTED and
@@ -169,8 +173,11 @@ object DedupQueries {
     val sketchAggs = (0 until SketchWords).map { w =>
       // bucket = low 5 bits of the (uniform) gram hash; lane w*4+b
       // accumulates at bit 16·b of long w (gram read from the kg
-      // struct so the pre-aggregate exchange carries no extra column)
-      sum(expr("CASE WHEN pmod(kg.gram, 32L) div 4 = " + w +
+      // struct so the pre-aggregate exchange carries no extra column).
+      // The s-bound lives INSIDE the aggregate: an unguarded sum over
+      // an oversized doc would ANSI-overflow before any filter could
+      // skip it (see SketchMaxS)
+      sum(expr(s"CASE WHEN s < $SketchMaxS AND pmod(kg.gram, 32L) div 4 = " + w +
         " THEN shiftleft(1L, 16 * int(pmod(kg.gram, 32L) % 4)) ELSE 0L END")).as(s"sk$w")
     }
     val arrays = ex.join(freq2, Seq("gram"), "left")

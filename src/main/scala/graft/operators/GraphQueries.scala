@@ -107,10 +107,15 @@ object GraphQueries {
     // never a fact-table pass — decide whether the doubled id space
     // fits an int. At 100 TB with >1B customers the layout silently
     // stays long; same arithmetic either way.
+    // casts inside the agg keep the probe agnostic to the stored key
+    // width (an int32-keyed deployment must not crash a driver-side
+    // getLong)
     val cr = Tables.customer(spark, dir)
-      .agg(min($"c_custkey").as("mn"), max($"c_custkey").as("mx")).first()
+      .agg(min($"c_custkey").cast("long").as("mn"),
+        max($"c_custkey").cast("long").as("mx")).first()
     val sr = Tables.supplier(spark, dir)
-      .agg(min($"s_suppkey").as("mn"), max($"s_suppkey").as("mx")).first()
+      .agg(min($"s_suppkey").cast("long").as("mn"),
+        max($"s_suppkey").cast("long").as("mx")).first()
     val fitsInt = !cr.isNullAt(0) && !sr.isNullAt(0) &&
       cr.getLong(0) >= 0L && sr.getLong(0) >= 0L &&
       math.max(2L * cr.getLong(1), 2L * sr.getLong(1) + 1L) < Int.MaxValue.toLong

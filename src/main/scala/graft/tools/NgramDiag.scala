@@ -20,6 +20,8 @@ import graft.Harness
   * BASELINE.md goes stale. */
 object NgramDiag {
   private val Tau = graft.operators.DedupQueries.Tau
+  private val SketchWords = graft.operators.DedupQueries.SketchWords
+  private val SketchMaxS = graft.operators.DedupQueries.SketchMaxS
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -31,8 +33,8 @@ object NgramDiag {
     println(s"[diag] shingle_rows=${ex.count()}")
 
     val freq2 = ex.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" >= 2)
-    val sketchAggs = (0 until 8).map { w =>
-      sum(expr("CASE WHEN pmod(kg.gram, 32L) div 4 = " + w +
+    val sketchAggs = (0 until SketchWords).map { w =>
+      sum(expr(s"CASE WHEN s < $SketchMaxS AND pmod(kg.gram, 32L) div 4 = " + w +
         " THEN shiftleft(1L, 16 * int(pmod(kg.gram, 32L) % 4)) ELSE 0L END")).as(s"sk$w")
     }
     val arrays = ex.join(freq2, Seq("gram"), "left")
@@ -43,7 +45,7 @@ object NgramDiag {
       .select($"doc_id" +: $"s" +:
         expr(s"transform(slice(array_sort(kgs), 1, int(s - ceil(s * $Tau) + 1)), x -> x.gram)")
           .as("prefix") +:
-        (0 until 8).map(w => col(s"sk$w")): _*)
+        (0 until SketchWords).map(w => col(s"sk$w")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[diag] docs=${arrays.count()}")
 
@@ -82,15 +84,15 @@ object NgramDiag {
     // ever fetch full gram arrays in the production verify)
     t0 = System.nanoTime()
     val skA = arrays.select($"doc_id".as("id_a") +:
-      (0 until 8).map(w => col(s"sk$w").as(s"ska$w")): _*)
+      (0 until SketchWords).map(w => col(s"sk$w").as(s"ska$w")): _*)
     val skB = arrays.select($"doc_id".as("id_b") +:
-      (0 until 8).map(w => col(s"sk$w").as(s"skb$w")): _*)
-    val minSum = (for { w <- 0 until 8; b <- 0 until 4 } yield
+      (0 until SketchWords).map(w => col(s"sk$w").as(s"skb$w")): _*)
+    val minSum = (for { w <- 0 until SketchWords; b <- 0 until 4 } yield
       least(shiftright(col(s"ska$w"), 16 * b).bitwiseAND(lit(0xFFFFL)),
         shiftright(col(s"skb$w"), 16 * b).bitwiseAND(lit(0xFFFFL))))
       .reduce(_ + _)
     val survivors = candidates.join(skA, "id_a").join(skB, "id_b")
-      .filter($"sa" >= 65536L || $"sb" >= 65536L ||
+      .filter($"sa" >= SketchMaxS || $"sb" >= SketchMaxS ||
         lit(17L) * minSum >= lit(7L) * ($"sa" + $"sb"))
       .count()
     println(f"[diag] sketch_survivors=$survivors (${(System.nanoTime() - t0) / 1e9}%.1f s)")
