@@ -7,25 +7,32 @@ import org.apache.spark.storage.StorageLevel
 /** Bounded label-propagation connected components over an undirected
   * edge list — the cluster-assembly step of the dedup pipelines.
   *
-  * Each iteration is one key-shuffle: newLabel(v) = min(label(v),
-  * min over neighbors' labels). Labels are monotonically non-increasing
-  * and converge to the component's minimum id in at most `diameter`
-  * iterations. Duplicate clusters are near-cliques (diameter 1-2), so a
-  * small fixed bound is exact in practice AND caps cost at scale — an
-  * unbounded loop on 100 TB would be a runaway job. Each round is
-  * persisted and the previous round unpersisted so lineage stays flat.
+  * Each iteration composes one edge-hop (newLabel(v) = min(label(v),
+  * min over neighbors' labels)) with one pointer jump (adopt the
+  * current label of one's label). Labels are monotonically
+  * non-increasing, and with the jump the covered distance doubles per
+  * round, so convergence to the component minimum takes
+  * O(log2(diameter)) iterations — the difference between ~5 and ~23
+  * checkpointed rounds on the sf100 doubling graph, and what keeps a
+  * high-diameter 100 TB graph's round count bounded. Duplicate
+  * clusters are near-cliques (diameter 1-2), so a small fixed bound
+  * is exact in practice AND caps cost at scale — an unbounded loop on
+  * 100 TB would be a runaway job. Each round is persisted and the
+  * previous round unpersisted so lineage stays flat.
   */
 object ConnectedComponents {
 
   /** Labels plus convergence status: `converged=false` means the
-    * iteration cap was hit with label changes still pending, i.e. some
-    * component with diameter > maxIter+1 is still split. */
+    * iteration cap was hit with label changes still pending (some
+    * high-diameter component is still split — with the per-round
+    * pointer jump that needs diameter > ~2^(maxIter+1)). */
   final case class Result(labels: DataFrame, converged: Boolean, iterations: Int)
 
   /** @param edges DataFrame with long columns (src, dst), undirected
     *              (either orientation; both are added internally)
-    * @return (id, component) — component = min id reachable within
-    *         `maxIter` hops (exact when maxIter >= diameter). The
+    * @return (id, component) — component = the minimum id of the
+    *         connected component (exact when maxIter >= ~log2 of the
+    *         largest component diameter, per the jump-doubling). The
     *         returned frame is MATERIALIZED — every iteration takes an
     *         eager reliable checkpoint (above the driver union-find
     *         threshold the loop always runs at least one), so consuming
@@ -128,19 +135,37 @@ object ConnectedComponents {
     var i = 0
     while (i < maxIter && !converged) {
       // candidate labels flowing along edges, then keep the min per id.
-      // Persist BEFORE the eager checkpoint: the checkpoint runs one
-      // job to compute the round and a SECOND job to write the files
-      // (the documented RDD.checkpoint recompute caveat) — cached, the
-      // write pass re-reads blocks instead of re-running the
-      // join+union+aggregation stage.
-      val cached = adj
+      // Persisted: the pointer jump below references this frame twice
+      // (and the checkpoint's write pass re-reads blocks instead of
+      // re-running the join+union+aggregation stage — the documented
+      // RDD.checkpoint recompute caveat).
+      val prop = adj
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select($"src".as("id"), $"component")
         .union(labels)
         .groupBy($"id")
         .agg(min($"component").as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // Pointer jump: every node also adopts the CURRENT label of its
+      // label (a same-component node whose own label is <= it, by the
+      // monotone-decrease invariant — labels start at ids and only
+      // ever adopt smaller same-component node ids, so the lookup is
+      // both safe and shrinking). One-hop propagation alone needs
+      // ~diameter rounds — the sf100 doubling graph's ~23 chained
+      // rounds of join+checkpoint+GC were the whole graph_components
+      // decade blowup — while composing a jump per round doubles the
+      // covered distance: O(log diameter) rounds, each paying one
+      // extra NODE-sized self-join (trivial next to the edge join).
+      // Dup-cluster callers (diameter 1-2, seed-converged) still run
+      // their single confirming pass.
+      val cached = prop
+        .join(prop.select($"id".as("jid"), $"component".as("jc")),
+          $"component" === $"jid", "left")
+        .select($"id",
+          least($"component", coalesce($"jc", $"component")).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val next = cached.checkpoint() // eager: materializes this round and cuts lineage
+      prop.unpersist()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter($"component" =!= $"old").limit(1).count()
       cached.unpersist() // checkpoint files back `next` from here on

@@ -28,8 +28,9 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
 
   test("connected components: distributed path surfaces non-convergence on a long chain") {
     import spark.implicits._
-    // a 30-vertex chain has diameter 29 > maxIter+1: labels must be
-    // reported unconverged (and strict mode must throw)
+    // a 30-vertex chain has diameter 29 > 2^(3+1)-1 = 15, the distance
+    // 3 jump-doubled rounds can cover: labels must be reported
+    // unconverged (and strict mode must throw)
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
     val r = ConnectedComponents.labelWithStatus(chain, maxIter = 3, driverThreshold = -1L)
     assert(!r.converged)
