@@ -103,22 +103,31 @@ object GraphQueries {
     // Key-width probe for the edge-cache bytes diet below: the edge
     // endpoints are 2·custkey / 2·suppkey+1, and both key families are
     // bounded by their DIMENSION tables (the generator preserves the
-    // FK domains at every scale), so two dimension-sized aggregates —
+    // FK domains at every scale), so two dimension-sized bounds —
     // never a fact-table pass — decide whether the doubled id space
-    // fits an int. At 100 TB with >1B customers the layout silently
-    // stays long; same arithmetic either way.
-    // casts inside the agg keep the probe agnostic to the stored key
-    // width (an int32-keyed deployment must not crash a driver-side
-    // getLong)
-    val cr = Tables.customer(spark, dir)
-      .agg(min($"c_custkey").cast("long").as("mn"),
-        max($"c_custkey").cast("long").as("mx")).first()
-    val sr = Tables.supplier(spark, dir)
-      .agg(min($"s_suppkey").cast("long").as("mn"),
-        max($"s_suppkey").cast("long").as("mx")).first()
-    val fitsInt = !cr.isNullAt(0) && !sr.isNullAt(0) &&
-      cr.getLong(0) >= 0L && sr.getLong(0) >= 0L &&
-      math.max(2L * cr.getLong(1), 2L * sr.getLong(1) + 1L) < Int.MaxValue.toLong
+    // fits an int. Bounds come from parquet FOOTER stats when
+    // available (a driver-side metadata read, zero Spark jobs — the
+    // same machinery as GraftIO.buildStatsIndex; at sf0.1 the two
+    // probe jobs were a measurable fixed cost on a ~4 s query),
+    // falling back to a dimension-sized aggregate with casts inside
+    // the agg so an int32-keyed deployment doesn't crash a driver
+    // getLong. At 100 TB with >1B customers the layout silently stays
+    // long; same arithmetic either way.
+    def keyBounds(path: String, c: String): (Long, Long) =
+      graft.io.GraftIO.footerStatsIndex(spark, path, Seq(c)).flatMap { idx =>
+        val rows = idx.collect()
+        val mins = rows.map(_.getAs[Any](s"min_$c")).collect { case n: Number => n.longValue }
+        val maxs = rows.map(_.getAs[Any](s"max_$c")).collect { case n: Number => n.longValue }
+        if (mins.isEmpty || maxs.isEmpty) None else Some((mins.min, maxs.max))
+      }.getOrElse {
+        val r = spark.read.parquet(path)
+          .agg(min(col(c)).cast("long").as("mn"), max(col(c)).cast("long").as("mx")).first()
+        if (r.isNullAt(0)) (Long.MinValue, Long.MaxValue) else (r.getLong(0), r.getLong(1))
+      }
+    val (cMin, cMax) = keyBounds(s"$dir/customer.parquet", "c_custkey")
+    val (sMin, sMax) = keyBounds(s"$dir/supplier.parquet", "s_suppkey")
+    val fitsInt = cMin >= 0L && sMin >= 0L &&
+      math.max(2L * cMax, 2L * sMax + 1L) < Int.MaxValue.toLong
     val keyType = if (fitsInt) "int" else "bigint"
 
     // disjoint node spaces: customers on even ids, suppliers on odd
