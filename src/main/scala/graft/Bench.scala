@@ -89,13 +89,32 @@ object Bench {
     }
 
     val jq = graft.logging.JsonLogger.quote _
-    val qs = results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    // milliseconds are the measurement's real resolution — full double
+    // precision tripled the line length and pushed the canonical JSON
+    // past the 2000-char stdout tail the driver captures, hiding a
+    // third of the board from the per-round comparison (BENCH_r07:
+    // parsed null, 37 of 95 queries front-truncated away)
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"${jq(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jq(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n")
+    // the full 95-query map CANNOT fit a 2000-char tail window (the
+    // query names alone are ~1.6k chars), so the canonical line is
+    // also written to a repo-tracked artifact, and stdout ENDS with a
+    // compact summary line that always fits the tail — parseable even
+    // when the big line is truncated, and pointing at the full map
+    val repoOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPO", "BENCH_LATEST.json")
+    try Files.writeString(Paths.get(repoOut), line + "\n")
+    catch { case e: Exception =>
+      Console.err.println(s"[bench] could not write $repoOut: ${e.getMessage}") }
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},""" +
+      s""""nerrors":${errors.size},"queries_file":${jq(repoOut)},"sf":${jq(sfDir)}}"""
+    println(summary)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -281,10 +281,24 @@ object GraftIO {
 
   /** Footer fast path for [[buildStatsIndex]]: per-file min/max read
     * from parquet metadata. Returns None (caller falls back to the
-    * scan) when a stat column is non-numeric (string min/max can be
-    * TRUNCATED in footers — sound for pruning but not equal to the
-    * scan the contract states), absent from a file, or written without
-    * statistics. The driver-side footer loop is metadata-scale (one
+    * scan) when a stat column is not an integral type, absent from a
+    * file, or written without statistics. Only INTEGRAL columns take
+    * the fast path: string min/max can be TRUNCATED in footers (sound
+    * for pruning but not equal to the scan the contract states), and
+    * float/double footer stats have writer-dependent NaN / -0.0
+    * semantics (NaN may be skipped or poison the bounds; Spark's own
+    * scan aggregates order NaN greatest) — the footer==scan contract
+    * this index promises is only safe where parquet and Spark agree
+    * on ordering, which is exactly the integral types PruneSpec pins.
+    *
+    * The `file` column is rendered as `Path.toUri.toString` — the
+    * SAME canonical URI encoding `input_file_name()` emits in the
+    * scan fallback (Spark's PartitionedFile path is built from
+    * `Path.toUri`), so consumers may join either index form against
+    * a live scan's `input_file_name()` without scheme or URL-encoding
+    * mismatches. PruneSpec pins full-URI equality of the two builders.
+    *
+    * The driver-side footer loop is metadata-scale (one
     * ranged read of a few KB per file); a deployment with millions of
     * files would distribute it, same as its file listing. */
   private[graft] def footerStatsIndex(
@@ -294,7 +308,7 @@ object GraftIO {
     val schema = spark.read.parquet(path).schema
     val types = schema.fields.map(f => f.name -> f.dataType).toMap
     val supported = statCols.forall(c => types.get(c).exists {
-      case LongType | IntegerType | DoubleType | FloatType => true
+      case LongType | IntegerType => true
       case _ => false
     })
     if (!supported) return None
@@ -352,7 +366,7 @@ object GraftIO {
           }
           Seq(mn, mx)
         }
-        Seq(org.apache.spark.sql.Row.fromSeq(st.getPath.toString +: vals))
+        Seq(org.apache.spark.sql.Row.fromSeq(st.getPath.toUri.toString +: vals))
         }
       }
       val indexSchema = StructType(

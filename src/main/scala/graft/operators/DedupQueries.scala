@@ -239,8 +239,9 @@ object DedupQueries {
     // overlap bar (the same integer arithmetic as the positional
     // filter) die here, and only the survivors — essentially the true
     // pair set — ever fetch full arrays. Provably lossless: see
-    // SketchWords. Docs with s >= 65536 skip the prune (lane overflow
-    // would void the bound) and go straight to the exact verify.
+    // SketchWords. Docs with s >= 32768 skip the prune (lane carry /
+    // ANSI overflow would void the bound — see SketchMaxS) and go
+    // straight to the exact verify.
     val skA = arrays.select($"doc_id".as("id_a") +:
       (0 until SketchWords).map(w => col(s"sk$w").as(s"ska$w")): _*)
     val skB = arrays.select($"doc_id".as("id_b") +:

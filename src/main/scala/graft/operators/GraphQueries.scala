@@ -126,8 +126,15 @@ object GraphQueries {
       }
     val (cMin, cMax) = keyBounds(s"$dir/customer.parquet", "c_custkey")
     val (sMin, sMax) = keyBounds(s"$dir/supplier.parquet", "s_suppkey")
+    // width check in long arithmetic that CANNOT wrap: a fallback
+    // bound of Long.MaxValue (null stats) doubled would overflow to
+    // negative and make the naive `2*max < Int.MaxValue` spuriously
+    // true — the ANSI cast(int) would then kill the query at runtime
+    // instead of the probe selecting bigint. cMax < 2^30 - 1 implies
+    // 2*cMax fits; sMax < 2^30 - 1 implies 2*sMax + 1 fits.
+    val halfInt = Int.MaxValue.toLong / 2 // 1073741823
     val fitsInt = cMin >= 0L && sMin >= 0L &&
-      math.max(2L * cMax, 2L * sMax + 1L) < Int.MaxValue.toLong
+      cMax < halfInt && sMax < halfInt
     val keyType = if (fitsInt) "int" else "bigint"
 
     // disjoint node spaces: customers on even ids, suppliers on odd

@@ -65,11 +65,14 @@ class PruneSpec extends SparkSpec {
     val footer = GraftIO.footerStatsIndex(spark, path, Seq("l_orderkey", "l_partkey"))
     assert(footer.isDefined, "footer stats path must engage on a numeric parquet layout")
 
-    // parquet footer min/max for fixed-width types are exact: the two
-    // builders must agree file-for-file (file name, not full URI — the
-    // scan's input_file_name() renders the scheme differently)
+    // parquet footer min/max for fixed-width integral types are exact:
+    // the two builders must agree file-for-file on the FULL canonical
+    // URI (the footer builder renders Path.toUri.toString, the exact
+    // string input_file_name() emits) — a consumer may join either
+    // index against a live scan's input_file_name() without scheme or
+    // URL-encoding mismatches
     def canon(df: org.apache.spark.sql.DataFrame) = df
-      .select(regexp_extract($"file", "[^/]+$", 0).as("f"),
+      .select($"file",
         $"min_l_orderkey", $"max_l_orderkey", $"min_l_partkey", $"max_l_partkey")
       .collect().map(_.toSeq).sortBy(_.head.toString)
     val aggs = Seq(min($"l_orderkey").as("min_l_orderkey"), max($"l_orderkey").as("max_l_orderkey"),
@@ -82,5 +85,31 @@ class PruneSpec extends SparkSpec {
     assert(GraftIO.footerStatsIndex(spark, path, Seq("l_returnflag")).isEmpty)
     // and the public builder still serves it via the scan path
     assert(GraftIO.buildStatsIndex(spark, path, Seq("l_returnflag")).count() == 8)
+    // float/double footer stats have writer-dependent NaN / -0.0
+    // semantics — they must take the scan path, not the footer path
+    val withDouble = spark.read.parquet(path)
+      .withColumn("d", $"l_partkey".cast("double"))
+    val dpath = Files.createTempDirectory("prune_double").toString + "/d"
+    withDouble.write.parquet(dpath)
+    assert(GraftIO.footerStatsIndex(spark, dpath, Seq("d")).isEmpty,
+      "floating-point stat columns must fall back to the scan builder")
+    assert(GraftIO.buildStatsIndex(spark, dpath, Seq("d")).count() > 0)
+  }
+
+  test("footer index file URIs survive URL-encoded characters") {
+    // a directory with a space exercises the Path.toUri encoding the
+    // footer builder promises to match input_file_name() on
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey").limit(1000)
+    val path = Files.createTempDirectory("prune enc").toString + "/z dir"
+    li.write.parquet(path)
+    val footer = GraftIO.footerStatsIndex(spark, path, Seq("l_orderkey"))
+    assert(footer.isDefined)
+    val scanFiles = spark.read.parquet(path)
+      .select(input_file_name().as("file")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val footerFiles = footer.get.select("file")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(footerFiles == scanFiles,
+      s"footer URIs must byte-match input_file_name():\n$footerFiles\nvs\n$scanFiles")
   }
 }
