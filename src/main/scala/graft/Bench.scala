@@ -94,7 +94,10 @@ object Bench {
     // past the 2000-char stdout tail the driver captures, hiding a
     // third of the board from the per-round comparison (BENCH_r07:
     // parsed null, 37 of 95 queries front-truncated away)
-    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would print "0,59" — invalid JSON
+    def fmt(v: Double) =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"${jq(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -409,13 +409,22 @@ object GraftIO {
     val pred = ranges.map { case (c, (lo, hi)) =>
       col(s"min_$c") <= hi && col(s"max_$c") >= lo
     }.reduce(_ && _)
+    // the index's file column is a CANONICAL URL-ENCODED URI (both
+    // builders emit input_file_name()'s rendering) — but the read
+    // path does NOT url-decode: spark.read.parquet("...a%20b...")
+    // looks for a file literally named %20 (caught by PruneSpec's
+    // round-trip test on a directory with a space). Decode through
+    // java.net.URI so the encoded index form round-trips back into a
+    // readable path.
+    def decode(s: String): String =
+      new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
     val files = index.filter(pred)
-      .select("file").collect().map(_.getString(0))
+      .select("file").collect().map(r => decode(r.getString(0)))
     val base =
       if (files.isEmpty) {
         // preserve the schema with an empty frame: derive it from one
         // indexed file (the index is never built over zero files)
-        val any = index.select("file").limit(1).collect().map(_.getString(0))
+        val any = index.select("file").limit(1).collect().map(r => decode(r.getString(0)))
         spark.read.parquet(any: _*).limit(0)
       } else spark.read.parquet(files: _*)
     // residual filter per column restores exactness (stats admit false

@@ -157,9 +157,13 @@ object GraphQueries {
     // the node-sized rank table each round, and the edge join attaches
     // the finished per-node contribution.
     //
-    // Cache-bytes diet (the sf100 finding: at ~1.07B rows the cache
-    // outgrows executor storage memory and all 5 rounds re-read it
-    // from disk, so BYTES are the round cost): (a) SQL caches are
+    // Cache-bytes diet — post-diet the sf100 cache FITS storage
+    // memory outright (GraphDiag rounds tap, r8: 1.17B rows = 4.71 GB
+    // memory-resident, disk 0 B through all rounds, zero spills), so
+    // the diet converted "re-read from disk every round" into
+    // "probe from memory every round"; the remaining per-round cost
+    // is the aggregateMessages-class shuffle measured below, not
+    // storage misses. The levers: (a) SQL caches are
     // already serialized compressed columnar batches — a *_SER
     // storage level changes nothing for an InMemoryRelation — the
     // levers that do work are (b) the int key cast above (8 B → 4 B
@@ -221,7 +225,22 @@ object GraphQueries {
       // re-exchanges (its src layout satisfies the join), and contribs
       // arrives already src-partitioned from the deg join — at any
       // scale the corpus-sized side stays put (a broadcast of ranks
-      // would be node-count-sized: not scale-safe)
+      // would be node-count-sized: not scale-safe).
+      //
+      // Round cost structure (GraphDiag rounds tap, measured at
+      // sf10/sf100): the groupBy(dst) below is the one per-round
+      // exchange — the aggregateMessages shuffle every distributed
+      // PageRank pays. Its size is Σ_p min(edges_p, distinct_dst_p):
+      // while nodes < edges-per-partition the map-side combine
+      // collapses it to ~nodes×partitions (sf10: 0.33 GB); once node
+      // count outgrows a partition's edge count the combine saturates
+      // and the shuffle converges to edge-count-sized (sf100: 7.3 GB
+      // per round, ~half of raw) — a one-time regime transition,
+      // LINEAR beyond it, and bounded above by the edge count by
+      // construction. Zero spills at either scale; the cache is
+      // memory-resident (see above) — on a single box the rounds are
+      // CPU-bound on the two hash-aggregate passes, which is exactly
+      // the axis a multi-executor cluster parallelizes away.
       ranks = edges
         .join(contribs.hint("shuffle_hash"), "src")
         .groupBy($"dst".as("id"))

@@ -40,9 +40,105 @@ object GraphDiag {
       cached.unpersist(blocking = true)
     }
 
-    measure("long_unsorted", e0("bigint").repartition($"src"))
-    measure("int_unsorted", e0("int").repartition($"src"))
-    measure("int_sorted", e0("int").repartition($"src").sortWithinPartitions($"src"))
+    if (args.length > 1 && args(1) == "rounds") rounds(spark, dir)
+    else {
+      measure("long_unsorted", e0("bigint").repartition($"src"))
+      measure("int_unsorted", e0("int").repartition($"src"))
+      measure("int_sorted", e0("int").repartition($"src").sortWithinPartitions($"src"))
+    }
     spark.stop()
+  }
+
+  /** `rounds` mode: replays graphPagerank's exact loop with a
+    * per-round tap — edge-cache memory/disk split after
+    * materialization (does the cache FIT storage memory, or is the
+    * "all rounds re-read from disk" attribution real?), per-round
+    * wall time, and per-round shuffle/spill byte totals from a stage
+    * listener. This exists to turn BASELINE.md's sf100 residual
+    * attribution into a measurement. */
+  private def rounds(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new AtomicLong; val shufRead = new AtomicLong
+    val memSpill = new AtomicLong; val diskSpill = new AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def drain(tag: String, t0: Long): Unit = {
+      Thread.sleep(300) // listener bus is async; the private waitUntilEmpty is off-limits
+      println(f"[diag] $tag%-8s wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"shufW=${shufWrite.getAndSet(0) / 1e9}%.2f GB shufR=${shufRead.getAndSet(0) / 1e9}%.2f GB " +
+        f"memSpill=${memSpill.getAndSet(0) / 1e9}%.2f GB diskSpill=${diskSpill.getAndSet(0) / 1e9}%.2f GB")
+    }
+
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_prdiag_ckpt").toString)
+    var t0 = System.nanoTime()
+    val both = e0Rounds(spark, dir).select(explode(array(
+        struct($"src", $"dst"),
+        struct($"dst".as("src"), $"src".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst")
+    val edges = both.repartition($"src").sortWithinPartitions($"src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = edges.count()
+    val info = spark.sparkContext.getRDDStorageInfo
+    val mem = info.map(_.memSize).sum; val disk = info.map(_.diskSize).sum
+    println(f"[diag] edges rows=$edgeCount mem=${mem / 1e9}%.2f GB disk=${disk / 1e9}%.2f GB " +
+      f"bytes_per_row=${(mem + disk).toDouble / edgeCount}%.2f " +
+      f"cached_in_memory=${disk == 0L}")
+    drain("build", t0)
+
+    t0 = System.nanoTime()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deg.count()
+    drain("deg", t0)
+
+    var ranks = edges.select($"src".as("id")).distinct()
+      .select($"id", lit(1000000L).as("r"))
+    (1 to 5).foreach { i =>
+      t0 = System.nanoTime()
+      val contribs = ranks.withColumnRenamed("id", "src")
+        .join(deg.hint("shuffle_hash"), "src")
+        .select($"src", expr("r div outdeg").as("c"))
+      ranks = edges
+        .join(contribs.hint("shuffle_hash"), "src")
+        .groupBy($"dst".as("id"))
+        .agg(sum($"c").as("s"))
+        .select($"id", (lit(150000L) + expr("(85 * s) div 100")).as("r"))
+      val cached = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = cached.checkpoint()
+      cached.unpersist()
+      ranks = next
+      val i2 = spark.sparkContext.getRDDStorageInfo
+      val em = i2.map(_.memSize).sum; val ed = i2.map(_.diskSize).sum
+      drain(s"round$i", t0)
+      println(f"[diag] round$i storage now mem=${em / 1e9}%.2f GB disk=${ed / 1e9}%.2f GB")
+      System.gc()
+    }
+    t0 = System.nanoTime()
+    println("[diag] top1=" + ranks.orderBy($"r".desc, $"id").limit(1).collect().mkString)
+    drain("topn", t0)
+    edges.unpersist(); deg.unpersist()
+  }
+
+  /** Same key probe + distinct edge build as graphPagerank (int keys
+    * when the dimension bounds allow — at the diag's scales they do). */
+  private def e0Rounds(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).cast("int").as("src"),
+        ($"l_suppkey" * 2 + 1).cast("int").as("dst"))
+      .distinct()
   }
 }

@@ -111,5 +111,10 @@ class PruneSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted.toSeq
     assert(footerFiles == scanFiles,
       s"footer URIs must byte-match input_file_name():\n$footerFiles\nvs\n$scanFiles")
+    // and the encoded URIs must round-trip through readPruned's
+    // spark.read.parquet(files) — an index whose file strings cannot
+    // be re-opened is worse than no index
+    val pruned = GraftIO.readPruned(spark, footer.get, "l_orderkey", Long.MinValue, Long.MaxValue)
+    assert(pruned.count() == li.count())
   }
 }
