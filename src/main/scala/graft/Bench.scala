@@ -111,12 +111,17 @@ object Bench {
     // compact summary line that always fits the tail — parseable even
     // when the big line is truncated, and pointing at the full map
     val repoOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPO", "BENCH_LATEST.json")
-    try Files.writeString(Paths.get(repoOut), line + "\n")
-    catch { case e: Exception =>
-      Console.err.println(s"[bench] could not write $repoOut: ${e.getMessage}") }
+    // if this write fails the summary must NOT advertise the path — a
+    // stale previous-round file would sit there and be read as this
+    // round's numbers with no error; queries_file:null tells consumers
+    // the full map was only on the (possibly truncated) stdout line
+    val wroteRepo =
+      try { Files.writeString(Paths.get(repoOut), line + "\n"); true }
+      catch { case e: Exception =>
+        Console.err.println(s"[bench] could not write $repoOut: ${e.getMessage}"); false }
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},""" +
-      s""""nerrors":${errors.size},"queries_file":${jq(repoOut)},"sf":${jq(sfDir)}}"""
+      s""""nerrors":${errors.size},"queries_file":${if (wroteRepo) jq(repoOut) else "null"},"sf":${jq(sfDir)}}"""
     println(summary)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -415,16 +415,31 @@ object GraftIO {
     // looks for a file literally named %20 (caught by PruneSpec's
     // round-trip test on a directory with a space). Decode through
     // java.net.URI so the encoded index form round-trips back into a
-    // readable path.
+    // readable path. A RAW (unencoded) path — a legacy index persisted
+    // before the builders converged on the URI form, or a user-built
+    // one — is not valid URI syntax whenever it contains a space or a
+    // bare '%', so fall back to the string as-is rather than crash:
+    // spark.read.parquet accepted exactly that raw form before the
+    // decode existed. (A raw path whose file is LITERALLY named with
+    // an escape like "a%20b" parses as a URI and decodes differently —
+    // inherent ambiguity of mixing forms; both shipped builders emit
+    // the encoded form, pinned by PruneSpec.)
     def decode(s: String): String =
-      new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
+      try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
+      catch { case _: java.net.URISyntaxException => s }
     val files = index.filter(pred)
       .select("file").collect().map(r => decode(r.getString(0)))
     val base =
       if (files.isEmpty) {
         // preserve the schema with an empty frame: derive it from one
-        // indexed file (the index is never built over zero files)
+        // indexed file (both builders index zero FILES never, but a
+        // directory of only zero-ROW files yields a zero-row index —
+        // no file to derive a schema from, so fail loudly instead of
+        // letting spark.read.parquet() throw "Unable to infer schema")
         val any = index.select("file").limit(1).collect().map(r => decode(r.getString(0)))
+        require(any.nonEmpty,
+          "stats index has zero rows (every indexed file was empty or statless): " +
+            "no file to derive the result schema from — read the source directory directly")
         spark.read.parquet(any: _*).limit(0)
       } else spark.read.parquet(files: _*)
     // residual filter per column restores exactness (stats admit false

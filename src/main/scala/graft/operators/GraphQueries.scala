@@ -98,21 +98,21 @@ object GraphQueries {
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
     graphPagerank(spark, dir, PagerankCheckpointMinEdges)
 
-  def graphPagerank(spark: SparkSession, dir: String, ckptMinEdges: Long): DataFrame = {
-    import spark.implicits._
-    // Key-width probe for the edge-cache bytes diet below: the edge
-    // endpoints are 2·custkey / 2·suppkey+1, and both key families are
-    // bounded by their DIMENSION tables (the generator preserves the
-    // FK domains at every scale), so two dimension-sized bounds —
-    // never a fact-table pass — decide whether the doubled id space
-    // fits an int. Bounds come from parquet FOOTER stats when
-    // available (a driver-side metadata read, zero Spark jobs — the
-    // same machinery as GraftIO.buildStatsIndex; at sf0.1 the two
-    // probe jobs were a measurable fixed cost on a ~4 s query),
-    // falling back to a dimension-sized aggregate with casts inside
-    // the agg so an int32-keyed deployment doesn't crash a driver
-    // getLong. At 100 TB with >1B customers the layout silently stays
-    // long; same arithmetic either way.
+  /** Key-width probe for the edge-cache bytes diet: the edge
+    * endpoints are 2·custkey / 2·suppkey+1, and both key families are
+    * bounded by their DIMENSION tables (the generator preserves the
+    * FK domains at every scale), so two dimension-sized bounds —
+    * never a fact-table pass — decide whether the doubled id space
+    * fits an int. Bounds come from parquet FOOTER stats when
+    * available (a driver-side metadata read, zero Spark jobs — the
+    * same machinery as GraftIO.buildStatsIndex; at sf0.1 the two
+    * probe jobs were a measurable fixed cost on a ~4 s query),
+    * falling back to a dimension-sized aggregate with casts inside
+    * the agg so an int32-keyed deployment doesn't crash a driver
+    * getLong. At 100 TB with >1B customers the layout silently stays
+    * long; same arithmetic either way. Shared with GraphDiag so the
+    * diagnostic replays the exact production layout decision. */
+  private[graft] def pagerankKeyType(spark: SparkSession, dir: String): String = {
     def keyBounds(path: String, c: String): (Long, Long) =
       graft.io.GraftIO.footerStatsIndex(spark, path, Seq(c)).flatMap { idx =>
         val rows = idx.collect()
@@ -135,7 +135,12 @@ object GraphQueries {
     val halfInt = Int.MaxValue.toLong / 2 // 1073741823
     val fitsInt = cMin >= 0L && sMin >= 0L &&
       cMax < halfInt && sMax < halfInt
-    val keyType = if (fitsInt) "int" else "bigint"
+    if (fitsInt) "int" else "bigint"
+  }
+
+  def graphPagerank(spark: SparkSession, dir: String, ckptMinEdges: Long): DataFrame = {
+    import spark.implicits._
+    val keyType = pagerankKeyType(spark, dir)
 
     // disjoint node spaces: customers on even ids, suppliers on odd
     val e0 = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")

@@ -13,21 +13,33 @@ import graft.{Harness, Tables}
   * about the bytes diet is a measurement, not an estimate. Not part
   * of the library surface. */
 object GraphDiag {
-  def main(args: Array[String]): Unit = {
-    val dir = args(0)
-    val spark = Harness.buildSession(dir, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+  /** graphPagerank's distinct (src, dst) pair build, keyType-parameterized
+    * — ONE definition shared by both diag modes so a change to the edge
+    * construction cannot leave the diag measuring a stale layout. */
+  private def pairs(spark: org.apache.spark.sql.SparkSession, dir: String, keyType: String) = {
     import spark.implicits._
-
-    def e0(keyType: String) = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
       .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
         $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" * 2).cast(keyType).as("src"),
         ($"l_suppkey" * 2 + 1).cast(keyType).as("dst"))
       .distinct()
-      .select(explode(array(
+  }
+
+  /** Both orientations exploded from one pass, same as production. */
+  private def exploded(df: org.apache.spark.sql.DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(array(
         struct($"src", $"dst"),
         struct($"dst".as("src"), $"src".as("dst")))).as("e"))
       .select($"e.src", $"e.dst")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = Harness.buildSession(dir, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
 
     def measure(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -42,9 +54,10 @@ object GraphDiag {
 
     if (args.length > 1 && args(1) == "rounds") rounds(spark, dir)
     else {
-      measure("long_unsorted", e0("bigint").repartition($"src"))
-      measure("int_unsorted", e0("int").repartition($"src"))
-      measure("int_sorted", e0("int").repartition($"src").sortWithinPartitions($"src"))
+      measure("long_unsorted", exploded(pairs(spark, dir, "bigint")).repartition($"src"))
+      measure("int_unsorted", exploded(pairs(spark, dir, "int")).repartition($"src"))
+      measure("int_sorted",
+        exploded(pairs(spark, dir, "int")).repartition($"src").sortWithinPartitions($"src"))
     }
     spark.stop()
   }
@@ -54,8 +67,11 @@ object GraphDiag {
     * materialization (does the cache FIT storage memory, or is the
     * "all rounds re-read from disk" attribution real?), per-round
     * wall time, and per-round shuffle/spill byte totals from a stage
-    * listener. This exists to turn BASELINE.md's sf100 residual
-    * attribution into a measurement. */
+    * listener. Key width comes from the same production probe
+    * (GraphQueries.pagerankKeyType) and checkpointing follows the
+    * same gate + per-round deletion as production, so the replay is
+    * plan-for-plan and cost-for-cost. This exists to turn
+    * BASELINE.md's sf100 residual attribution into a measurement. */
   private def rounds(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import spark.implicits._
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
@@ -73,20 +89,39 @@ object GraphDiag {
     }
     spark.sparkContext.addSparkListener(listener)
     def drain(tag: String, t0: Long): Unit = {
-      Thread.sleep(300) // listener bus is async; the private waitUntilEmpty is off-limits
-      println(f"[diag] $tag%-8s wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      // wall stops HERE — the listener-settle wait below must not be
+      // billed to the measured stage (+0.3 s on a 2.7 s cell is a 10%
+      // systematic skew in published numbers)
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener bus is async and the private waitUntilEmpty is
+      // off-limits: poll until the counters stop moving (a fixed sleep
+      // under-drained after multi-GB-shuffle rounds, crediting tail
+      // bytes to the NEXT round's tally)
+      var prev = -1L
+      var cur = shufWrite.get + shufRead.get + memSpill.get + diskSpill.get
+      var waited = 0
+      while (cur != prev && waited < 20) {
+        Thread.sleep(150); prev = cur
+        cur = shufWrite.get + shufRead.get + memSpill.get + diskSpill.get
+        waited += 1
+      }
+      println(f"[diag] $tag%-8s wall=$wall%.2f s " +
         f"shufW=${shufWrite.getAndSet(0) / 1e9}%.2f GB shufR=${shufRead.getAndSet(0) / 1e9}%.2f GB " +
         f"memSpill=${memSpill.getAndSet(0) / 1e9}%.2f GB diskSpill=${diskSpill.getAndSet(0) / 1e9}%.2f GB")
     }
 
-    spark.sparkContext.setCheckpointDir(
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("graft_prdiag_ckpt").toString)
+    def deleteCheckpoint(file: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
     var t0 = System.nanoTime()
-    val both = e0Rounds(spark, dir).select(explode(array(
-        struct($"src", $"dst"),
-        struct($"dst".as("src"), $"src".as("dst")))).as("e"))
-      .select($"e.src", $"e.dst")
-    val edges = both.repartition($"src").sortWithinPartitions($"src")
+    val keyType = graft.operators.GraphQueries.pagerankKeyType(spark, dir)
+    println(s"[diag] keyType=$keyType")
+    val edges = exploded(pairs(spark, dir, keyType))
+      .repartition($"src").sortWithinPartitions($"src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgeCount = edges.count()
     val info = spark.sparkContext.getRDDStorageInfo
@@ -102,6 +137,11 @@ object GraphDiag {
     deg.count()
     drain("deg", t0)
 
+    // same gate as production: below the threshold graphPagerank runs
+    // un-checkpointed rounds, and the diag must measure that plan
+    val checkpointRounds = edgeCount >= graft.operators.GraphQueries.PagerankCheckpointMinEdges
+    println(s"[diag] checkpointRounds=$checkpointRounds")
+    var prevCheckpoint: Option[String] = None
     var ranks = edges.select($"src".as("id")).distinct()
       .select($"id", lit(1000000L).as("r"))
     (1 to 5).foreach { i =>
@@ -114,10 +154,15 @@ object GraphDiag {
         .groupBy($"dst".as("id"))
         .agg(sum($"c").as("s"))
         .select($"id", (lit(150000L) + expr("(85 * s) div 100")).as("r"))
-      val cached = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val next = cached.checkpoint()
-      cached.unpersist()
-      ranks = next
+      if (checkpointRounds) {
+        val cached = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val next = cached.checkpoint()
+        cached.unpersist()
+        prevCheckpoint.foreach(deleteCheckpoint)
+        prevCheckpoint = graft.similarity.ConnectedComponents.checkpointFileOf(
+          next.queryExecution.toRdd)
+        ranks = next
+      }
       val i2 = spark.sparkContext.getRDDStorageInfo
       val em = i2.map(_.memSize).sum; val ed = i2.map(_.diskSize).sum
       drain(s"round$i", t0)
@@ -128,17 +173,6 @@ object GraphDiag {
     println("[diag] top1=" + ranks.orderBy($"r".desc, $"id").limit(1).collect().mkString)
     drain("topn", t0)
     edges.unpersist(); deg.unpersist()
-  }
-
-  /** Same key probe + distinct edge build as graphPagerank (int keys
-    * when the dimension bounds allow — at the diag's scales they do). */
-  private def e0Rounds(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    import spark.implicits._
-    Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select(($"o_custkey" * 2).cast("int").as("src"),
-        ($"l_suppkey" * 2 + 1).cast("int").as("dst"))
-      .distinct()
+    prevCheckpoint.foreach(deleteCheckpoint)
   }
 }

@@ -117,4 +117,36 @@ class PruneSpec extends SparkSpec {
     val pruned = GraftIO.readPruned(spark, footer.get, "l_orderkey", Long.MinValue, Long.MaxValue)
     assert(pruned.count() == li.count())
   }
+
+  test("readPruned tolerates a legacy raw-path index (pre-URI file column)") {
+    // indexes persisted before the builders converged on the canonical
+    // URI form stored Path.toString — raw, unencoded. A raw path with
+    // a space is not valid URI syntax; readPruned must fall back to
+    // the string as-is (the form spark.read.parquet always accepted),
+    // not crash with URISyntaxException.
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey").limit(1000)
+    val path = Files.createTempDirectory("prune raw").toString + "/r dir"
+    li.write.parquet(path)
+    val index = GraftIO.buildStatsIndex(spark, path, Seq("l_orderkey"))
+    // rewrite the file column into the legacy raw form
+    val raw = index.withColumn("file",
+      udf((s: String) => new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString)
+        .apply($"file"))
+    assert(raw.select("file").collect().exists(_.getString(0).contains(" ")),
+      "test setup: the raw form must contain an unencoded space")
+    val pruned = GraftIO.readPruned(spark, raw, "l_orderkey", Long.MinValue, Long.MaxValue)
+    assert(pruned.count() == li.count())
+  }
+
+  test("readPruned fails loudly on a zero-row index instead of 'Unable to infer schema'") {
+    val p = Files.createTempDirectory("prune empty").toString + "/e"
+    Tables.lineitem(spark, sf).select($"l_orderkey").limit(10).write.parquet(p)
+    val schema = GraftIO.buildStatsIndex(spark, p, Seq("l_orderkey")).schema
+    val zeroRows = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val e = intercept[IllegalArgumentException] {
+      GraftIO.readPruned(spark, zeroRows, "l_orderkey", 0L, 100L).count()
+    }
+    assert(e.getMessage.contains("zero rows"))
+  }
 }
