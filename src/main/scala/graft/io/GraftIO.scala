@@ -103,6 +103,53 @@ object GraftIO {
       writer.option("maxRecordsPerFile", maxRecordsPerFile.toString) else writer
 
     applyFormat(withMax, format, gzip, sep, header).options(options).save(path)
+    if (partitionBy.nonEmpty) writeSchemaSidecar(df, path, partitionBy)
+  }
+
+  /** A hive-partitioned write of an EMPTY frame produces no partition
+    * directories and no data files — the directory cannot be read back
+    * (schema inference has nothing to look at, and partitioned tables
+    * CAN legitimately be empty: a filtered export, the first run of an
+    * incremental job). Table formats close this gap with metadata;
+    * this is the minimal version: every partitioned `write` drops a
+    * `_graft_schema.json` sidecar (underscore prefix — invisible to
+    * Spark's file listing and to footerStatsIndex) recording the full
+    * writer schema and the partition columns, and `read` falls back to
+    * it when inference finds no files, returning the correct EMPTY
+    * frame (writer-typed schema) instead of UNABLE_TO_INFER_SCHEMA.
+    * One driver-side metadata file per write — no data-path cost. */
+  private val SchemaSidecar = "_graft_schema.json"
+
+  private def writeSchemaSidecar(
+      df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
+    val jq = graft.logging.JsonLogger.quote _
+    val payload =
+      s"""{"partitionBy":${partitionBy.map(jq).mkString("[", ",", "]")},"schema":${df.schema.json}}"""
+    val p = new org.apache.hadoop.fs.Path(path, SchemaSidecar)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read-side half of the sidecar contract: the writer's schema and
+    * partition-column list, if a sidecar exists at `path`. */
+  private def readSchemaSidecar(
+      spark: SparkSession, path: String): Option[(StructType, Seq[String])] = {
+    val p = new org.apache.hadoop.fs.Path(path, SchemaSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(text)
+    val parts = (j \ "partitionBy").children.collect { case JString(s) => s }
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(JsonMethods.compact(j \ "schema")).asInstanceOf[StructType]
+    Some((schema, parts))
   }
 
   /** The per-format writer configuration — the SINGLE definition of
@@ -730,17 +777,34 @@ object GraftIO {
       }
     }
 
-    val df = load(recursive = false)
-    if (restorePartitions) df
-    else {
-      // Partition columns are exactly (discovered schema) minus
-      // (data-file schema). Both sides are schema resolution only —
-      // footer/sample reads, no driver-side enumeration of every file
-      // (the previous FileSystems.find() walk would bottleneck the
-      // driver at millions of objects before the first task launched).
-      val dataOnly = load(recursive = true).columns.toSet
-      val fromDirs = df.columns.filterNot(dataOnly.contains)
-      df.drop(fromDirs: _*)
+    // a partitioned directory with zero data files (empty-frame write)
+    // has nothing to infer a schema from — fall back to the writer's
+    // schema sidecar (see writeSchemaSidecar) and return the correct
+    // empty frame; without a sidecar, rethrow the original error
+    val loaded: Either[(StructType, Seq[String]), DataFrame] =
+      try Right(load(recursive = false))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+          Left(readSchemaSidecar(spark, path).getOrElse(throw e))
+      }
+    loaded match {
+      case Left((sidecarSchema, parts)) =>
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sidecarSchema)
+        if (restorePartitions) empty else empty.drop(parts: _*)
+      case Right(df) =>
+        if (restorePartitions) df
+        else {
+          // Partition columns are exactly (discovered schema) minus
+          // (data-file schema). Both sides are schema resolution only —
+          // footer/sample reads, no driver-side enumeration of every file
+          // (the previous FileSystems.find() walk would bottleneck the
+          // driver at millions of objects before the first task launched).
+          val dataOnly = load(recursive = true).columns.toSet
+          val fromDirs = df.columns.filterNot(dataOnly.contains)
+          df.drop(fromDirs: _*)
+        }
     }
   }
 }

@@ -248,8 +248,11 @@ object IoQueries {
         lit("D").as("op"), lit(2L).as("seq"))
     // insert keys shifted above the REAL key space (max+1, one scalar
     // aggregate) — a fixed offset would collide with existing keys at
-    // a large-enough sf and make the merge outcome key-dependent
-    val newKeyBase = base.agg(max($"o_orderkey")).first().getLong(0) + 1L
+    // a large-enough sf and make the merge outcome key-dependent.
+    // max() is NULL on an empty base — fall through to 0 so a zero-row
+    // input merges to zero rows instead of a driver-side getLong crash.
+    val maxKey = base.agg(max($"o_orderkey")).first()
+    val newKeyBase = (if (maxKey.isNullAt(0)) -1L else maxKey.getLong(0)) + 1L
     val inserts = base.filter($"o_orderkey" % 11 === 0)
       .select(($"o_orderkey" + newKeyBase).as("o_orderkey"),
         lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),

@@ -37,7 +37,11 @@ object MaintenanceQueries {
     // fixed offset would collide at a large-enough sf, producing
     // duplicate (key, seq) rows and a nondeterministic lead(). One
     // scalar aggregate (scan planning-scale, not data movement).
-    val newKeyBase = base.agg(max($"o_orderkey")).first().getLong(0) + 1L
+    // max() is NULL on an empty base — fall through to 0 so a
+    // zero-row input yields a zero-row change log instead of a
+    // driver-side getLong crash.
+    val maxKey = base.agg(max($"o_orderkey")).first()
+    val newKeyBase = (if (maxKey.isNullAt(0)) -1L else maxKey.getLong(0)) + 1L
     val inserts = base.select($"o_orderkey", lit("I").as("op"), lit(0L).as("seq"),
       $"o_orderstatus", $"price_cents")
     val updates = base.filter($"o_orderkey" % 5 === 0)

@@ -16,7 +16,11 @@ class CompactionSpec extends SparkSpec {
     GraftIO.write(Tables.events(spark, sf), src, chunks = 32)
     val fss = FileSystems(spark)
     def dataFiles(p: String) = fss.find(p)
-      .filterNot(f => f.endsWith("_SUCCESS") || f.endsWith(".crc"))
+      .filterNot { f =>
+        // metadata, not data: _SUCCESS, checksums, the schema sidecar
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        name.startsWith("_") || name.startsWith(".") || f.endsWith(".crc")
+      }
     assert(dataFiles(src).length > 8, "fragmentation setup failed")
 
     // generous target → everything fits one file
@@ -37,7 +41,11 @@ class CompactionSpec extends SparkSpec {
       partitionBy = Seq("event_type"), chunks = 8)
     val fss = FileSystems(spark)
     def dataFiles(p: String) = fss.find(p)
-      .filterNot(f => f.endsWith("_SUCCESS") || f.endsWith(".crc"))
+      .filterNot { f =>
+        // metadata, not data: _SUCCESS, checksums, the schema sidecar
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        name.startsWith("_") || name.startsWith(".") || f.endsWith(".crc")
+      }
     val n = GraftIO.compact(spark, src, out, targetBytes = 1L << 30,
       partitionBy = Seq("event_type"))
     // 5 event types × 1 file per dir — NOT tasks × dirs

@@ -167,4 +167,38 @@ class RobustnessSpec extends AnyFunSuite with SparkSpec {
       options = Map("mode" -> "DROPMALFORMED"))
     assert(dropped.count() === 2)
   }
+
+  test("empty partitioned write reads back as an empty frame (schema sidecar)") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p").limit(0)
+    val out = Files.createTempDirectory("graft_emptypart").toString + "/d"
+    // a partitioned write of zero rows produces no partition dirs and
+    // no data files — only the schema sidecar makes it readable
+    GraftIO.write(df, out, GraftIO.Parquet, partitionBy = Seq("p"), chunks = 2)
+    val back = GraftIO.read(spark, out, GraftIO.Parquet)
+    assert(back.count() === 0)
+    assert(back.columns.toSet === Set("id", "v", "p"))
+    assert(back.schema("id").dataType === org.apache.spark.sql.types.LongType)
+    // drop-partitions read drops the sidecar-recorded partition columns
+    val noParts = GraftIO.read(spark, out, GraftIO.Parquet, restorePartitions = false)
+    assert(noParts.columns.toSet === Set("id", "v"))
+    // the sidecar must NOT shadow real data: a non-empty write to the
+    // same layout reads back its rows (sidecar ignored by the listing)
+    val full = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p")
+    GraftIO.write(full, out, GraftIO.Parquet, partitionBy = Seq("p"))
+    assert(GraftIO.read(spark, out, GraftIO.Parquet).count() === 2)
+  }
+
+  test("CDC/SCD2/partitioned-roundtrip gate queries survive zero-row inputs") {
+    // empty partitions and first-run datasets are normal at warehouse
+    // scale; the max(o_orderkey) key-base probe and the partitioned
+    // roundtrip each crashed on zero rows before this was pinned
+    val dir = Files.createTempDirectory("graft_emptysf").toString
+    Tables.orders(spark, sf).limit(0).write.parquet(s"$dir/orders.parquet")
+    Tables.events(spark, sf).limit(0).write.parquet(s"$dir/events.parquet")
+    assert(graft.operators.IoQueries.ioMergeUpsert(spark, dir).count() === 0)
+    assert(graft.operators.MaintenanceQueries.ioScd2History(spark, dir).count() === 0)
+    assert(graft.operators.MaintenanceQueries.ioScd2Asof(spark, dir).count() === 0)
+    assert(graft.operators.IoQueries.ioPartitionedRoundtrip(spark, dir).count() === 0)
+  }
 }
