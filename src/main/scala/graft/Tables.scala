@@ -42,7 +42,17 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame    = tsAsNanos(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** A NULL vector cannot participate in ANY similarity computation —
+    * it has no norm, no dot product, no cluster assignment — and a
+    * typed Dataset[...Array[Float]...] consumer NPEs on it deep inside
+    * a task (found by the null-injection sweep: the whole ANN/cluster
+    * family crashed). Drop such rows at the source, the standard
+    * vector-store contract; the filter is a pushed-down IS NOT NULL
+    * and a no-op on null-free data. */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
 
   /** Spread a narrow input across the cluster before a CPU-bound kernel
     * (sketching, scoring): a small parquet file arrives as one split,

@@ -48,11 +48,17 @@ object Multimodal {
         // >>> STUB DECODE: a real implementation decodes m.payload via
         // >>> an image/audio codec. This deterministic fake computes a
         // >>> 16-bin byte histogram + mean as the "features".
+        // A NULL payload (missing/corrupt media — inevitable in a
+        // large corpus) must not kill the job mid-stage: featurize it
+        // as zero-length media (n_bytes 0 is the downstream signal),
+        // the same posture a real codec stage takes on undecodable
+        // input.
+        val payload = if (m.payload == null) Array.emptyByteArray else m.payload
         val hist = new Array[Long](16)
         var sum = 0L
         var i = 0
-        while (i < m.payload.length) {
-          val b = m.payload(i) & 0xff
+        while (i < payload.length) {
+          val b = payload(i) & 0xff
           hist(b >> 4) += 1
           sum += b
           i += 1
@@ -62,8 +68,8 @@ object Multimodal {
         while (j < hist.length) { digest = digest * 31 + hist(j); j += 1 }
         val frames = frameSampleCount(m.n_frames)
         MediaFeatures(
-          m.media_id, m.kind, m.payload.length.toLong, digest,
-          if (m.payload.length == 0) 0L else sum * 10000L / m.payload.length,
+          m.media_id, m.kind, payload.length.toLong, digest,
+          if (payload.length == 0) 0L else sum * 10000L / payload.length,
           frames)
       }
     }

@@ -325,7 +325,11 @@ object CorpusQueries {
     val enc = udf(new (Seq[String] => Seq[String]) with Serializable {
       @transient private lazy val taskMemo =
         new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
-      def apply(toks: Seq[String]): Seq[String] = toks.flatMap { w =>
+      // null in → null out, the SQL function contract (wsTokens of a
+      // NULL text is null; crashing the task on it would fail a whole
+      // corpus encode over one missing document)
+      def apply(toks: Seq[String]): Seq[String] =
+        if (toks == null) null else toks.flatMap { w =>
         bcTable.value.getOrElse(w, {
           val hit = taskMemo.get(w)
           if (hit != null) hit

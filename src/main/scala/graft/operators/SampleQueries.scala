@@ -51,6 +51,11 @@ object SampleQueries {
         // never 1 (WeightedSampleSpec re-derives this exact formula)
         ((pmod(xxhash64($"doc_id"), lit(1L << 52)) + 1.0) / (Math.pow(2, 52) + 2))
           .as("u"))
+      // Efraimidis-Spirakis is defined for w > 0: a zero-length or
+      // NULL text has no selection mass, and 1/w on w=0 is an ANSI
+      // divide-by-zero that kills the job (null-injection sweep).
+      // The null-safe `> 0` drops both.
+      .filter($"w" > 0)
       .withColumn("es_key", pow($"u", lit(1.0) / $"w"))
     val partial = Window.partitionBy($"lang", pmod(xxhash64($"doc_id"), lit(8)))
       .orderBy($"es_key".desc, $"doc_id")

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Null-injection robustness: real corpora carry NULL text, NULL
+  * media payloads, and NULL embedding vectors, and a 100 TB job must
+  * not die mid-stage on one of them. These tests drive the exact
+  * paths a null-injected full-board sweep found crashing (typed
+  * Dataset NPEs in the ANN/cluster family, a UDF NPE in the BPE
+  * encoder, a mapPartitions NPE in the media decode stub, an ANSI
+  * divide-by-zero in weighted sampling) through the fixed semantics:
+  * null vectors dropped at the source, null text propagating as null,
+  * null payloads featurized as zero-length media, zero-mass docs
+  * excluded from the sampling domain. */
+class NullInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_nulls").toString
+    // documents: NULL text, empty text, whitespace-only text
+    Tables.documents(spark, sf)
+      .withColumn("text",
+        when($"doc_id" % 5 === 0, lit(null: String))
+          .when($"doc_id" % 10 === 1, lit(""))
+          .when($"doc_id" % 17 === 2, lit("   "))
+          .otherwise($"text"))
+      .withColumn("lang", when($"doc_id" % 7 === 0, lit(null: String)).otherwise($"lang"))
+      .write.parquet(s"$d/documents.parquet")
+    // embeddings: NULL vectors interleaved with real ones
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("embedding",
+        when($"vec_id" % 10 === 0, lit(null).cast("array<float>")).otherwise($"embedding"))
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("NULL embedding vectors are dropped at the source, not NPE'd in tasks") {
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nNull = raw.filter($"embedding".isNull).count()
+    assert(nNull > 0, "test setup: the injected table must contain null vectors")
+    assert(Tables.embeddings(spark, dir).count() === raw.count() - nNull)
+    // the family that crashed before the source filter: brute-force
+    // top-k and MMR both pull vectors into typed rows
+    assert(graft.operators.AnnQueries.annBruteforceTopk(spark, dir).count() > 0)
+    assert(graft.operators.AnnQueries.annMmrRerank(spark, dir).count() > 0)
+  }
+
+  test("BPE encode propagates NULL text as null instead of a task NPE") {
+    val out = graft.operators.CorpusQueries.textBpeEncode(spark, dir)
+    val rows = out.count()
+    assert(rows > 0)
+    // null-text docs surface as null-valued rows, not dropped silently
+    // and not a crash (size(null)=null under default conf)
+    assert(out.filter(col("n_subwords").isNull).count() > 0)
+  }
+
+  test("media decode featurizes a NULL payload as zero-length media") {
+    val r = graft.operators.MultimodalQueries.multimodalPipeline(spark, dir)
+      .agg(sum("n")).first()
+    assert(!r.isNullAt(0) && r.getLong(0) > 0)
+  }
+
+  test("weighted sampling excludes zero-mass (empty/NULL text) docs") {
+    val out = graft.operators.SampleQueries.qSampleWeighted(spark, dir)
+    assert(out.count() > 0)
+    assert(out.filter(col("weight") <= 0 || col("weight").isNull).count() === 0)
+  }
+}
