@@ -348,6 +348,39 @@ object GraftIO {
     * The driver-side footer loop is metadata-scale (one
     * ranged read of a few KB per file); a deployment with millions of
     * files would distribute it, same as its file listing. */
+  /** Total row count of a flat parquet directory from FOOTER metadata
+    * only — zero Spark jobs, a few-KB ranged read per file. None when
+    * the layout has subdirectories (partitioned/appended trees this
+    * flat listing would subset) or no data files; callers treat None
+    * as "unknown, assume large". Used for driver-side plan decisions
+    * (e.g. whether a cache layout is worth a sort) where an upper
+    * bound beats a data pass. */
+  private[graft] def footerRowCount(spark: SparkSession, path: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val entries =
+      try fs.listStatus(root)
+      catch { case _: java.io.FileNotFoundException => return None }
+    if (entries.exists(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))) {
+      return None
+    }
+    val files = entries.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (files.isEmpty) return None
+    try Some(files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.sum)
+    catch { case _: Exception => None }
+  }
+
   private[graft] def footerStatsIndex(
       spark: SparkSession, path: String, statCols: Seq[String]): Option[DataFrame] = {
     import scala.jdk.CollectionConverters._

@@ -138,6 +138,25 @@ object GraphQueries {
     if (fitsInt) "int" else "bigint"
   }
 
+  /** Whether the edge cache should pay `sortWithinPartitions(src)` at
+    * build time. The sort exists for the columnar RLE/delta encoders —
+    * it is what turns the src column into runs and buys the ~3.5 B/row
+    * cache at sf100 — but that benefit is BYTES, and bytes only matter
+    * once the cache is big; on a small graph the sort is a pure fixed
+    * cost (~2 s of the ~9 s sf0.1 cell) with a rounding-error payoff.
+    * Decide from parquet FOOTER row counts (driver-side metadata, zero
+    * jobs): 2×lineitem rows is an upper bound on the undirected edge
+    * count, so skipping only below the bound can never skip a big
+    * graph; an unreadable/partitioned layout returns None and sorts —
+    * the safe default at scale. Threshold shared with the checkpoint
+    * gate: below it neither durability nor layout bytes are worth
+    * their fixed cost. GraphDiag's rounds mode shares this decision so
+    * the replay stays plan-for-plan. */
+  private[graft] def pagerankSortedLayout(
+      spark: SparkSession, dir: String, minEdges: Long = PagerankCheckpointMinEdges): Boolean =
+    graft.io.GraftIO.footerRowCount(spark, s"$dir/lineitem.parquet")
+      .forall(rows => 2L * rows >= minEdges)
+
   def graphPagerank(spark: SparkSession, dir: String, ckptMinEdges: Long): DataFrame = {
     import spark.implicits._
     val keyType = pagerankKeyType(spark, dir)
@@ -184,7 +203,12 @@ object GraphQueries {
         struct($"src", $"dst"),
         struct($"dst".as("src"), $"src".as("dst")))).as("e"))
       .select($"e.src", $"e.dst")
-    val edges = both.repartition($"src").sortWithinPartitions($"src")
+    // the sort is adaptive — see pagerankSortedLayout: RLE bytes only
+    // pay above the edge threshold; below it the layout is plain
+    // hash-partitioned
+    val hashed = both.repartition($"src")
+    val edges = (if (pagerankSortedLayout(spark, dir)) hashed.sortWithinPartitions($"src")
+                 else hashed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgeCount = edges.count() // materialize: every round (and r0) reads the cache
     // node-sized (src, outdeg) — computed ON the cache's src layout

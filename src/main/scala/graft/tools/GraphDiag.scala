@@ -119,9 +119,10 @@ object GraphDiag {
     }
     var t0 = System.nanoTime()
     val keyType = graft.operators.GraphQueries.pagerankKeyType(spark, dir)
-    println(s"[diag] keyType=$keyType")
-    val edges = exploded(pairs(spark, dir, keyType))
-      .repartition($"src").sortWithinPartitions($"src")
+    val sorted = graft.operators.GraphQueries.pagerankSortedLayout(spark, dir)
+    println(s"[diag] keyType=$keyType sortedLayout=$sorted")
+    val hashed = exploded(pairs(spark, dir, keyType)).repartition($"src")
+    val edges = (if (sorted) hashed.sortWithinPartitions($"src") else hashed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgeCount = edges.count()
     val info = spark.sparkContext.getRDDStorageInfo
