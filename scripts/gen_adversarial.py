@@ -115,10 +115,23 @@ def main():
             lang, source, 150::BIGINT AS n_chars
             FROM '{src}/documents.parquet')
             TO '{out}/documents.parquet' (FORMAT PARQUET)""")
-        con.execute(f"""COPY (SELECT e.vec_id, d.embedding, e.label
+        # anchor the 5 donor vectors at the ACTUAL minimum vec_id — a
+        # 1-based or sparse id domain would otherwise silently drop
+        # whole residue classes through the inner join
+        con.execute(f"""COPY (
+            WITH lo AS (SELECT min(vec_id) AS m FROM '{src}/embeddings.parquet')
+            SELECT e.vec_id, d.embedding, e.label
             FROM '{src}/embeddings.parquet' e
-            JOIN '{src}/embeddings.parquet' d ON d.vec_id = (e.vec_id % 5))
+            JOIN lo ON TRUE
+            JOIN '{src}/embeddings.parquet' d ON d.vec_id = lo.m + (e.vec_id % 5))
             TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+        n_src = con.execute(
+            f"SELECT count(*) FROM '{src}/embeddings.parquet'").fetchone()[0]
+        n_out = con.execute(
+            f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+        if n_out != n_src:
+            print(f"WARNING: dup embeddings dropped rows ({n_src} -> {n_out}): "
+                  "sparse vec_id domain — donor ids missing")
         con.execute(f"""COPY (SELECT event_id, ts, 42::BIGINT AS user_id,
             event_type, value, props
             FROM '{src}/events.parquet')

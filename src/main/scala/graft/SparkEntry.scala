@@ -511,7 +511,8 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
         |               e.vec_id) AS BIGINT) AS rk
         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
-        |  WHERE q.vec_id < 10)
+        |  WHERE q.vec_id < 10
+        |    AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "events_windowed_agg" ->
@@ -811,7 +812,7 @@ object SparkEntry {
       """WITH ex AS (
         |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
         |    i -> {'dim': i - 1, 'v': embedding[i]})) AS s
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |q AS (
         |  SELECT label, s.dim AS dim,
         |    CAST(floor(CAST(s.v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vq
@@ -1491,7 +1492,8 @@ object SparkEntry {
         |               e.vec_id) AS BIGINT) AS rk
         |  FROM embeddings q JOIN embeddings e
         |    ON e.vec_id != q.vec_id AND e.label != q.label
-        |  WHERE q.vec_id < 10)
+        |  WHERE q.vec_id < 10
+        |    AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // the dedup_ngram_jaccard pair set (all-pairs restatement), closed
@@ -1657,7 +1659,7 @@ object SparkEntry {
         |  SELECT vec_id, embedding,
         |    CAST(len(embedding) AS BIGINT) AS n_dims,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |coded AS (
         |  SELECT vec_id, n_dims, scale,
         |    list_transform(embedding, x ->

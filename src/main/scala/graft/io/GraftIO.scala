@@ -102,8 +102,15 @@ object GraftIO {
     val withMax = if (maxRecordsPerFile > 0)
       writer.option("maxRecordsPerFile", maxRecordsPerFile.toString) else writer
 
+    // SaveMode.Ignore on an existing target is a NO-OP save — the
+    // sidecar must not be rewritten with the ignored frame's schema
+    // (it describes data that was never written)
+    val ignoredNoop = mode == SaveMode.Ignore && {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).exists(p)
+    }
     applyFormat(withMax, format, gzip, sep, header).options(options).save(path)
-    if (partitionBy.nonEmpty) writeSchemaSidecar(df, path, partitionBy)
+    if (partitionBy.nonEmpty && !ignoredNoop) writeSchemaSidecar(df, path, partitionBy)
   }
 
   /** A hive-partitioned write of an EMPTY frame produces no partition
@@ -355,11 +362,16 @@ object GraftIO {
     * as "unknown, assume large". Used for driver-side plan decisions
     * (e.g. whether a cache layout is worth a sort) where an upper
     * bound beats a data pass. */
-  private[graft] def footerRowCount(spark: SparkSession, path: String): Option[Long] = {
-    import scala.jdk.CollectionConverters._
-    val conf = spark.sparkContext.hadoopConfiguration
+  /** Flat data files of `path` — no subdirectories, underscore/dot
+    * metadata names excluded: the ONE definition of what the
+    * footer-based metadata readers may enumerate. None when the layout
+    * has real subdirectories (a flat listing would silently SUBSET a
+    * partitioned/appended tree), cannot be listed, or holds no data
+    * files. */
+  private def flatDataFiles(
+      spark: SparkSession, path: String): Option[Array[org.apache.hadoop.fs.FileStatus]] = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries =
       try fs.listStatus(root)
       catch { case _: java.io.FileNotFoundException => return None }
@@ -371,14 +383,21 @@ object GraftIO {
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
-    if (files.isEmpty) return None
-    try Some(files.map { st =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally reader.close()
-    }.sum)
-    catch { case _: Exception => None }
+    if (files.isEmpty) None else Some(files)
+  }
+
+  private[graft] def footerRowCount(spark: SparkSession, path: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    flatDataFiles(spark, path).flatMap { files =>
+      try Some(files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }.sum)
+      catch { case _: Exception => None }
+    }
   }
 
   private[graft] def footerStatsIndex(
@@ -394,22 +413,14 @@ object GraftIO {
     if (!supported) return None
 
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    val entries = fs.listStatus(root)
-    // any subdirectory means spark.read.parquet(path) would discover
-    // leaf files this flat listing misses (partitioned/appended
-    // layouts) — an index over a silent SUBSET would violate
-    // readPruned's same-rows-as-full-scan contract, so fall back
-    if (entries.exists(st => st.isDirectory &&
-        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))) {
-      return None
+    // flatDataFiles bails on any real subdirectory: spark.read.parquet
+    // would discover leaf files a flat listing misses (partitioned /
+    // appended layouts), and an index over a silent SUBSET would
+    // violate readPruned's same-rows-as-full-scan contract
+    val files = flatDataFiles(spark, path) match {
+      case Some(fs) => fs
+      case None => return None
     }
-    val files = entries.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (files.isEmpty) return None
 
     object MissingStats extends scala.util.control.ControlThrowable
     try {
@@ -557,9 +568,16 @@ object GraftIO {
     require(inP.toUri.getPath != outP.toUri.getPath,
       s"outPath must differ from path ($path): Overwrite would delete the source before reading it")
     val fss = FileSystems(spark)
-    // one listing pass carries the lengths — no per-file RPC
+    // one listing pass carries the lengths — no per-file RPC.
+    // Metadata files (_SUCCESS, checksums, the schema sidecar — any
+    // underscore/dot-prefixed name) must not count as data: their
+    // bytes would inflate the file-count math at a targetBytes
+    // boundary.
     val totalBytes = fss.findStatus(path)
-      .filterNot { case (f, _) => f.endsWith("_SUCCESS") || f.endsWith(".crc") }
+      .filterNot { case (f, _) =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        name.startsWith("_") || name.startsWith(".") || f.endsWith(".crc")
+      }
       .map(_._2).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
     require(nFiles <= Int.MaxValue,
@@ -825,7 +843,17 @@ object GraftIO {
       case Left((sidecarSchema, parts)) =>
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sidecarSchema)
-        if (restorePartitions) empty else empty.drop(parts: _*)
+        // a dsv read without an explicit schema yields all-STRING data
+        // columns (the documented default above); the fallback must
+        // match, or the read schema would flip between typed and
+        // string depending on whether the dataset happened to be
+        // empty — fatal to any union/append consumer
+        val aligned =
+          if (format == Dsv && schema.isEmpty && !inferSchema)
+            empty.select(empty.columns.toSeq.map(c =>
+              if (parts.contains(c)) col(c) else col(c).cast("string").as(c)): _*)
+          else empty
+        if (restorePartitions) aligned else aligned.drop(parts: _*)
       case Right(df) =>
         if (restorePartitions) df
         else {

@@ -207,7 +207,7 @@ object GraphQueries {
     // pay above the edge threshold; below it the layout is plain
     // hash-partitioned
     val hashed = both.repartition($"src")
-    val edges = (if (pagerankSortedLayout(spark, dir)) hashed.sortWithinPartitions($"src")
+    val edges = (if (pagerankSortedLayout(spark, dir, ckptMinEdges)) hashed.sortWithinPartitions($"src")
                  else hashed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgeCount = edges.count() // materialize: every round (and r0) reads the cache

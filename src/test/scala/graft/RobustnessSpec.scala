@@ -189,6 +189,34 @@ class RobustnessSpec extends AnyFunSuite with SparkSpec {
     assert(GraftIO.read(spark, out, GraftIO.Parquet).count() === 2)
   }
 
+  test("empty dsv partitioned write reads back all-string, like a non-empty one") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x")).toDF("id", "v", "p").limit(0)
+    val out = Files.createTempDirectory("graft_emptydsv").toString + "/d"
+    GraftIO.write(df, out, GraftIO.Dsv, partitionBy = Seq("p"))
+    // a non-empty dsv read without an explicit schema yields STRING
+    // data columns; the sidecar fallback must match or the schema
+    // would flip with row count
+    val back = GraftIO.read(spark, out, GraftIO.Dsv)
+    assert(back.count() === 0)
+    assert(back.schema("id").dataType === org.apache.spark.sql.types.StringType)
+    assert(back.schema("v").dataType === org.apache.spark.sql.types.StringType)
+  }
+
+  test("SaveMode.Ignore no-op write does not clobber the schema sidecar") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val v1 = Seq((1L, "a", "x")).toDF("id", "v", "p").limit(0)
+    val out = Files.createTempDirectory("graft_ignore").toString + "/d"
+    GraftIO.write(v1, out, GraftIO.Parquet, partitionBy = Seq("p"))
+    // a later Ignore write with a DIFFERENT schema writes nothing —
+    // the sidecar must keep describing the v1 dataset
+    val v2 = Seq((1, 2.0, "x", true)).toDF("a", "b", "p", "c").limit(0)
+    GraftIO.write(v2, out, GraftIO.Parquet, partitionBy = Seq("p"), mode = SaveMode.Ignore)
+    val back = GraftIO.read(spark, out, GraftIO.Parquet)
+    assert(back.columns.toSet === Set("id", "v", "p"))
+  }
+
   test("CDC/SCD2/partitioned-roundtrip gate queries survive zero-row inputs") {
     // empty partitions and first-run datasets are normal at warehouse
     // scale; the max(o_orderkey) key-base probe and the partitioned

@@ -20,10 +20,16 @@ class WeightedSampleSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
       .groupBy(_._1).map { case (l, rs) => l -> rs.sortBy(_._2).map(_._3).toSeq }
 
+    // the recompute mirrors the query's w > 0 domain filter (zero-mass
+    // docs — empty or NULL text — are outside the ES scheme); a
+    // null-safe coalesce keeps the typed collect from throwing on
+    // NULL-text corpora
     val docs = Tables.documents(spark, sf)
-      .select($"doc_id", $"lang", length($"text").cast("long").as("w"),
+      .select($"doc_id", $"lang",
+        coalesce(length($"text").cast("long"), lit(0L)).as("w"),
         xxhash64($"doc_id").as("h"))
       .as[(Long, String, Long, Long)].collect()
+      .filter(_._3 > 0)
     val expected = docs.groupBy(_._2).map { case (l, ds) =>
       l -> ds.map { case (id, _, w, h) => (id, math.pow(u(h), 1.0 / w)) }
         .sortBy { case (id, key) => (-key, id) }.take(5).map(_._1).toSeq
