@@ -2,7 +2,7 @@
 """Adversarial-input generators for the robustness sweeps.
 
 Usage: python3 scripts/gen_adversarial.py <mode> [srcdir] [outdir]
-  mode in {empty, nulls, dup, unicode}
+  mode in {empty, nulls, dup, unicode, nonfinite}
 
 Each mode derives a full 10-table dataset from a driver testdata dir
 (default /root/testdata/sf0.001) that stresses one failure axis, then
@@ -30,6 +30,13 @@ divide-by-zero on zero-length text.
 - unicode: pathological text — emoji/surrogate pairs, CJK without
            whitespace, combining marks/zalgo, RTL, a 2 KB single
            token, embedded control characters.
+- nonfinite: NaN/±Infinity in events.value, lineitem prices, and
+           embedding elements — crashes found: an MMR argmax that
+           indexed -1 when every score was NaN, and ANSI
+           CAST_OVERFLOW at every money/metric quantization boundary
+           (now routed through Guards.finiteOrNull) plus non-finite
+           vectors poisoning centroid/kmeans sums (now dropped at the
+           embeddings source with the nulls).
 """
 import os
 import sys
@@ -156,8 +163,31 @@ def main():
                          ["region", "nation", "customer", "supplier", "part",
                           "orders", "lineitem", "events", "embeddings"])
 
+    elif mode == "nonfinite":
+        con.execute(f"""COPY (SELECT event_id, ts, user_id, event_type,
+            CASE WHEN event_id % 17 = 0 THEN 'nan'::DOUBLE
+                 WHEN event_id % 23 = 1 THEN 'infinity'::DOUBLE
+                 WHEN event_id % 23 = 2 THEN '-infinity'::DOUBLE
+                 ELSE value END AS value, props
+            FROM '{src}/events.parquet')
+            TO '{out}/events.parquet' (FORMAT PARQUET)""")
+        con.execute(f"""COPY (SELECT * REPLACE (
+            CASE WHEN l_orderkey % 31 = 0 THEN 'nan'::DOUBLE
+                 ELSE l_extendedprice END AS l_extendedprice)
+            FROM '{src}/lineitem.parquet')
+            TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+        con.execute(f"""COPY (SELECT vec_id,
+            CASE WHEN vec_id % 15 = 0 THEN list_transform(embedding, x -> 'nan'::FLOAT)
+                 WHEN vec_id % 15 = 1 THEN list_transform(embedding, x -> 'infinity'::FLOAT)
+                 ELSE embedding END AS embedding, label
+            FROM '{src}/embeddings.parquet')
+            TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+        copy_passthrough(con, src, out,
+                         ["region", "nation", "customer", "supplier", "part",
+                          "orders", "documents"])
+
     else:
-        sys.exit(f"unknown mode {mode!r} (empty|nulls|dup|unicode)")
+        sys.exit(f"unknown mode {mode!r} (empty|nulls|dup|unicode|nonfinite)")
 
     print(f"done -> {out} ({mode})")
 

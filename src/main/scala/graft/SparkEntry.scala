@@ -512,7 +512,9 @@ object SparkEntry {
         |               e.vec_id) AS BIGINT) AS rk
         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
         |  WHERE q.vec_id < 10
-        |    AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL)
+        |    AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL
+        |    AND len(list_filter(q.embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0
+        |    AND len(list_filter(e.embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "events_windowed_agg" ->
@@ -812,7 +814,8 @@ object SparkEntry {
       """WITH ex AS (
         |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
         |    i -> {'dim': i - 1, 'v': embedding[i]})) AS s
-        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0),
         |q AS (
         |  SELECT label, s.dim AS dim,
         |    CAST(floor(CAST(s.v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vq
@@ -1493,7 +1496,9 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings e
         |    ON e.vec_id != q.vec_id AND e.label != q.label
         |  WHERE q.vec_id < 10
-        |    AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL)
+        |    AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL
+        |    AND len(list_filter(q.embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0
+        |    AND len(list_filter(e.embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // the dedup_ngram_jaccard pair set (all-pairs restatement), closed
@@ -1659,7 +1664,8 @@ object SparkEntry {
         |  SELECT vec_id, embedding,
         |    CAST(len(embedding) AS BIGINT) AS n_dims,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0),
         |coded AS (
         |  SELECT vec_id, n_dims, scale,
         |    list_transform(embedding, x ->

@@ -43,16 +43,23 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = tsAsNanos(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
 
-  /** A NULL vector cannot participate in ANY similarity computation —
-    * it has no norm, no dot product, no cluster assignment — and a
-    * typed Dataset[...Array[Float]...] consumer NPEs on it deep inside
-    * a task (found by the null-injection sweep: the whole ANN/cluster
-    * family crashed). Drop such rows at the source, the standard
-    * vector-store contract; the filter is a pushed-down IS NOT NULL
-    * and a no-op on null-free data. */
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings")
-      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+  /** A NULL or non-finite vector cannot participate in ANY similarity
+    * computation — no norm, no dot product, no cluster assignment; a
+    * typed Dataset[...Array[Float]...] consumer NPEs on null deep
+    * inside a task, and one NaN/Inf element poisons every cosine,
+    * centroid sum, and quantization cast it touches (the ANSI
+    * floor-to-long then kills the JOB — found by the null- and
+    * nonfinite-injection sweeps: the whole ANN/cluster family
+    * crashed). Drop such rows at the source, the standard vector-store
+    * contract: IS NOT NULL pushes to the scan, and the finiteness
+    * probe is one codegen'd array pass — noise next to the 2·dim FLOPs
+    * every consumer spends per vector anyway. No-op on clean data. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    table(s, d, "embeddings").filter(
+      col("embedding").isNotNull &&
+        !exists(col("embedding"), x => isnan(x) || abs(x) > lit(Float.MaxValue)))
+  }
 
   /** Spread a narrow input across the cluster before a CPU-bound kernel
     * (sketching, scoring): a small parquet file arrives as one split,

@@ -177,7 +177,8 @@ object AnnQueries {
     val n = cands.length
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
     val inSet = new Array[Boolean](n)
-    while (chosen.length < math.min(k, n)) {
+    var exhausted = false
+    while (!exhausted && chosen.length < math.min(k, n)) {
       var bestI = -1; var bestScore = Double.NegativeInfinity
       var i = 0
       while (i < n) {
@@ -194,7 +195,11 @@ object AnnQueries {
         }
         i += 1
       }
-      chosen += bestI; inSet(bestI) = true
+      // every remaining candidate scored NaN (non-finite sim or vector
+      // slipped in): nothing is comparable under >, so bestI never
+      // advanced — returning the picks so far beats indexing -1
+      if (bestI < 0) exhausted = true
+      else { chosen += bestI; inSet(bestI) = true }
     }
     chosen.map(i => cands(i)._1).toSeq
   }

@@ -140,7 +140,7 @@ object EventQueries {
     val DayNs = 86400L * 1000 * 1000 * 1000
     val daily = Tables.events(spark, dir)
       .select($"user_id", expr(s"ts div $DayNs").as("day_no"),
-        round($"value" * 100).cast("long").as("cents"))
+        round(graft.functions.Guards.finiteOrNull($"value") * 100).cast("long").as("cents"))
       .groupBy($"user_id", $"day_no")
       .agg(sum($"cents").as("cents"))
 

@@ -69,7 +69,8 @@ object FilterQueries {
       // average is the cross-engine boundary-flake class the sf0.1
       // gate caught in q_antijoin_parts
       .agg(count(lit(1)).as("n"),
-        sum(floor($"value" * 10000 + lit(0.5)).cast("long")).as("v_u"))
+        sum(floor(graft.functions.Guards.finiteOrNull($"value") * 10000 + lit(0.5))
+          .cast("long")).as("v_u"))
       .select($"event_type", $"n",
         // pure long round-half-up (see Analytics.q1PricingSummary);
         // double-typed division — a decimal literal inside `expr`

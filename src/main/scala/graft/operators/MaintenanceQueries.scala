@@ -131,7 +131,8 @@ object MaintenanceQueries {
       df.groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum($"l_quantity").cast("long").as("sum_qty"),
-          sum(round($"l_extendedprice" * 100).cast("long")).as("sum_price_cents"))
+          sum(round(graft.functions.Guards.finiteOrNull($"l_extendedprice") * 100)
+            .cast("long")).as("sum_price_cents"))
 
     val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")

@@ -433,7 +433,8 @@ object PipelineQueries {
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, dir)
-      .select($"event_type", $"event_id", round($"value" * 100).cast("long").as("v"))
+      .select($"event_type", $"event_id",
+        round(graft.functions.Guards.finiteOrNull($"value") * 100).cast("long").as("v"))
     val stats = e.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"v").as("s"), sum($"v" * $"v").as("q"))
     val dec = "decimal(38,0)"

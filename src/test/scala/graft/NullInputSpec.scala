@@ -67,4 +67,45 @@ class NullInputSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(out.filter(col("weight") <= 0 || col("weight").isNull).count() === 0)
   }
+
+  private lazy val nanDir: String = {
+    val d = Files.createTempDirectory("graft_nonfinite").toString
+    Tables.events(spark, sf)
+      .withColumn("value",
+        when($"event_id" % 17 === 0, lit(Double.NaN))
+          .when($"event_id" % 23 === 1, lit(Double.PositiveInfinity))
+          .otherwise($"value"))
+      .write.parquet(s"$d/events.parquet")
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("embedding",
+        when($"vec_id" % 15 === 0,
+          transform($"embedding", _ => lit(Float.NaN)))
+          .otherwise($"embedding"))
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("non-finite vectors are dropped at the source with the nulls") {
+    val raw = spark.read.parquet(s"$nanDir/embeddings.parquet")
+    val kept = Tables.embeddings(spark, nanDir).count()
+    assert(kept > 0 && kept < raw.count())
+    // the family that overflowed/indexed -1 before the source filter
+    assert(graft.operators.AnnQueries.annMmrRerank(spark, nanDir).count() > 0)
+  }
+
+  test("NaN/Infinity event values drop from quantized aggregates, not kill the job") {
+    val out = graft.operators.PipelineQueries.eventsAnomaly(spark, nanDir)
+    assert(out.count() > 0)
+    // Guards.finiteOrNull: corrupt values leave the sum but the rows
+    // stay counted
+    assert(out.agg(sum("n")).first().getLong(0) ===
+      Tables.events(spark, nanDir).count())
+  }
+
+  test("mmrSelect returns partial picks instead of crashing when all scores are NaN") {
+    val nanVec = Array.fill(4)(Float.NaN)
+    val got = graft.operators.AnnQueries.mmrSelect(
+      Seq((1L, Double.NaN, nanVec), (2L, Double.NaN, nanVec)), k = 2, lambda = 0.7)
+    assert(got.isEmpty)
+  }
 }
