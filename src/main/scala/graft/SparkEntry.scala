@@ -345,7 +345,7 @@ object SparkEntry {
 
     "filter_events_prefix_anybut" ->
       """SELECT event_type, count(*) AS n,
-        |  ((2 * CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        |  ((2 * CAST(sum(CAST(floor((CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
         |    + count(*)) // (2 * count(*))) / 10000.0 AS avg_value
         |FROM events
         |WHERE event_type LIKE 's%'
@@ -513,8 +513,8 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
         |  WHERE q.vec_id < 10
         |    AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL
-        |    AND len(list_filter(q.embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0
-        |    AND len(list_filter(e.embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0)
+        |    AND len(list_filter(q.embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0
+        |    AND len(list_filter(e.embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "events_windowed_agg" ->
@@ -777,7 +777,7 @@ object SparkEntry {
     "events_anomaly" ->
       """WITH c AS (
         |  SELECT event_type, event_id,
-        |    CAST(round(value * 100) AS BIGINT) AS v
+        |    CAST(round((CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END) * 100) AS BIGINT) AS v
         |  FROM events),
         |m AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -815,7 +815,7 @@ object SparkEntry {
         |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
         |    i -> {'dim': i - 1, 'v': embedding[i]})) AS s
         |  FROM embeddings WHERE embedding IS NOT NULL
-        |    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0),
+        |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0),
         |q AS (
         |  SELECT label, s.dim AS dim,
         |    CAST(floor(CAST(s.v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vq
@@ -1133,7 +1133,7 @@ object SparkEntry {
     "events_gap_fill" ->
       """WITH c AS (
         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day_no,
-        |    CAST(round(value * 100) AS BIGINT) AS v
+        |    CAST(round((CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END) * 100) AS BIGINT) AS v
         |  FROM events),
         |daily AS (
         |  SELECT user_id, day_no, CAST(sum(v) AS BIGINT) AS cents
@@ -1159,7 +1159,7 @@ object SparkEntry {
     "q_incremental_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |  CAST(sum(CAST(round((CASE WHEN isnan(l_extendedprice) OR isinf(l_extendedprice) THEN NULL ELSE l_extendedprice END) * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // SCD2 over the io_merge_upsert change feed: every non-delete
@@ -1497,8 +1497,8 @@ object SparkEntry {
         |    ON e.vec_id != q.vec_id AND e.label != q.label
         |  WHERE q.vec_id < 10
         |    AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL
-        |    AND len(list_filter(q.embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0
-        |    AND len(list_filter(e.embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0)
+        |    AND len(list_filter(q.embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0
+        |    AND len(list_filter(e.embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // the dedup_ngram_jaccard pair set (all-pairs restatement), closed
@@ -1665,7 +1665,7 @@ object SparkEntry {
         |    CAST(len(embedding) AS BIGINT) AS n_dims,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
         |  FROM embeddings WHERE embedding IS NOT NULL
-        |    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0),
+        |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 3.4028235e38)) = 0),
         |coded AS (
         |  SELECT vec_id, n_dims, scale,
         |    list_transform(embedding, x ->

@@ -56,9 +56,15 @@ object Tables {
     * every consumer spends per vector anyway. No-op on clean data. */
   def embeddings(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // the x.isNull clause matters: exists() over a vector whose only
+    // bad entries are NULL elements evaluates to NULL (three-valued
+    // logic) and the filter would drop the row SILENTLY while the
+    // DuckDB oracle's list_filter discards null elements and KEEPS it
+    // — the explicit clause makes "any null element → drop" the
+    // contract on both engines (oracle carries `x IS NULL OR …`)
     table(s, d, "embeddings").filter(
       col("embedding").isNotNull &&
-        !exists(col("embedding"), x => isnan(x) || abs(x) > lit(Float.MaxValue)))
+        !exists(col("embedding"), x => x.isNull || isnan(x) || abs(x) > lit(Float.MaxValue)))
   }
 
   /** Spread a narrow input across the cluster before a CPU-bound kernel

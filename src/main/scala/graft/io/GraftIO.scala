@@ -841,8 +841,24 @@ object GraftIO {
       }
     loaded match {
       case Left((sidecarSchema, parts)) =>
+        // a non-empty partitioned read returns DATA columns first and
+        // the directory-derived partition columns appended LAST —
+        // regardless of where those columns sat in the writer's frame.
+        // The sidecar stores the writer's original order, so reorder to
+        // (data columns in writer order) ++ (partition columns in
+        // partitionBy order) or the column ORDER would flip between the
+        // empty and non-empty datasets — the exact instability the
+        // sidecar exists to prevent (positional union/append consumers).
+        // Partition-column TYPES are the one documented divergence: a
+        // non-empty read infers them from directory-name strings (p=1 →
+        // int) while this fallback keeps the writer's declared type —
+        // inference is value-dependent, so with zero rows the declared
+        // type is the only principled answer (pinned in IoSpec).
+        val ordered = org.apache.spark.sql.types.StructType(
+          sidecarSchema.fields.filterNot(f => parts.contains(f.name)) ++
+            parts.flatMap(p => sidecarSchema.fields.find(_.name == p)))
         val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sidecarSchema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordered)
         // a dsv read without an explicit schema yields all-STRING data
         // columns (the documented default above); the fallback must
         // match, or the read schema would flip between typed and

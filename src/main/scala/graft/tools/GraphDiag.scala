@@ -74,6 +74,13 @@ object GraphDiag {
     * BASELINE.md's sf100 residual attribution into a measurement. */
   private def rounds(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import spark.implicits._
+    // ONE threshold drives BOTH the edge-cache layout probe and the
+    // checkpoint gate, exactly as graphPagerank threads its
+    // ckptMinEdges into pagerankSortedLayout — a replay of a
+    // custom-threshold run (SPARK_GRAFT_CKPT_MIN_EDGES) must pick the
+    // same layout, or the diag measures a plan production never ran
+    val ckptMinEdges = sys.env.get("SPARK_GRAFT_CKPT_MIN_EDGES").map(_.toLong)
+      .getOrElse(graft.operators.GraphQueries.PagerankCheckpointMinEdges)
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
     import java.util.concurrent.atomic.AtomicLong
     val shufWrite = new AtomicLong; val shufRead = new AtomicLong
@@ -119,7 +126,7 @@ object GraphDiag {
     }
     var t0 = System.nanoTime()
     val keyType = graft.operators.GraphQueries.pagerankKeyType(spark, dir)
-    val sorted = graft.operators.GraphQueries.pagerankSortedLayout(spark, dir)
+    val sorted = graft.operators.GraphQueries.pagerankSortedLayout(spark, dir, ckptMinEdges)
     println(s"[diag] keyType=$keyType sortedLayout=$sorted")
     val hashed = exploded(pairs(spark, dir, keyType)).repartition($"src")
     val edges = (if (sorted) hashed.sortWithinPartitions($"src") else hashed)
@@ -140,7 +147,7 @@ object GraphDiag {
 
     // same gate as production: below the threshold graphPagerank runs
     // un-checkpointed rounds, and the diag must measure that plan
-    val checkpointRounds = edgeCount >= graft.operators.GraphQueries.PagerankCheckpointMinEdges
+    val checkpointRounds = edgeCount >= ckptMinEdges
     println(s"[diag] checkpointRounds=$checkpointRounds")
     var prevCheckpoint: Option[String] = None
     var ranks = edges.select($"src".as("id")).distinct()

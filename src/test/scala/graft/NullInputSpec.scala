@@ -85,6 +85,26 @@ class NullInputSpec extends SparkSpec {
     d
   }
 
+  test("a vector with NULL ELEMENTS is dropped, not silently three-valued") {
+    // exists(isnan||...) over a vector whose only bad entries are NULL
+    // elements evaluates to NULL — without the explicit x.isNull clause
+    // the row is dropped by accident of three-valued logic on the Spark
+    // side while the oracle's list_filter KEEPS it; the clause makes
+    // the drop an explicit contract on both engines
+    import org.apache.spark.sql.types.FloatType
+    val d = Files.createTempDirectory("graft_nullelem").toString
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("embedding",
+        when($"vec_id" % 11 === 0,
+          concat(slice($"embedding", 1, 3), array(lit(null).cast(FloatType))))
+          .otherwise($"embedding"))
+      .write.parquet(s"$d/embeddings.parquet")
+    val raw = spark.read.parquet(s"$d/embeddings.parquet")
+    val poisoned = raw.filter($"vec_id" % 11 === 0).count()
+    assert(poisoned > 0)
+    assert(Tables.embeddings(spark, d).count() === raw.count() - poisoned)
+  }
+
   test("non-finite vectors are dropped at the source with the nulls") {
     val raw = spark.read.parquet(s"$nanDir/embeddings.parquet")
     val kept = Tables.embeddings(spark, nanDir).count()

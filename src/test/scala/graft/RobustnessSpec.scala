@@ -189,6 +189,50 @@ class RobustnessSpec extends AnyFunSuite with SparkSpec {
     assert(GraftIO.read(spark, out, GraftIO.Parquet).count() === 2)
   }
 
+  test("sidecar fallback column ORDER matches a non-empty partitioned read " +
+      "when the partition column is NOT trailing") {
+    import spark.implicits._
+    // partition column `p` sits FIRST in the writer frame; a non-empty
+    // read still returns data columns first with `p` appended last —
+    // the empty-dataset fallback must produce the same order or a
+    // positional union/append over the two cases silently misaligns
+    val full = Seq(("x", 1L, "a"), ("y", 2L, "b")).toDF("p", "id", "v")
+    val outFull = Files.createTempDirectory("graft_midpart").toString + "/d"
+    GraftIO.write(full, outFull, GraftIO.Parquet, partitionBy = Seq("p"))
+    val fullBack = GraftIO.read(spark, outFull, GraftIO.Parquet)
+    assert(fullBack.columns.toSeq === Seq("id", "v", "p"))
+    val outEmpty = Files.createTempDirectory("graft_midpart_e").toString + "/d"
+    GraftIO.write(full.limit(0), outEmpty, GraftIO.Parquet, partitionBy = Seq("p"))
+    val emptyBack = GraftIO.read(spark, outEmpty, GraftIO.Parquet)
+    assert(emptyBack.columns.toSeq === fullBack.columns.toSeq)
+    // multi-level, both non-trailing, declared order (q, p) preserved
+    val multi = Seq(("x", 1L, "u", "a")).toDF("q", "id", "p", "v")
+    val outM = Files.createTempDirectory("graft_midpart_m").toString + "/d"
+    GraftIO.write(multi.limit(0), outM, GraftIO.Parquet, partitionBy = Seq("q", "p"))
+    assert(GraftIO.read(spark, outM, GraftIO.Parquet).columns.toSeq ===
+      Seq("id", "v", "q", "p"))
+  }
+
+  test("sidecar fallback partition-column TYPE keeps the writer's declared " +
+      "type (documented divergence from non-empty directory-name inference)") {
+    import spark.implicits._
+    val df = Seq((1L, 7L)).toDF("id", "p")
+    // non-empty: partition values type-infer from directory names —
+    // p=7 lands as INT regardless of the writer's LONG declaration
+    val outFull = Files.createTempDirectory("graft_ptype").toString + "/d"
+    GraftIO.write(df, outFull, GraftIO.Parquet, partitionBy = Seq("p"))
+    assert(GraftIO.read(spark, outFull, GraftIO.Parquet).schema("p").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // empty: no directory names exist to infer from, so the fallback
+    // keeps the declared type — value-dependent inference (int vs long
+    // by magnitude) is unknowable at zero rows; this pin DOCUMENTS the
+    // divergence rather than pretending it away
+    val outEmpty = Files.createTempDirectory("graft_ptype_e").toString + "/d"
+    GraftIO.write(df.limit(0), outEmpty, GraftIO.Parquet, partitionBy = Seq("p"))
+    assert(GraftIO.read(spark, outEmpty, GraftIO.Parquet).schema("p").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("empty dsv partitioned write reads back all-string, like a non-empty one") {
     import spark.implicits._
     val df = Seq((1L, "a", "x")).toDF("id", "v", "p").limit(0)
