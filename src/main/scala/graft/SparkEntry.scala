@@ -61,6 +61,7 @@ object SparkEntry {
     "events_attribution"       -> (EventQueries.eventsAttribution _),
     "multimodal_pipeline"      -> (MultimodalQueries.multimodalPipeline _),
     "multimodal_meta"          -> (MultimodalQueries.multimodalMeta _),
+    "multimodal_decode"        -> (MultimodalQueries.multimodalDecode _),
     "text_pii_redact"          -> (PipelineQueries.textPiiRedact _),
     "text_decontaminate"       -> (PipelineQueries.textDecontaminate _),
     "text_vocab"               -> (PipelineQueries.textVocab _),
@@ -610,6 +611,25 @@ object SparkEntry {
         |  CAST(ceil((doc_id % 480 + 32) *
         |    least(1.0, 256.0 / greatest(doc_id % 640 + 32, doc_id % 480 + 32))) AS BIGINT) AS out_height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the REAL-codec roundtrip gate: Spark encodes each deterministic
+    // RGB image to actual PNG bytes and decodes them back via ImageIO;
+    // the oracle never touches a codec — it enumerates the identical
+    // pixel grid arithmetically. A hash match proves the decode path
+    // reproduces every pixel bit-exactly.
+    "multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 48 + 16 AS w, doc_id % 32 + 16 AS h
+        |  FROM documents),
+        |px AS (SELECT media_id, w, h, unnest(range(w)) AS x FROM m),
+        |pxy AS (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM px)
+        |SELECT media_id, CAST(max(w) AS BIGINT) AS width,
+        |  CAST(max(h) AS BIGINT) AS height,
+        |  count(*) AS n_pixels,
+        |  CAST(sum((media_id*7 + 3*x + 5*y) % 256) AS BIGINT) AS r_sum,
+        |  CAST(sum((media_id*11 + 5*x + 7*y) % 256) AS BIGINT) AS g_sum,
+        |  CAST(sum((media_id*13 + 7*x + 11*y) % 256) AS BIGINT) AS b_sum
+        |FROM pxy GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     // PII injection derived from (source, doc_id) exactly as in the
     // Spark query; md5 of the redacted text proves byte parity

@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * payloads + a typed metadata struct, processed by partition-
   * preserving `mapPartitions` stages shaped like real codec batches.
   *
-  * The DECODE step is a clearly-marked deterministic STUB — image/
-  * audio codec libraries are not in this container — but everything
-  * Spark-side is real and load-bearing at scale: the schema, the
-  * binary column lifecycle, the batch-at-a-time iterator shape (a real
-  * decoder amortizes model/codec init per PARTITION, not per row), and
-  * the fact that no stage shuffles (features ride the same partitions
-  * as payloads; only the caller's final aggregation may shuffle).
+  * IMAGE decode is REAL (round 9): [[decodeImageStats]] decodes
+  * actual encoded bytes via the JDK's ImageIO (PNG/JPEG/BMP/GIF) and
+  * extracts exact integer pixel statistics. Only the codecs the JDK
+  * does not ship (audio, video) keep the clearly-marked deterministic
+  * byte-histogram STUB in [[decodeAndFeaturize]]. Everything
+  * Spark-side is identical between the two paths and load-bearing at
+  * scale: the schema, the binary column lifecycle, the batch-at-a-time
+  * iterator shape (a real decoder amortizes codec init per PARTITION,
+  * not per row), and the fact that no stage shuffles (features ride
+  * the same partitions as payloads; only the caller's final
+  * aggregation may shuffle).
   */
 object Multimodal {
 
@@ -36,10 +40,107 @@ object Multimodal {
       mean_byte_bp: Long, // mean byte value in basis points (0..2_550_000)
       frames_sampled: Int)
 
-  /** STUB decode: byte-histogram + moments standing in for a codec +
-    * feature extractor. Deterministic: same payload → same features.
-    * Replace the body marked below with a real decoder (e.g. JNI
-    * image lib) without touching the Spark plumbing. */
+  /** Per-image exact pixel statistics from a REAL decode — the typed
+    * output of [[decodeImageStats]]. All integer units: channel sums
+    * are exact (8-bit values summed as longs), so the gate can compare
+    * hash-exact against an arithmetic oracle with no float anywhere. */
+  case class ImagePixelStats(
+      media_id: Long,
+      width: Long,
+      height: Long,
+      n_pixels: Long,
+      r_sum: Long,
+      g_sum: Long,
+      b_sum: Long)
+
+  /** Deterministic RGB test image: pixel (x,y) of image `mediaId` has
+    * channels ((7·id+3x+5y) mod 256, (11·id+5x+7y) mod 256,
+    * (13·id+7x+11y) mod 256) — pure integer arithmetic restatable in
+    * any SQL engine, which is what lets a REAL codec roundtrip sit
+    * under a hash-exact gate: the oracle enumerates the pixel grid
+    * arithmetically while Spark actually encodes and decodes bytes. */
+  def pixelChannels(mediaId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((mediaId * 7 + 3L * x + 5L * y) % 256).toInt,
+    ((mediaId * 11 + 5L * x + 7L * y) % 256).toInt,
+    ((mediaId * 13 + 7L * x + 11L * y) % 256).toInt)
+
+  /** Encode the deterministic test image as real PNG bytes via the
+    * JDK's ImageIO. TYPE_INT_RGB + PNG is lossless, so a decode must
+    * reproduce the pixel function bit-exactly. */
+  def encodePng(mediaId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixelChannels(mediaId, x, y)
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val out = new java.io.ByteArrayOutputStream(w * h / 2)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode + feature extraction (round 9 — this replaces
+    * the "decode is a stub" caveat for every codec the JDK ships:
+    * PNG, JPEG, BMP, GIF, WBMP). `ImageIO.read` sniffs the container
+    * from the bytes, so the column needs no format tag. Exact integer
+    * pixel stats per image: dimensions from the DECODED image and
+    * per-channel sums over every pixel.
+    *
+    * Plumbing is the same partition-preserving mapPartitions contract
+    * as [[decodeAndFeaturize]]: no shuffle, per-partition init (the
+    * in-memory-cache switch) hoisted out of the row loop, and an
+    * undecodable or NULL payload degrades to a zero-stats row instead
+    * of killing the stage — at 100 TB some fraction of any crawl's
+    * media bytes IS corrupt, and one bad file must not fail a task
+    * that has decoded a million good ones. */
+  def decodeImageStats(media: Dataset[(Long, Array[Byte])]): Dataset[ImagePixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-PARTITION init: ImageIO's default stream cache spools
+      // through a TEMP FILE per image — a disk write/delete pair per
+      // row. In-memory cache turns decode into pure CPU. (Global
+      // JVM switch; idempotent, safe under concurrent tasks.)
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, payload) =>
+        val img =
+          if (payload == null || payload.length == 0) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null) ImagePixelStats(id, 0L, 0L, 0L, 0L, 0L, 0L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          // one bulk getRGB: a per-pixel getRGB(x,y) call re-resolves
+          // the color model per pixel; the bulk form converts the
+          // raster in one pass regardless of the file's layout
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var r = 0L; var g = 0L; var b = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            i += 1
+          }
+          ImagePixelStats(id, w.toLong, h.toLong, w.toLong * h, r, g, b)
+        }
+      }
+    }
+  }
+
+  /** STUB decode for the codecs the JDK does NOT ship (audio, video):
+    * byte-histogram + moments standing in for a codec + feature
+    * extractor. Deterministic: same payload → same features. Image
+    * payloads have the REAL path above ([[decodeImageStats]]); replace
+    * this body with e.g. a JNI media lib without touching the Spark
+    * plumbing. */
   def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

@@ -40,6 +40,66 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(after === before, "decode stage must not add a shuffle")
   }
 
+  test("REAL PNG decode reproduces the pixel function bit-exactly") {
+    import spark.implicits._
+    // arithmetic ground truth computed WITHOUT any codec — the same
+    // way the DuckDB gate oracle does it
+    def truth(id: Long, w: Int, h: Int): (Long, Long, Long) = {
+      var r = 0L; var g = 0L; var b = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (pr, pg, pb) = Multimodal.pixelChannels(id, x, y)
+        r += pr; g += pg; b += pb
+      }
+      (r, g, b)
+    }
+    val dims = Seq((3L, 17, 23), (4L, 16, 16), (255L, 63, 47))
+    val encoded = spark.createDataset(dims).repartition(2)
+      .map { case (id, w, h) => (id, Multimodal.encodePng(id, w, h)) }
+    val got = Multimodal.decodeImageStats(encoded).collect()
+      .map(s => s.media_id -> s).toMap
+    dims.foreach { case (id, w, h) =>
+      val s = got(id)
+      assert((s.width, s.height, s.n_pixels) === (w.toLong, h.toLong, w.toLong * h))
+      assert((s.r_sum, s.g_sum, s.b_sum) === truth(id, w, h))
+    }
+  }
+
+  test("decode sniffs the container from bytes (BMP without a format tag)") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, (10 << 16) | (20 << 8) | 30)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    val stats = Multimodal.decodeImageStats(
+      spark.createDataset(Seq((9L, out.toByteArray)))).collect()(0)
+    assert((stats.width, stats.height) === (5L, 4L))
+    assert((stats.r_sum, stats.g_sum, stats.b_sum) === (200L, 400L, 600L))
+  }
+
+  test("undecodable / NULL payloads degrade to zero-stats rows, not task failures") {
+    import spark.implicits._
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val rows = Seq((1L, junk), (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.emptyByteArray), (4L, Multimodal.encodePng(4L, 16, 16)))
+    val got = Multimodal.decodeImageStats(spark.createDataset(rows))
+      .collect().map(s => s.media_id -> s.n_pixels).toMap
+    assert(got(1L) === 0L && got(2L) === 0L && got(3L) === 0L)
+    assert(got(4L) === 256L)
+  }
+
+  test("real decode stage preserves partitioning (no shuffle in the plan)") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq((1L, Multimodal.encodePng(1L, 16, 16))))
+      .repartition(3)
+    def exchanges(plan: String): Int =
+      plan.toLowerCase.linesIterator.count(_.contains("exchange"))
+    assert(exchanges(Multimodal.decodeImageStats(ds)
+        .queryExecution.executedPlan.toString) ===
+      exchanges(ds.queryExecution.executedPlan.toString),
+      "real decode stage must not add a shuffle")
+  }
+
   test("frame sampling and resize plan") {
     assert(Multimodal.frameSampleCount(0, 10) === 0)
     assert(Multimodal.frameSampleCount(1, 10) === 1)
