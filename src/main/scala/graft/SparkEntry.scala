@@ -91,6 +91,7 @@ object SparkEntry {
     "io_merge_upsert"          -> (IoQueries.ioMergeUpsert _),
     "text_chunk_rag"           -> (CurationQueries.textChunkRag _),
     "dedup_substring"          -> (CurationQueries.dedupSubstring _),
+    "text_line_dedup"          -> (CurationQueries.textLineDedup _),
     "split_train_test"         -> (CurationQueries.splitTrainTest _),
     "q_heavy_hitters"          -> (HeavyHitterQueries.qHeavyHitters _),
     "q_bloom_prune_join"       -> (HeavyHitterQueries.qBloomPruneJoin _),
@@ -1014,6 +1015,49 @@ object SparkEntry {
         |  CAST(len(list_slice(t, s + 1, least(s + 64, len(t)))) AS BIGINT) AS n_tok,
         |  md5(array_to_string(list_slice(t, s + 1, least(s + 64, len(t))), ' ')) AS chunk_md5
         |FROM spans ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // C4-style line curation over the planted-boilerplate corpus:
+    // drop lines in >= 3 distinct docs, sub-3-token fragments, and
+    // intra-doc repeats; md5 of the rewritten document proves byte
+    // parity. The oracle groups raw LINES where Spark groups xxhash64
+    // digests — only line equality is observable, same cross-engine
+    // argument as dedup_substring.
+    "text_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS body,
+        |    'subscribe to ' || coalesce(source, '') || ' newsletter today' AS sub,
+        |    'rare banner for pair ' || CAST(doc_id // 2 AS VARCHAR) AS rare
+        |  FROM documents),
+        |inj AS (
+        |  SELECT doc_id,
+        |    body
+        |    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || body ELSE '' END
+        |    || chr(10) || sub
+        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || sub ELSE '' END
+        |    || chr(10) || rare
+        |    || chr(10) || 'ok bye' || chr(10) || 'all rights reserved worldwide' AS t
+        |  FROM base),
+        |lines AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS arr,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(t, chr(10))) + 1)) AS idx
+        |  FROM inj),
+        |flags AS (
+        |  SELECT doc_id, idx, line,
+        |    CASE WHEN length(trim(line)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(line), '[ \t\n\x0B\f\r]+')) END AS n_tok,
+        |    (list_position(arr, line) = idx) AS first_in_doc
+        |  FROM lines),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM flags GROUP BY line),
+        |k AS (
+        |  SELECT f.doc_id, f.idx, f.line,
+        |    (fr.df < 3 AND f.n_tok >= 3 AND f.first_in_doc) AS keep
+        |  FROM flags f JOIN freq fr USING (line))
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx), '')) AS clean_md5,
+        |  CAST(length(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx), '')) AS BIGINT) AS clean_chars
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // 20-token span digests over documents ∪ tail-truncated copies of
     // doc_id % 5 == 0 (tokens from position 10); a span is duplicated

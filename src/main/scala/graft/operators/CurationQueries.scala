@@ -116,6 +116,93 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-level line dedup + boilerplate removal — the C4/Gopher
+    * curation pass every crawl pipeline runs first (C4 drops lines
+    * seen verbatim across pages and sub-3-word fragments; reference
+    * capability class: filtering + io). Three rules, applied per line:
+    *
+    *   1. corpus boilerplate: the line occurs in >= 3 DISTINCT
+    *      documents (nav bars, cookie notices, footers);
+    *   2. fragment: fewer than 3 whitespace tokens;
+    *   3. intra-doc repeat: an identical line appeared EARLIER in the
+    *      same document (C4's per-page line dedup).
+    *
+    * The gate corpus is the documents table with deterministic
+    * boilerplate planted per doc: a per-source "subscribe" line (25
+    * docs share it), two global lines, a duplicated body for
+    * doc_id % 6 == 0 (intra-doc rule's target — unique corpus-wide, so
+    * only rule 3 can catch it) and a duplicated subscribe line for
+    * doc_id % 4 == 0. Output is the REWRITTEN document: exact md5 +
+    * char count, so the gate proves byte-identical rewrites
+    * cross-engine (same posture as text_pii_redact).
+    *
+    * Scale (dedup-family rule: shuffles carry digests, never line
+    * text): the corpus-frequency aggregate shuffles (xxhash64(line),
+    * doc_id) — 16 bytes per line regardless of line length; the
+    * boilerplate verdict set (lines in >= 3 docs) is tiny relative to
+    * the corpus and joins back by BROADCAST against the map-side line
+    * stream, so no text moves for the verdict either (above broadcast
+    * size, flip the verdict join to a digest-keyed shuffle carrying
+    * (doc_id, idx) pairs — still no text). Text crosses an exchange
+    * exactly ONCE: the final per-doc regroup that assembles the
+    * rewritten document, which is the operator's output and priced the
+    * same as writing it. Rule 3's array_position probe is O(L²) in
+    * lines-per-doc inside one row — at crawl-scale line counts (~10²)
+    * that is thousands of comparisons per doc, cheaper than any
+    * shuffle; for pathological million-line docs swap it for one
+    * aggregate() pass building a seen-set, same map-side shape. */
+  def textLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val subscribe = concat(lit("subscribe to "),
+      coalesce($"source", lit("")), lit(" newsletter today"))
+    // shared by exactly the 2 docs of a pair — df sits just BELOW the
+    // >= 3 threshold, so the boundary is exercised from both sides
+    val rare = concat(lit("rare banner for pair "),
+      floor($"doc_id" / 2).cast("long").cast("string"))
+    val body = coalesce($"text", lit(""))
+    val lines = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id",
+        split(concat(
+          body,
+          when(pmod($"doc_id", lit(6)) === 0, concat(lit("\n"), body))
+            .otherwise(lit("")),
+          lit("\n"), subscribe,
+          when(pmod($"doc_id", lit(4)) === 0, concat(lit("\n"), subscribe))
+            .otherwise(lit("")),
+          lit("\n"), rare,
+          lit("\nok bye\nall rights reserved worldwide")), "\n").as("arr"))
+      .select($"doc_id", $"arr", posexplode($"arr").as(Seq("idx0", "line")))
+      .select($"doc_id", $"idx0", $"line",
+        size(TextFunctions.wsTokens($"line")).as("n_tok"),
+        (array_position($"arr", $"line") === $"idx0" + 1).as("first_in_doc"),
+        xxhash64($"line").as("lh"))
+
+    // corpus doc-frequency over DIGESTS only; the >= 3-doc survivors
+    // are the broadcast verdict set (line equality is all that's
+    // observable downstream — the oracle groups raw lines instead,
+    // same cross-engine argument as dedupSubstring)
+    val boiler = lines.groupBy($"lh")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 3)
+      .select($"lh", lit(true).as("boilerplate"))
+
+    lines
+      .join(broadcast(boiler), Seq("lh"), "left")
+      .select($"doc_id", $"idx0", $"line",
+        ($"boilerplate".isNull && $"n_tok" >= 3 && $"first_in_doc").as("keep"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(array_sort(collect_list(when($"keep", struct($"idx0", $"line")))),
+            s => s.getField("line")))).as("clean_md5"),
+        length(concat_ws("\n",
+          transform(array_sort(collect_list(when($"keep", struct($"idx0", $"line")))),
+            s => s.getField("line")))).cast("long").as("clean_chars"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-source document cap — "keep the best N documents per domain",
     * the standard guard against one crawl source flooding the training
     * mix. Runs on the `graft_bottomk` TypedImperativeAggregate with the

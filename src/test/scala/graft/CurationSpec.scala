@@ -36,6 +36,85 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("line dedup matches a driver-side recomputation of all three rules") {
+    val got = CurationQueries.textLineDedup(spark, sf)
+      .select($"doc_id", $"n_lines", $"n_kept", $"clean_md5", $"clean_chars")
+      .as[(Long, Long, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // independent reimplementation: plain Scala over the collected
+    // corpus, no Spark expressions shared with the operator
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect()
+    val allLines = docs.flatMap { case (id, text, source) =>
+      val sub = s"subscribe to ${Option(source).getOrElse("")} newsletter today"
+      val body = Option(text).getOrElse("")
+      val b = new StringBuilder(body)
+      if (id % 6 == 0) b.append('\n').append(body)
+      b.append('\n').append(sub)
+      if (id % 4 == 0) b.append('\n').append(sub)
+      b.append('\n').append(s"rare banner for pair ${id / 2}")
+      b.append("\nok bye\nall rights reserved worldwide")
+      b.toString.split("\n", -1).zipWithIndex.map { case (l, i) => (id, i, l) }
+    }
+    val docFreq = allLines.groupBy(_._3).map { case (l, g) =>
+      l -> g.map(_._1).distinct.size
+    }
+    val expected = allLines.groupBy(_._1).map { case (id, g) =>
+      val sorted = g.sortBy(_._2)
+      val seen = scala.collection.mutable.Set[String]()
+      val kept = sorted.filter { case (_, _, l) =>
+        val first = seen.add(l)
+        first && docFreq(l) < 3 &&
+          l.trim.nonEmpty && l.trim.split("\\s+").length >= 3
+      }.map(_._3)
+      val clean = kept.mkString("\n")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      id -> (sorted.size.toLong, kept.size.toLong, md5, clean.length.toLong)
+    }
+    assert(got.size === expected.size)
+    expected.foreach { case (id, (nl, nk, md5, chars)) =>
+      assert(got(id) === ((id, nl, nk, md5, chars)), s"doc $id")
+    }
+    // the planted structure actually exercises every rule: some doc
+    // keeps its rare-pair banner (df=2 boundary), some doc drops an
+    // intra-doc body repeat, and nobody keeps planted boilerplate
+    assert(expected.values.exists(_._2 >= 2), "df=2 line never kept")
+    assert(expected.exists { case (id, (nl, _, _, _)) => id % 6 == 0 && nl >= 5 })
+  }
+
+  test("line dedup shuffles digests for the verdict; text only crosses at the rewrite regroup") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning, RoundRobinPartitioning}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = CurationQueries.textLineDedup(spark, sf)
+    // inspect the pre-execution adaptive tree: raw ShuffleExchangeExec
+    // nodes are still visible (post-execution they wrap into query
+    // stages) — same approach as the substring-dedup pin
+    val phys = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val hashShuffles = phys.collect {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] &&
+          !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(hashShuffles.nonEmpty)
+    hashShuffles.foreach { e =>
+      val carriesText = e.output.exists(a =>
+        a.name == "line" || a.name == "text" || a.name == "arr" ||
+          a.dataType.typeName.startsWith("array"))
+      if (carriesText) {
+        // the one legitimate text move: the per-doc rewrite regroup
+        val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
+          .expressions.flatMap(_.references.map(_.name))
+        assert(keys == Seq("doc_id"),
+          s"text crossed a non-rewrite exchange keyed on $keys: ${e.output.map(_.name)}")
+      }
+    }
+  }
+
   test("substring dedup: every tail-truncated twin's shared spans are flagged") {
     val res = CurationQueries.dedupSubstring(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
