@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, ClusterQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, GraphQueries, HeavyHitterQueries, IoQueries, IvfQueries, MaintenanceQueries, MultimodalQueries, PipelineQueries, PqQueries, SampleQueries, TextQueries}
+import graft.operators.{Analytics, AnnQueries, ClusterQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, GraphQueries, HeavyHitterQueries, IoQueries, IvfQueries, MaintenanceQueries, MultimodalQueries, PipelineQueries, PqQueries, SampleQueries, TextQueries, UrlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -92,6 +92,7 @@ object SparkEntry {
     "text_chunk_rag"           -> (CurationQueries.textChunkRag _),
     "dedup_substring"          -> (CurationQueries.dedupSubstring _),
     "text_line_dedup"          -> (CurationQueries.textLineDedup _),
+    "url_domain_stats"         -> (UrlQueries.urlDomainStats _),
     "split_train_test"         -> (CurationQueries.splitTrainTest _),
     "q_heavy_hitters"          -> (HeavyHitterQueries.qHeavyHitters _),
     "q_bloom_prune_join"       -> (HeavyHitterQueries.qBloomPruneJoin _),
@@ -1015,6 +1016,51 @@ object SparkEntry {
         |  CAST(len(list_slice(t, s + 1, least(s + 64, len(t)))) AS BIGINT) AS n_tok,
         |  md5(array_to_string(list_slice(t, s + 1, least(s + 64, len(t))), ' ')) AS chunk_md5
         |FROM spans ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // URL curation: registrable-domain extraction (ports, userinfo,
+    // IP hosts, punycode, uppercase, multi-label suffixes all in the
+    // corpus), blocklist, cap-3-per-domain; the oracle states the cap
+    // as a rank window where Spark runs the bottom-k aggregate
+    "url_domain_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN 'https://www.' || coalesce(source,'') || '.com/articles/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN 'https://news.' || coalesce(source,'') || '.co.uk/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN 'http://' || coalesce(source,'') || '.org:8080/p?id=' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN 'https://user:pw@' || coalesce(source,'') || '.net/account'
+        |      WHEN 4 THEN 'http://192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7/raw'
+        |      WHEN 5 THEN 'https://cdn.xn--' || coalesce(source,'') || '-4ab.com/img/' || CAST(doc_id AS VARCHAR) || '.png'
+        |      ELSE 'HTTPS://Blog.' || upper(coalesce(source,'')) || '.COM/Post/' || CAST(doc_id AS VARCHAR)
+        |    END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#\[\]]+)', 1)) AS host
+        |  FROM u),
+        |d AS (
+        |  SELECT doc_id, n_chars, host,
+        |    regexp_matches(host, '^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$') AS is_ip,
+        |    CASE
+        |      WHEN regexp_matches(host, '^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$') THEN host
+        |      WHEN regexp_matches(host, '(^|\.)(co\.uk|ac\.uk|gov\.uk|com\.au|co\.jp|com\.br)$')
+        |        THEN CASE WHEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) = '' THEN host
+        |                  ELSE regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) END
+        |      ELSE CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
+        |                ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END
+        |    END AS domain
+        |  FROM h),
+        |f AS (SELECT * FROM d WHERE domain NOT IN ('src2.com','src5.co.uk','src11.org')),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk FROM f)
+        |SELECT domain,
+        |  CASE WHEN bool_or(is_ip) THEN NULL
+        |       ELSE NULLIF(regexp_extract(domain, '^[^.]+\.(.+)$', 1), '') END AS tld,
+        |  count(*) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(sum(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rk <= 3 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS first_kept_doc
+        |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
 
     // C4-style line curation over the planted-boilerplate corpus:
     // drop lines in >= 3 distinct docs, sub-3-token fragments, and

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.UrlFunctions
+import graft.operators.UrlQueries
+
+/** Adversarial URL parsing contract + url_domain_stats invariants the
+  * hash gate can't state on its own. */
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hostOf(urls: (String, String)*): Unit = {
+    val got = urls.map(_._1).toDF("url")
+      .select($"url", UrlFunctions.urlHost($"url").as("h"))
+      .as[(String, String)].collect().toMap
+    urls.foreach { case (u, expect) =>
+      assert(got(u) === expect, s"urlHost($u)")
+    }
+  }
+
+  test("urlHost strips scheme case, userinfo, ports, paths; rejects non-URLs") {
+    hostOf(
+      "https://www.example.com/a/b?q=1#f" -> "www.example.com",
+      "HTTPS://Blog.EXAMPLE.COM/Post/7" -> "blog.example.com",
+      "http://example.org:8080/p?id=3" -> "example.org",
+      "https://user:pw@example.net/account" -> "user:pw@example.net".split('@')(1),
+      "svn+ssh://code.example.io/repo" -> "code.example.io",
+      "http://192.168.3.7/raw" -> "192.168.3.7",
+      "https://cdn.xn--bcher-kva.com/x.png" -> "cdn.xn--bcher-kva.com",
+      // out-of-scope shapes degrade to '' (documented), never garbage
+      "http://[2001:db8::1]/x" -> "",
+      "not a url at all" -> "",
+      "//protocol-relative.example.com/x" -> "",
+      "" -> "")
+  }
+
+  test("registrableDomain: PSL multi-label suffixes, IPs, punycode, bare suffixes") {
+    val cases = Seq(
+      "www.example.com" -> "example.com",
+      "news.bbc.co.uk" -> "bbc.co.uk",
+      "a.b.c.d.example.com" -> "example.com",
+      "deep.sub.domain.ac.uk" -> "domain.ac.uk",
+      "site.com.au" -> "site.com.au",
+      "cdn.xn--bcher-kva.com" -> "xn--bcher-kva.com", // punycode = ordinary label (PSL rule)
+      "192.168.3.7" -> "192.168.3.7", // IP literal passes through whole
+      "999.1.1.1" -> "1.1", // NOT an IP (octet > 255) -> label logic, like browsers
+      "co.uk" -> "co.uk", // bare suffix: nothing registrable below it
+      "localhost" -> "localhost", // single label
+      "example.com" -> "example.com")
+    val got = cases.map(_._1).toDF("host")
+      .select($"host", UrlFunctions.registrableDomain($"host").as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (h, expect) =>
+      assert(got(h) === expect, s"registrableDomain($h)")
+    }
+  }
+
+  test("domainTld: suffix after the first label; null for IPs and single labels") {
+    val got = Seq(
+      ("example.com", false), ("bbc.co.uk", false),
+      ("192.168.3.7", true), ("localhost", false))
+      .toDF("d", "ip")
+      .select($"d", UrlFunctions.domainTld($"d", $"ip").as("t"))
+      .as[(String, Option[String])].collect().toMap
+    assert(got("example.com") === Some("com"))
+    assert(got("bbc.co.uk") === Some("co.uk"))
+    assert(got("192.168.3.7") === None)
+    assert(got("localhost") === None)
+  }
+
+  test("url_domain_stats: blocklist enforced, cap binds, counts consistent") {
+    val rows = UrlQueries.urlDomainStats(spark, sf)
+      .select($"domain", $"n_docs", $"n_kept", $"kept_chars", $"first_kept_doc")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val domains = rows.map(_._1).toSet
+    UrlQueries.Blocklist.foreach(b =>
+      assert(!domains.contains(b), s"blocklisted domain $b survived"))
+    rows.foreach { case (d, nDocs, nKept, keptChars, _) =>
+      assert(nKept === math.min(nDocs, UrlQueries.DomainCap.toLong), s"$d cap")
+      assert(keptChars >= 0, s"$d chars")
+    }
+    // the cap actually bound somewhere (a vacuous cap proves nothing)
+    assert(rows.exists { case (_, nDocs, nKept, _, _) => nDocs > nKept })
+    // adversarial shapes made it into the output as domains
+    assert(domains.exists(_.startsWith("xn--")), "punycode domain missing")
+    assert(domains.exists(_.startsWith("192.168.")), "IP domain missing")
+    assert(domains.exists(_.endsWith(".co.uk")), "multi-label suffix missing")
+  }
+}
