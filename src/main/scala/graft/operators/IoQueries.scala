@@ -18,16 +18,28 @@ object IoQueries {
     s"/tmp/graft_io/${name}_${math.abs(sfDir.hashCode)}"
 
   /** Gzip-compressed pipe-separated values roundtrip of lineitem.
-    * Written as one gzip member per core: gzip is non-splittable, so
-    * without explicit chunking a single-file source serializes BOTH
-    * the compress and the decompress on one task. */
+    * gzip is non-splittable, so the READ's parallelism equals the
+    * member count: a single-file source serializes both the compress
+    * and the decompress on one task. The chunking is therefore
+    * conditional, Tables.widened-style: repartition to one member per
+    * core ONLY when the scan has fewer splits than cores (small local
+    * corpora); at scale the scan already has >= cores splits and each
+    * writes its own member directly — the alternative unconditional
+    * repartition paid a full-frame exchange whose shuffle write+read
+    * was ~2x the gzip output's bytes (measured at sf100: 12.9 GB
+    * shuffled each way vs 7.2 GB written — the single largest I/O
+    * term of the whole roundtrip, bought zero read parallelism beyond
+    * the ~100 scan splits, and is exactly the kind of exchange a
+    * 1000-executor job must not pay per export). */
   def ioDsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag")
     val li = Tables.lineitem(spark, dir).select(cols.map(col): _*)
     val out = tmpDir("dsv", dir)
+    val cores = spark.sparkContext.defaultParallelism
+    val chunks = if (li.rdd.getNumPartitions >= cores) 0 else cores
     GraftIO.write(li, out, GraftIO.Dsv, gzip = true, sep = "|",
-      chunks = spark.sparkContext.defaultParallelism)
+      chunks = chunks)
     GraftIO.read(spark, out, GraftIO.Dsv, sep = "|", schema = Some(li.schema))
       .groupBy($"l_returnflag")
       .agg(
