@@ -1023,7 +1023,7 @@ object SparkEntry {
     // as a rank window where Spark runs the bottom-k aggregate
     "url_domain_stats" ->
       """WITH u AS (
-        |  SELECT doc_id, n_chars,
+        |  SELECT doc_id, coalesce(n_chars, 0) AS n_chars,
         |    CASE doc_id % 7
         |      WHEN 0 THEN 'https://www.' || coalesce(source,'') || '.com/articles/' || CAST(doc_id AS VARCHAR)
         |      WHEN 1 THEN 'https://news.' || coalesce(source,'') || '.co.uk/' || CAST(doc_id AS VARCHAR)

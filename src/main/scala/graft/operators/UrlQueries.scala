@@ -61,7 +61,11 @@ object UrlQueries {
     // precedent)
     val CharsPack = 100000L
     val parsed = Tables.widened(Tables.documents(spark, dir))
-      .select($"doc_id", $"n_chars",
+      // NULL n_chars (a nulled-out document) counts as zero kept chars;
+      // without the coalesce the pack-range guard's otherwise() branch
+      // RAISES on the null (three-valued between) — found by the
+      // null-injection sweep
+      .select($"doc_id", coalesce($"n_chars", lit(0L)).as("n_chars"),
         UrlFunctions.urlHost(urlCol(coalesce($"source", lit("")), $"doc_id")).as("host"))
       .withColumn("n_chars",
         when($"n_chars".between(0L, CharsPack - 1L), $"n_chars")

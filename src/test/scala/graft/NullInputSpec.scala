@@ -85,6 +85,24 @@ class NullInputSpec extends SparkSpec {
     d
   }
 
+  test("round-9 operators survive the full nulls contract (text/source/n_chars)") {
+    // the sweep generator's documents shape: NULL text AND NULL source
+    // AND NULL n_chars — url_domain_stats crashed on the last one (the
+    // pack-range guard's otherwise() raised on three-valued between)
+    val d = Files.createTempDirectory("graft_nulls_r9").toString
+    Tables.documents(spark, sf)
+      .withColumn("text",
+        when($"doc_id" % 5 === 0, lit(null: String)).otherwise($"text"))
+      .withColumn("source",
+        when($"doc_id" % 11 === 0, lit(null: String)).otherwise($"source"))
+      .withColumn("n_chars",
+        when($"doc_id" % 5 === 0, lit(null: java.lang.Long)).otherwise($"n_chars"))
+      .write.parquet(s"$d/documents.parquet")
+    assert(graft.operators.UrlQueries.urlDomainStats(spark, d).count() > 0)
+    assert(graft.operators.CurationQueries.textLineDedup(spark, d).count() > 0)
+    assert(graft.operators.MultimodalQueries.multimodalDecode(spark, d).count() > 0)
+  }
+
   test("a vector with NULL ELEMENTS is dropped, not silently three-valued") {
     // exists(isnan||...) over a vector whose only bad entries are NULL
     // elements evaluates to NULL — without the explicit x.isNull clause
