@@ -113,8 +113,15 @@ object Multimodal {
         val img =
           if (payload == null || payload.length == 0) null
           else
+            // NonFatal, not just IOException: ImageIO.read returns null
+            // only for UNRECOGNIZED containers — bytes that sniff as a
+            // known format but carry corrupt headers make the JDK
+            // readers throw unchecked exceptions (AIOOBE/NegativeArray
+            // from BMP/GIF, CMMException from broken JPEG ICC
+            // profiles), which would kill the task despite this
+            // stage's degrade-to-zero-stats contract
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) ImagePixelStats(id, 0L, 0L, 0L, 0L, 0L, 0L)
         else {
           val w = img.getWidth; val h = img.getHeight

@@ -72,10 +72,16 @@ object UrlQueries {
           .otherwise(raise_error(concat(
             lit("url_domain_stats: n_chars out of packable range [0, 1e5): "),
             $"n_chars".cast("string")))))
+      // TWO bounds meet here: the value pack needs doc_id <
+      // Long.MaxValue/CharsPack, and the bottom-k SORT KEY lpads to 10
+      // digits — an 11-digit doc_id would TRUNCATE and mis-rank (Spark
+      // lpad cuts long strings), so the guard takes the tighter 1e10
+      // (docsSourceCap's bound, same reason)
       .withColumn("doc_id",
-        when($"doc_id".between(0L, Long.MaxValue / CharsPack - 1L), $"doc_id")
+        when($"doc_id".between(0L, math.min(10000000000L, Long.MaxValue / CharsPack) - 1L),
+          $"doc_id")
           .otherwise(raise_error(concat(
-            lit("url_domain_stats: doc_id out of packable range: "),
+            lit("url_domain_stats: doc_id out of packable/paddable range [0, 1e10): "),
             $"doc_id".cast("string")))))
       .withColumn("is_ip", UrlFunctions.isIpv4($"host"))
       .withColumn("domain", UrlFunctions.registrableDomain($"host"))

@@ -6,11 +6,13 @@ import graft.{Harness, Tables}
 
 /** Phase-level diagnostic for the two round-9 heavy cells that
   * reproduced super-linear decades in matched isolated runs
-  * (io_dsv_roundtrip 14.6x, text_lm_score 13.2x): splits each query
-  * into its phases and taps per-phase shuffle/spill bytes via a stage
-  * listener (GraphDiag's drain pattern), so the decade residual gets
-  * attributed to a PHASE and a RESOURCE instead of argued about.
-  * Not part of the library surface.
+  * (io_dsv_roundtrip, text_lm_score): splits each query into its
+  * phases and taps per-phase shuffle/spill bytes via [[MetricsDrain]],
+  * so the decade residual gets attributed to a PHASE and a RESOURCE
+  * instead of argued about. Phase plans MIRROR the production queries
+  * exactly (the dsv mode reuses ioDsvRoundtrip's conditional chunking
+  * — a diag measuring a plan production no longer runs adjudicates
+  * nothing, the GraphDiag lesson). Not part of the library surface.
   *
   * Run: `runMain graft.tools.CellDiag <dsv|lm> <sfDir>`
   */
@@ -20,46 +22,23 @@ object CellDiag {
     val dir = args(1)
     val spark = Harness.buildSession(dir, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-    import java.util.concurrent.atomic.AtomicLong
-    val shufWrite = new AtomicLong; val shufRead = new AtomicLong
-    val memSpill = new AtomicLong; val diskSpill = new AtomicLong
-    val inputB = new AtomicLong; val outputB = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val m = sc.stageInfo.taskMetrics
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        memSpill.addAndGet(m.memoryBytesSpilled)
-        diskSpill.addAndGet(m.diskBytesSpilled)
-        inputB.addAndGet(m.inputMetrics.bytesRead)
-        outputB.addAndGet(m.outputMetrics.bytesWritten)
-      }
-    })
-    def drain(tag: String, t0: Long): Unit = {
-      val wall = (System.nanoTime() - t0) / 1e9
-      var prev = -1L
-      var cur = 0L
-      var waited = 0
-      while ({ cur = shufWrite.get + shufRead.get + memSpill.get + diskSpill.get +
-          inputB.get + outputB.get; cur != prev && waited < 20 }) {
-        Thread.sleep(150); prev = cur; waited += 1
-      }
-      println(f"[diag] $tag%-12s wall=$wall%8.2f s " +
-        f"in=${inputB.getAndSet(0) / 1e9}%6.2f GB out=${outputB.getAndSet(0) / 1e9}%6.2f GB " +
-        f"shufW=${shufWrite.getAndSet(0) / 1e9}%6.2f GB shufR=${shufRead.getAndSet(0) / 1e9}%6.2f GB " +
-        f"memSpill=${memSpill.getAndSet(0) / 1e9}%6.2f GB diskSpill=${diskSpill.getAndSet(0) / 1e9}%6.2f GB")
-    }
+    val drain = new MetricsDrain(spark)
 
     mode match {
       case "dsv" =>
         val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag")
         val li = Tables.lineitem(spark, dir).select(cols.map(col): _*)
         val out = s"/tmp/graft_celldiag_dsv_${math.abs(dir.hashCode)}"
+        // SAME conditional chunking as production ioDsvRoundtrip:
+        // repartition to one gzip member per core only when the scan
+        // has fewer splits than cores
+        val cores = spark.sparkContext.defaultParallelism
+        val chunks = if (li.rdd.getNumPartitions >= cores) 0 else cores
+        println(s"[diag] chunks=$chunks scanParts=${li.rdd.getNumPartitions}")
         var t0 = System.nanoTime()
         graft.io.GraftIO.write(li, out, graft.io.GraftIO.Dsv, gzip = true, sep = "|",
-          chunks = spark.sparkContext.defaultParallelism)
-        drain("write", t0)
+          chunks = chunks)
+        drain.drain("write", t0)
         t0 = System.nanoTime()
         val agg = graft.io.GraftIO.read(spark, out, graft.io.GraftIO.Dsv,
             sep = "|", schema = Some(li.schema))
@@ -68,7 +47,7 @@ object CellDiag {
             round(sum($"l_extendedprice"), 2).as("sum_price"),
             sum($"l_orderkey").as("sum_okey"), sum($"l_partkey").as("sum_pkey"))
         agg.collect()
-        drain("read_agg", t0)
+        drain.drain("read_agg", t0)
       case "lm" =>
         // phase split mirrors textLmScore exactly
         val docGrams = graft.operators.CorpusQueries
@@ -77,13 +56,13 @@ object CellDiag {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         var t0 = System.nanoTime()
         docGrams.count()
-        drain("doc_grams", t0)
+        drain.drain("doc_grams", t0)
         t0 = System.nanoTime()
         val model = graft.operators.CorpusQueries
           .lmBigramModelFromCounts(docGrams.groupBy($"g").agg(sum($"cnt").as("c2")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         model.count()
-        drain("model", t0)
+        drain.drain("model", t0)
         t0 = System.nanoTime()
         docGrams.join(model, "g")
           .groupBy($"doc_id")
@@ -91,7 +70,7 @@ object CellDiag {
           .select($"doc_id", $"n_bigrams", $"sum_bp",
             floor($"sum_bp" / $"n_bigrams").cast("long").as("avg_bp"))
           .write.format("noop").mode("overwrite").save()
-        drain("score_join", t0)
+        drain.drain("score_join", t0)
         docGrams.unpersist(); model.unpersist()
     }
     spark.stop()

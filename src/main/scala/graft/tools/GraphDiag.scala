@@ -81,41 +81,11 @@ object GraphDiag {
     // same layout, or the diag measures a plan production never ran
     val ckptMinEdges = sys.env.get("SPARK_GRAFT_CKPT_MIN_EDGES").map(_.toLong)
       .getOrElse(graft.operators.GraphQueries.PagerankCheckpointMinEdges)
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-    import java.util.concurrent.atomic.AtomicLong
-    val shufWrite = new AtomicLong; val shufRead = new AtomicLong
-    val memSpill = new AtomicLong; val diskSpill = new AtomicLong
-    val listener = new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val m = sc.stageInfo.taskMetrics
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        memSpill.addAndGet(m.memoryBytesSpilled)
-        diskSpill.addAndGet(m.diskBytesSpilled)
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    def drain(tag: String, t0: Long): Unit = {
-      // wall stops HERE — the listener-settle wait below must not be
-      // billed to the measured stage (+0.3 s on a 2.7 s cell is a 10%
-      // systematic skew in published numbers)
-      val wall = (System.nanoTime() - t0) / 1e9
-      // listener bus is async and the private waitUntilEmpty is
-      // off-limits: poll until the counters stop moving (a fixed sleep
-      // under-drained after multi-GB-shuffle rounds, crediting tail
-      // bytes to the NEXT round's tally)
-      var prev = -1L
-      var cur = shufWrite.get + shufRead.get + memSpill.get + diskSpill.get
-      var waited = 0
-      while (cur != prev && waited < 20) {
-        Thread.sleep(150); prev = cur
-        cur = shufWrite.get + shufRead.get + memSpill.get + diskSpill.get
-        waited += 1
-      }
-      println(f"[diag] $tag%-8s wall=$wall%.2f s " +
-        f"shufW=${shufWrite.getAndSet(0) / 1e9}%.2f GB shufR=${shufRead.getAndSet(0) / 1e9}%.2f GB " +
-        f"memSpill=${memSpill.getAndSet(0) / 1e9}%.2f GB diskSpill=${diskSpill.getAndSet(0) / 1e9}%.2f GB")
-    }
+    // stage-metrics tap + settle-then-reset drain shared with CellDiag
+    // (tools.MetricsDrain — ONE definition of the settle heuristic and
+    // the metric set; the round-9 review caught the drifting copies)
+    val metrics = new MetricsDrain(spark)
+    def drain(tag: String, t0: Long): Unit = metrics.drain(tag, t0)
 
     val sc = spark.sparkContext
     sc.setCheckpointDir(

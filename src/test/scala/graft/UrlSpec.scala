@@ -69,6 +69,26 @@ class UrlSpec extends SparkSpec {
     assert(got("localhost") === None)
   }
 
+  test("doc_id at or above 1e10 fails LOUDLY (lpad would truncate the cap's sort key)") {
+    // Spark lpad(str, 10, '0') TRUNCATES an 11-digit doc_id to its
+    // first 10 chars, so 10000000000 would sort as "1000000000" —
+    // BEFORE 9999999999 — and the cap would keep the wrong documents
+    // while the oracle's ORDER BY doc_id keeps the right ones. The
+    // guard must take the pad bound (1e10), not just the pack bound
+    // (~9.2e13) — round-9 review finding.
+    val d = java.nio.file.Files.createTempDirectory("graft_url_bigid").toString
+    Tables.documents(spark, sf)
+      .withColumn("doc_id", $"doc_id" + 10000000000L)
+      .write.parquet(s"$d/documents.parquet")
+    val e = intercept[Exception] {
+      graft.operators.UrlQueries.urlDomainStats(spark, d).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("paddable range")),
+      s"expected the loud range guard, got: ${messages(e).headOption}")
+  }
+
   test("url_domain_stats: blocklist enforced, cap binds, counts consistent") {
     val rows = UrlQueries.urlDomainStats(spark, sf)
       .select($"domain", $"n_docs", $"n_kept", $"kept_chars", $"first_kept_doc")
