@@ -62,6 +62,7 @@ object SparkEntry {
     "multimodal_pipeline"      -> (MultimodalQueries.multimodalPipeline _),
     "multimodal_meta"          -> (MultimodalQueries.multimodalMeta _),
     "multimodal_decode"        -> (MultimodalQueries.multimodalDecode _),
+    "multimodal_resize"        -> (MultimodalQueries.multimodalResize _),
     "text_pii_redact"          -> (PipelineQueries.textPiiRedact _),
     "text_decontaminate"       -> (PipelineQueries.textDecontaminate _),
     "text_vocab"               -> (PipelineQueries.textVocab _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "dedup_substring"          -> (CurationQueries.dedupSubstring _),
     "text_line_dedup"          -> (CurationQueries.textLineDedup _),
     "url_domain_stats"         -> (UrlQueries.urlDomainStats _),
+    "url_dedup"                -> (UrlQueries.urlDedup _),
     "split_train_test"         -> (CurationQueries.splitTrainTest _),
     "q_heavy_hitters"          -> (HeavyHitterQueries.qHeavyHitters _),
     "q_bloom_prune_join"       -> (HeavyHitterQueries.qBloomPruneJoin _),
@@ -633,6 +635,29 @@ object SparkEntry {
         |  CAST(sum((media_id*13 + 7*x + 11*y) % 256) AS BIGINT) AS b_sum
         |FROM pxy GROUP BY media_id ORDER BY media_id""".stripMargin,
 
+    // decode + REAL nearest-neighbor resize gate: Spark resizes the
+    // decoded raster (integer dims + source-pixel selection); the
+    // oracle enumerates the identical sample grid arithmetically
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 48 + 16 AS w, doc_id % 32 + 16 AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT media_id, w, h,
+        |    CASE WHEN greatest(w,h) <= 16 THEN w ELSE (w*16 + greatest(w,h) - 1) // greatest(w,h) END AS ow,
+        |    CASE WHEN greatest(w,h) <= 16 THEN h ELSE (h*16 + greatest(w,h) - 1) // greatest(w,h) END AS oh
+        |  FROM m),
+        |px AS (SELECT media_id, w, h, ow, oh, unnest(range(ow)) AS dx FROM o),
+        |pxy AS (SELECT media_id, w, h, ow, oh, dx, unnest(range(oh)) AS dy FROM px),
+        |s AS (SELECT media_id, ow, oh, (dx*w) // ow AS sx, (dy*h) // oh AS sy FROM pxy)
+        |SELECT media_id, CAST(max(ow) AS BIGINT) AS out_width,
+        |  CAST(max(oh) AS BIGINT) AS out_height,
+        |  count(*) AS n_pixels,
+        |  CAST(sum((media_id*7 + 3*sx + 5*sy) % 256) AS BIGINT) AS r_sum,
+        |  CAST(sum((media_id*11 + 5*sx + 7*sy) % 256) AS BIGINT) AS g_sum,
+        |  CAST(sum((media_id*13 + 7*sx + 11*sy) % 256) AS BIGINT) AS b_sum
+        |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     // PII injection derived from (source, doc_id) exactly as in the
     // Spark query; md5 of the redacted text proves byte parity
     "text_pii_redact" ->
@@ -1061,6 +1086,52 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rk <= 3 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
         |  CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS first_kept_doc
         |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // URL-canonicalization dedup: six cosmetic variants per page —
+    // five must collapse (case, default port, tracking params,
+    // trailing slash), the sixth (real param + non-default port +
+    // http) stays distinct. DuckDB regexp_replace takes the 'g' flag
+    // to match Spark's always-global replacement.
+    "url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'https://www.site' || CAST((doc_id//6) % 97 AS VARCHAR) || '.com/a/' || CAST(doc_id//6 AS VARCHAR)
+        |      WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST((doc_id//6) % 97 AS VARCHAR) || '.COM/a/' || CAST(doc_id//6 AS VARCHAR)
+        |      WHEN 2 THEN 'https://www.site' || CAST((doc_id//6) % 97 AS VARCHAR) || '.com:443/a/' || CAST(doc_id//6 AS VARCHAR)
+        |      WHEN 3 THEN 'https://www.site' || CAST((doc_id//6) % 97 AS VARCHAR) || '.com/a/' || CAST(doc_id//6 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+        |      WHEN 4 THEN 'https://www.site' || CAST((doc_id//6) % 97 AS VARCHAR) || '.com/a/' || CAST(doc_id//6 AS VARCHAR) || '/'
+        |      ELSE 'http://www.site' || CAST((doc_id//6) % 97 AS VARCHAR) || '.com:8080/a/' || CAST(doc_id//6 AS VARCHAR) || '?id=9&fbclid=c' || CAST(doc_id AS VARCHAR)
+        |    END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#\[\]]+)', 1)) AS host,
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#\[\]]+:([0-9]+)', 1) AS port,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([/?#].*)$', 1),
+        |              '#.*$', '', 'g'),
+        |            '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
+        |          '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&', '?', 'g'),
+        |        '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*$', '', 'g'),
+        |      '/$', '', 'g') AS rest
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id,
+        |    CASE WHEN host = '' THEN ''
+        |         ELSE scheme || '://' || host ||
+        |           CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+        |                                      OR (scheme = 'https' AND port = '443'))
+        |                THEN ':' || port ELSE '' END || rest END AS canonical
+        |  FROM c)
+        |SELECT canonical, count(*) AS n_urls,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM canon WHERE canonical <> ''
+        |GROUP BY canonical ORDER BY canonical""".stripMargin,
 
     // C4-style line curation over the planted-boilerplate corpus:
     // drop lines in >= 3 distinct docs, sub-3-token fragments, and

@@ -62,6 +62,34 @@ object MultimodalQueries {
     Multimodal.decodeImageStats(encoded).toDF().orderBy($"media_id")
   }
 
+  /** REAL pixel resize under a hash-exact gate (round 9 companion to
+    * [[multimodalDecode]]): encode the deterministic image to actual
+    * PNG bytes, decode, nearest-neighbor-resize the raster to max
+    * side 16 (exact integer output dims and source-pixel selection —
+    * Multimodal.resizeNearest), and report the RESIZED image's exact
+    * channel sums. The oracle enumerates the identical sample grid
+    * arithmetically (dst pixel (dx,dy) reads source (dx·w div ow,
+    * dy·h div oh)), so a hash match proves the decode→resize kernel
+    * reproduces every sampled pixel bit-exactly. Same plan shape as
+    * the decode gate: two partition-preserving mapPartitions stages,
+    * zero shuffles before the output ordering. */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id".as("media_id"),
+        (pmod($"doc_id", lit(48)) + 16).cast("int").as("w"),
+        (pmod($"doc_id", lit(32)) + 16).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+    val encoded = media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, w, h) => (id, Multimodal.encodePng(id, w, h)) }
+    }
+    Multimodal.decodeResizeStats(encoded, maxSide = 16).toDF()
+      .withColumnRenamed("width", "out_width")
+      .withColumnRenamed("height", "out_height")
+      .orderBy($"media_id")
+  }
+
   private def mediaCorpus(spark: SparkSession, dir: String) = {
     import spark.implicits._
     Tables.documents(spark, dir).select(

@@ -39,6 +39,44 @@ object UrlQueries {
       .otherwise(concat(lit("HTTPS://Blog."), upper(src), lit(".COM/Post/"), idStr))
   }
 
+  /** URL-canonicalization dedup — the exact-dup collapse a crawl runs
+    * BEFORE any content dedup: the same page fetched under cosmetic
+    * variants (scheme/host case, default ports, tracking params,
+    * trailing slash, fragments) must count as ONE document. The gate
+    * corpus groups six consecutive docs onto one page and gives each a
+    * different cosmetic variant — five collapse to the same canonical
+    * key, the sixth (real query param + non-default port + http)
+    * stays distinct — so the gate exercises every normalization rule.
+    *
+    * Scale: canonicalization is a codegen'd regexp chain at the scan;
+    * the dedup is one hash aggregate keyed on the canonical string
+    * (tens of bytes — at 100 TB key on xxhash64(canon) and carry
+    * min(canon) for display, the dedup-family digest rule). */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = floor($"doc_id" / 6).cast("long")
+    val gm = pmod(g, lit(97)).cast("string")
+    val gs = g.cast("string")
+    val v = pmod($"doc_id", lit(6))
+    val url =
+      when(v === 0, concat(lit("https://www.site"), gm, lit(".com/a/"), gs))
+        .when(v === 1, concat(lit("HTTPS://WWW.SITE"), gm, lit(".COM/a/"), gs))
+        .when(v === 2, concat(lit("https://www.site"), gm, lit(".com:443/a/"), gs))
+        .when(v === 3, concat(lit("https://www.site"), gm, lit(".com/a/"), gs,
+          lit("?utm_source=feed&utm_campaign=x")))
+        .when(v === 4, concat(lit("https://www.site"), gm, lit(".com/a/"), gs, lit("/")))
+        .otherwise(concat(lit("http://www.site"), gm, lit(".com:8080/a/"), gs,
+          lit("?id=9&fbclid=c"), $"doc_id".cast("string")))
+    Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id", UrlFunctions.canonicalizeUrl(url).as("canonical"))
+      .filter($"canonical" =!= "")
+      .groupBy($"canonical")
+      .agg(count(lit(1)).as("n_urls"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"canonical")
+  }
+
   /** Per-domain curation stats after blocklist + cap.
     *
     * Scale: host/domain extraction is codegen'd regexp work at the

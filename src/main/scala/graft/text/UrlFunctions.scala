@@ -61,6 +61,45 @@ object UrlFunctions {
       .otherwise(when(last2 === "", host).otherwise(last2))
   }
 
+  private val TrackingParam = "(utm_[A-Za-z0-9_]*|fbclid|gclid)"
+
+  /** Canonical form of an absolute URL — the normalization a crawl
+    * dedup keys on, so the same page fetched under cosmetic variants
+    * collapses to one key:
+    *
+    *   - scheme and host lowercased (path/query case preserved);
+    *   - userinfo dropped;
+    *   - default ports stripped (http:80, https:443; other ports kept);
+    *   - fragment dropped;
+    *   - tracking query params removed (utm_*, fbclid, gclid), with
+    *     `?`/`&` separators repaired and an emptied query dropped;
+    *   - trailing slash stripped (END of URL only — a path-final
+    *     slash before a surviving query string is kept: /p/?k and
+    *     /p?k are distinct resources to most servers).
+    *
+    * '' when the value is not an absolute URL (same contract as
+    * [[urlHost]]). Pure regexp_replace/extract chain, always-global
+    * replacement on both engines (DuckDB side passes the 'g' flag —
+    * its regexp_replace defaults to first-match-only, Spark's to all).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host = urlHost(url)
+    val port = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#\\[\\]]+:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val rest = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([/?#].*)$", 1)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noTrackMid = regexp_replace(noFrag, s"&$TrackingParam=[^&]*", "")
+    val noTrackLead = regexp_replace(noTrackMid, s"\\?$TrackingParam=[^&]*&", "?")
+    val noTrack = regexp_replace(noTrackLead, s"\\?$TrackingParam=[^&]*$$", "")
+    val noSlash = regexp_replace(noTrack, "/$", "")
+    when(host === "", lit(""))
+      .otherwise(concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")), noSlash))
+  }
+
   /** Public-suffix part of a registrable domain (everything after the
     * first label): `src4.co.uk` → `co.uk`. NULL for IP literals and
     * single-label domains (no suffix exists). */

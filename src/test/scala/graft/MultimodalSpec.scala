@@ -100,6 +100,59 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       "real decode stage must not add a shuffle")
   }
 
+  test("REAL nearest-neighbor resize matches codec-free arithmetic; small images pass through") {
+    import spark.implicits._
+    // arithmetic truth over the SAMPLE GRID, no codec, no raster
+    def truth(id: Long, w: Int, h: Int, maxSide: Int): (Int, Int, Long, Long, Long) = {
+      val m = math.max(w, h)
+      val (ow, oh) =
+        if (m <= maxSide) (w, h)
+        else ((w * maxSide + m - 1) / m, (h * maxSide + m - 1) / m)
+      var r = 0L; var g = 0L; var b = 0L
+      for (dy <- 0 until oh; dx <- 0 until ow) {
+        val (pr, pg, pb) = Multimodal.pixelChannels(id, dx * w / ow, dy * h / oh)
+        r += pr; g += pg; b += pb
+      }
+      (ow, oh, r, g, b)
+    }
+    val dims = Seq((3L, 17, 23), (4L, 63, 20), (7L, 12, 9) /* within maxSide: pass-through */)
+    val encoded = spark.createDataset(dims).repartition(2)
+      .map { case (id, w, h) => (id, Multimodal.encodePng(id, w, h)) }
+    val got = Multimodal.decodeResizeStats(encoded, maxSide = 16).collect()
+      .map(s => s.media_id -> s).toMap
+    dims.foreach { case (id, w, h) =>
+      val (ow, oh, r, g, b) = truth(id, w, h, 16)
+      val s = got(id)
+      assert((s.width, s.height, s.n_pixels) === (ow.toLong, oh.toLong, ow.toLong * oh))
+      assert((s.r_sum, s.g_sum, s.b_sum) === (r, g, b), s"image $id channel sums")
+    }
+    // pass-through really is untouched: full-image sums for the small one
+    val s7 = got(7L)
+    assert((s7.width, s7.height) === (12L, 9L))
+  }
+
+  test("decodeResizeStats' direct sampling == resizeNearest's materialized pixels") {
+    // the stats path skips building the resized BufferedImage; this
+    // pins that its sample grid IS resizeNearest's, so the reusable
+    // image API and the stats fast path can never drift
+    import spark.implicits._
+    val dims = Seq((11L, 33, 47), (12L, 63, 17), (13L, 16, 16))
+    dims.foreach { case (id, w, h) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodePng(id, w, h)))
+      val small = Multimodal.resizeNearest(img, 16)
+      val ow = small.getWidth; val oh = small.getHeight
+      val px = small.getRGB(0, 0, ow, oh, null, 0, ow)
+      var r = 0L; var g = 0L; var b = 0L
+      px.foreach { p => r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff }
+      val stats = Multimodal.decodeResizeStats(
+        spark.createDataset(Seq((id, Multimodal.encodePng(id, w, h)))), 16)
+        .collect()(0)
+      assert((stats.width, stats.height) === (ow.toLong, oh.toLong), s"image $id dims")
+      assert((stats.r_sum, stats.g_sum, stats.b_sum) === (r, g, b), s"image $id sums")
+    }
+  }
+
   test("frame sampling and resize plan") {
     assert(Multimodal.frameSampleCount(0, 10) === 0)
     assert(Multimodal.frameSampleCount(1, 10) === 1)

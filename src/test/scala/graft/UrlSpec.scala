@@ -89,6 +89,63 @@ class UrlSpec extends SparkSpec {
       s"expected the loud range guard, got: ${messages(e).headOption}")
   }
 
+  test("canonicalizeUrl: each normalization rule, one adversarial case at a time") {
+    val cases = Seq(
+      // scheme/host case folding; path case preserved
+      "HTTPS://WWW.Example.COM/Path/X" -> "https://www.example.com/Path/X",
+      // default ports stripped per scheme; non-default kept
+      "https://example.com:443/a" -> "https://example.com/a",
+      "http://example.com:80/a" -> "http://example.com/a",
+      "http://example.com:443/a" -> "http://example.com:443/a",
+      "https://example.com:8443/a" -> "https://example.com:8443/a",
+      // userinfo dropped
+      "https://user:pw@example.com/a" -> "https://example.com/a",
+      // fragment dropped
+      "https://example.com/a#section-2" -> "https://example.com/a",
+      // tracking params: leading, middle, lone, several; separators repaired
+      "https://example.com/a?utm_source=x&id=1" -> "https://example.com/a?id=1",
+      "https://example.com/a?id=1&utm_source=x" -> "https://example.com/a?id=1",
+      "https://example.com/a?utm_source=x" -> "https://example.com/a",
+      "https://example.com/a?utm_a=1&utm_b=2&fbclid=z&id=7" -> "https://example.com/a?id=7",
+      "https://example.com/a?gclid=9" -> "https://example.com/a",
+      // non-tracking params preserved byte-for-byte (case included)
+      "https://example.com/a?Q=Abc&z=2" -> "https://example.com/a?Q=Abc&z=2",
+      // trailing slash stripped; root slash too (host-only form)
+      "https://example.com/a/" -> "https://example.com/a",
+      "https://example.com/" -> "https://example.com",
+      // all rules at once — note the path-final slash BEFORE a query
+      // is NOT the trailing-slash rule's target (only an end-of-URL
+      // slash is; /p/?k and /p?k are distinct resources to most
+      // servers, so collapsing them would over-merge)
+      "HTTP://u@Ex.COM:80/p/?utm_x=1&k=v#f" -> "http://ex.com/p/?k=v",
+      // non-URLs degrade to ''
+      "not a url" -> "",
+      "" -> "")
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("url")
+      .select($"url", UrlFunctions.canonicalizeUrl($"url").as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, expect) =>
+      assert(got(u) === expect, s"canonicalizeUrl($u)")
+    }
+  }
+
+  test("urlDedup: cosmetic variants collapse, real variants survive") {
+    import spark.implicits._
+    val rows = UrlQueries.urlDedup(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // a complete 6-doc group yields one canonical with 5 collapsed
+    // variants and one distinct survivor with a kept :8080 port
+    assert(rows.exists(_._2 == 5L), "no 5-way collapse found")
+    assert(rows.filter(_._2 >= 2).forall(r => r._4 > r._3),
+      "collapsed groups must span multiple doc_ids")
+    assert(rows.exists(r => r._1.contains(":8080") && r._2 == 1L),
+      "non-default port survivor missing")
+    assert(rows.forall(r => !r._1.contains("utm_") && !r._1.contains("fbclid")),
+      "tracking params leaked into canonical keys")
+  }
+
   test("url_domain_stats: blocklist enforced, cap binds, counts consistent") {
     val rows = UrlQueries.urlDomainStats(spark, sf)
       .select($"domain", $"n_docs", $"n_kept", $"kept_chars", $"first_kept_doc")
