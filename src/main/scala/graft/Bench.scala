@@ -123,6 +123,17 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},""" +
       s""""nerrors":${errors.size},"queries_file":${if (wroteRepo) jq(repoOut) else "null"},"sf":${jq(sfDir)}}"""
     println(summary)
+    // The per-query map must also survive a TAIL-captured stdout: the
+    // single canonical line is ~3k chars and the driver's capture
+    // window front-truncated it two rounds running (BENCH_r09 carried
+    // 66 of 100 cells). So the map is re-emitted LAST, chunked ~25
+    // queries per self-describing JSON line — the tail keeps the
+    // final lines, and each chunk is independently parseable.
+    val chunks = results.toSeq.grouped(25).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val obj = c.map { case (k, v) => s"${jq(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_chunk","part":${i + 1},"of":${chunks.size},"queries":$obj}""")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AnnQueries, ClusterQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, GraphQueries, HeavyHitterQueries, IoQueries, IvfQueries, MaintenanceQueries, MultimodalQueries, PipelineQueries, PqQueries, SampleQueries, TextQueries, UrlQueries}
+import graft.operators.{Analytics, AnnQueries, ClusterQueries, CorpusQueries, CurationQueries, DedupQueries, EventQueries, FilterQueries, GraphQueries, HeavyHitterQueries, ImageDedupQueries, IoQueries, IvfQueries, MaintenanceQueries, MultimodalQueries, PipelineQueries, PqQueries, SampleQueries, TextQueries, UrlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -63,6 +63,8 @@ object SparkEntry {
     "multimodal_meta"          -> (MultimodalQueries.multimodalMeta _),
     "multimodal_decode"        -> (MultimodalQueries.multimodalDecode _),
     "multimodal_resize"        -> (MultimodalQueries.multimodalResize _),
+    "multimodal_audio"         -> (MultimodalQueries.multimodalAudio _),
+    "dedup_image_phash"        -> (ImageDedupQueries.dedupImagePhash _),
     "text_pii_redact"          -> (PipelineQueries.textPiiRedact _),
     "text_decontaminate"       -> (PipelineQueries.textDecontaminate _),
     "text_vocab"               -> (PipelineQueries.textVocab _),
@@ -92,6 +94,7 @@ object SparkEntry {
     "io_merge_upsert"          -> (IoQueries.ioMergeUpsert _),
     "text_chunk_rag"           -> (CurationQueries.textChunkRag _),
     "dedup_substring"          -> (CurationQueries.dedupSubstring _),
+    "dedup_substring_rewrite"  -> (CurationQueries.dedupSubstringRewrite _),
     "text_line_dedup"          -> (CurationQueries.textLineDedup _),
     "url_domain_stats"         -> (UrlQueries.urlDomainStats _),
     "url_dedup"                -> (UrlQueries.urlDedup _),
@@ -658,6 +661,115 @@ object SparkEntry {
         |  CAST(sum((media_id*13 + 7*sx + 11*sy) % 256) AS BIGINT) AS b_sum
         |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
 
+    // the REAL audio-codec roundtrip gate: Spark encodes each
+    // deterministic stereo PCM clip to actual WAV bytes and decodes
+    // them back via javax.sound.sampled; the oracle enumerates the
+    // identical waveform arithmetically. A hash match proves the
+    // decode path reproduces every 16-bit sample bit-exactly.
+    "multimodal_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 480 + 32 AS n,
+        |    ([8000,16000,44100])[CAST(doc_id % 3 + 1 AS INT)] AS rate
+        |  FROM documents),
+        |s AS (SELECT media_id, n, rate, unnest(range(n)) AS i FROM m)
+        |SELECT media_id,
+        |  CAST(max(rate) AS BIGINT) AS sample_rate,
+        |  CAST(2 AS BIGINT) AS n_channels,
+        |  CAST(max(n) AS BIGINT) AS n_frames,
+        |  CAST(sum(abs((media_id*7 + i*13) % 65536 - 32768)) AS BIGINT) AS c0_abs_sum,
+        |  CAST(sum(abs((media_id*7 + i*13 + 31) % 65536 - 32768)) AS BIGINT) AS c1_abs_sum
+        |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // image near-dup dedup gate: Spark really encodes/decodes PNGs,
+    // dHashes the decoded rasters, and finds hamming<=3 pairs via
+    // Manku banding; the oracle enumerates the dHash sample grid
+    // arithmetically (two 32-bit halves — a 64-bit sum would need
+    // bit 63 and overflow BIGINT) and takes ALL-PAIRS xor/bit_count —
+    // all-pairs is the oracle's job, never Spark's. Both blockings
+    // are complete for hamming<=3, so the pair sets are identical.
+    "dedup_image_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, doc_id % 48 + 16 AS w,
+        |         doc_id % 32 + 16 AS h, 1 AS sc, FALSE AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, doc_id % 48 + 16,
+        |         doc_id % 32 + 16, 2, FALSE FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id, doc_id % 48 + 16,
+        |         doc_id % 32 + 16, 1, TRUE FROM documents WHERE doc_id % 5 = 0),
+        |g AS (SELECT media_id, base, w*sc AS ww, h*sc AS hh, sc, pert,
+        |        unnest(range(8)) AS gy FROM m),
+        |gg AS (SELECT media_id, base, ww, hh, sc, pert, gy, unnest(range(9)) AS gx FROM g),
+        |s AS (SELECT media_id, base, sc, pert, gx, gy,
+        |        (gx*ww) // 9 AS rx, (gy*hh) // 8 AS ry FROM gg),
+        |l AS (SELECT media_id, gx, gy,
+        |    CASE WHEN pert AND rx < 4 AND ry < 4 THEN
+        |      299*(255 - ((base*7 + 73*(rx//sc) + 151*(ry//sc) + 29*(rx//sc)*(ry//sc) + base % 997) % 256))
+        |      + 587*(255 - ((base*11 + 97*(rx//sc) + 131*(ry//sc) + 41*(rx//sc)*(ry//sc) + base % 991) % 256))
+        |      + 114*(255 - ((base*13 + 59*(rx//sc) + 173*(ry//sc) + 37*(rx//sc)*(ry//sc) + base % 983) % 256))
+        |    ELSE
+        |      299*((base*7 + 73*(rx//sc) + 151*(ry//sc) + 29*(rx//sc)*(ry//sc) + base % 997) % 256)
+        |      + 587*((base*11 + 97*(rx//sc) + 131*(ry//sc) + 41*(rx//sc)*(ry//sc) + base % 991) % 256)
+        |      + 114*((base*13 + 59*(rx//sc) + 173*(ry//sc) + 37*(rx//sc)*(ry//sc) + base % 983) % 256)
+        |    END AS luma FROM s),
+        |bits AS (SELECT a.media_id, a.gy*8 + a.gx AS bit,
+        |    CASE WHEN a.luma > b.luma THEN 1 ELSE 0 END AS v
+        |  FROM l a JOIN l b ON b.media_id = a.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |ph AS (SELECT media_id,
+        |    sum(CASE WHEN bit < 32 THEN v * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS lo,
+        |    sum(CASE WHEN bit >= 32 THEN v * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS hi
+        |  FROM bits GROUP BY media_id),
+        |pairs AS (SELECT x.media_id AS id_a, y.media_id AS id_b,
+        |    bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS hamming
+        |  FROM ph x JOIN ph y ON x.media_id < y.media_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // substring-dedup REWRITE: keep-first occurrence semantics stated
+    // as window functions (rn=1 over (doc_id, i)); coverage as
+    // per-position set union where Spark merges intervals — identical
+    // token-kept sets; md5 of the rewritten doc proves byte parity.
+    // The oracle groups md5 span digests where Spark groups xxhash64 —
+    // only span equality is observable (dedup_substring's argument).
+    "dedup_substring_rewrite" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |inj AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 AND len(t) >= 25
+        |    THEN list_concat(t, list_slice(t, 1, 25)) ELSE t END AS t
+        |  FROM t0),
+        |docs AS (
+        |  SELECT doc_id, t FROM inj
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, list_slice(t, 10, len(t)) FROM inj
+        |  WHERE doc_id % 5 = 0 AND len(list_slice(t, 10, len(t))) >= 1),
+        |sp0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 18)) AS i
+        |  FROM docs WHERE len(t) >= 20),
+        |sp AS (SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(t, i, i + 19), ' ')) AS span FROM sp0),
+        |occ AS (SELECT doc_id, i,
+        |    count(*) OVER (PARTITION BY span) AS cnt,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn
+        |  FROM sp),
+        |cov0 AS (SELECT doc_id, unnest(range(i, i + 20)) AS p
+        |  FROM occ WHERE cnt >= 2 AND rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+        |tok AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p
+        |  FROM docs),
+        |kept AS (SELECT k.doc_id, k.p, k.tok
+        |  FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.p = k.p
+        |  WHERE c.p IS NULL)
+        |SELECT d.doc_id,
+        |  CAST(len(d.t) AS BIGINT) AS n_tok,
+        |  CAST(len(d.t) - count(k.p) AS BIGINT) AS n_removed,
+        |  CAST(length(coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '')) AS BIGINT) AS clean_chars,
+        |  md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '')) AS clean_md5
+        |FROM docs d LEFT JOIN kept k ON k.doc_id = d.doc_id
+        |GROUP BY d.doc_id, len(d.t)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // PII injection derived from (source, doc_id) exactly as in the
     // Spark query; md5 of the redacted text proves byte parity
     "text_pii_redact" ->
@@ -1061,14 +1173,26 @@ object SparkEntry {
         |  FROM documents),
         |h AS (
         |  SELECT doc_id, n_chars,
-        |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#\[\]]+)', 1)) AS host
+        |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#\[\]]+)', 1)) AS host
         |  FROM u),
         |d AS (
         |  SELECT doc_id, n_chars, host,
         |    regexp_matches(host, '^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$') AS is_ip,
         |    CASE
         |      WHEN regexp_matches(host, '^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$') THEN host
-        |      WHEN regexp_matches(host, '(^|\.)(co\.uk|ac\.uk|gov\.uk|com\.au|co\.jp|com\.br)$')
+        |      WHEN regexp_matches(host, '(^|\.)(__EXC3__)$')
+        |        THEN CASE WHEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) = '' THEN host
+        |                  ELSE regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) END
+        |      WHEN regexp_matches(host, '(^|\.)(__EXC2__)$')
+        |        THEN CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
+        |                  ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END
+        |      WHEN regexp_matches(host, '\.(__WILD2__)$')
+        |        THEN CASE WHEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) = '' THEN host
+        |                  ELSE regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) END
+        |      WHEN regexp_matches(host, '\.(__WILD1__)$')
+        |        THEN CASE WHEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) = '' THEN host
+        |                  ELSE regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) END
+        |      WHEN regexp_matches(host, '(^|\.)(__MULTI__)$')
         |        THEN CASE WHEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) = '' THEN host
         |                  ELSE regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) END
         |      ELSE CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
@@ -1085,7 +1209,15 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN rk <= 3 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
         |  CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS first_kept_doc
-        |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
+        |FROM r GROUP BY domain ORDER BY domain""".stripMargin
+        // the PSL rule alternations are BUILT from the same lists the
+        // Spark expression compiles (UrlFunctions.SqlAlts) — the two
+        // engines cannot drift on the rule table
+        .replace("__EXC3__", graft.text.UrlFunctions.SqlAlts.exc3)
+        .replace("__EXC2__", graft.text.UrlFunctions.SqlAlts.exc2)
+        .replace("__WILD2__", graft.text.UrlFunctions.SqlAlts.wild2)
+        .replace("__WILD1__", graft.text.UrlFunctions.SqlAlts.wild1)
+        .replace("__MULTI__", graft.text.UrlFunctions.SqlAlts.multi),
 
     // URL-canonicalization dedup: six cosmetic variants per page —
     // five must collapse (case, default port, tracking params,
@@ -1107,27 +1239,31 @@ object SparkEntry {
         |c AS (
         |  SELECT doc_id,
         |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#\[\]]+)', 1)) AS host,
-        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#\[\]]+:([0-9]+)', 1) AS port,
+        |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#\[\]]+)', 1)) AS host,
+        |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?[^/:?#\[\]]+:([0-9]+)', 1),
+        |      '^0+', '', 'g') AS port,
+        |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([/?#].*)$', 1),
+        |      '#.*$', '', 'g') AS nofrag
+        |  FROM u),
+        |pq AS (
+        |  SELECT doc_id, scheme, host, port,
+        |    regexp_extract(nofrag, '^([^?]*)', 1) AS path,
         |    regexp_replace(
         |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(
-        |            regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([/?#].*)$', 1),
-        |              '#.*$', '', 'g'),
-        |            '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
-        |          '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&', '?', 'g'),
-        |        '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*$', '', 'g'),
-        |      '/$', '', 'g') AS rest
-        |  FROM u),
+        |        regexp_replace(regexp_extract(nofrag, '^[^?]*(\?.*)$', 1),
+        |          '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
+        |        '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&', '?', 'g'),
+        |      '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*$', '', 'g') AS qc
+        |  FROM c),
         |canon AS (
         |  SELECT doc_id,
         |    CASE WHEN host = '' THEN ''
         |         ELSE scheme || '://' || host ||
         |           CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
         |                                      OR (scheme = 'https' AND port = '443'))
-        |                THEN ':' || port ELSE '' END || rest END AS canonical
-        |  FROM c)
+        |                THEN ':' || port ELSE '' END ||
+        |           regexp_replace(path || qc, '/$', '', 'g') END AS canonical
+        |  FROM pq)
         |SELECT canonical, count(*) AS n_urls,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
         |FROM canon WHERE canonical <> ''

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL (round 9): [[decodeImageStats]] decodes
   * actual encoded bytes via the JDK's ImageIO (PNG/JPEG/BMP/GIF) and
-  * extracts exact integer pixel statistics. Only the codecs the JDK
-  * does not ship (audio, video) keep the clearly-marked deterministic
+  * extracts exact integer pixel statistics. AUDIO decode is REAL
+  * (round 10): [[decodeAudioStats]] decodes WAV/AIFF/AU PCM via the
+  * JDK's javax.sound.sampled. Only VIDEO — the one codec class with
+  * no JDK decoder — keeps the clearly-marked deterministic
   * byte-histogram STUB in [[decodeAndFeaturize]]. Everything
   * Spark-side is identical between the two paths and load-bearing at
   * scale: the schema, the binary column lifecycle, the batch-at-a-time
@@ -224,12 +226,215 @@ object Multimodal {
     }
   }
 
-  /** STUB decode for the codecs the JDK does NOT ship (audio, video):
-    * byte-histogram + moments standing in for a codec + feature
-    * extractor. Deterministic: same payload → same features. Image
-    * payloads have the REAL path above ([[decodeImageStats]]); replace
-    * this body with e.g. a JNI media lib without touching the Spark
-    * plumbing. */
+  /** Per-audio exact integer statistics from a REAL decode — the typed
+    * output of [[decodeAudioStats]]. Channel sums are sums of ABSOLUTE
+    * 16-bit amplitudes (exact longs), so the gate compares hash-exact
+    * against an arithmetic oracle with no float anywhere. */
+  case class AudioStats(
+      media_id: Long,
+      sample_rate: Long,
+      n_channels: Long,
+      n_frames: Long,
+      c0_abs_sum: Long,
+      c1_abs_sum: Long)
+
+  /** Deterministic 16-bit PCM test waveform: frame `i`, channel `ch`
+    * of clip `mediaId` is ((7·id + 13·i + 31·ch) mod 65536) − 32768 —
+    * pure integer arithmetic restatable in any SQL engine, the same
+    * trick that puts the PNG codec roundtrip under a hash-exact gate
+    * ([[pixelChannels]]). */
+  def waveSample(mediaId: Long, i: Long, ch: Int): Int =
+    ((mediaId * 7 + i * 13 + ch * 31L) % 65536 - 32768).toInt
+
+  /** Encode the deterministic waveform as REAL WAV bytes via the JDK's
+    * javax.sound.sampled (ships in every Java SE — WAV/AIFF/AU PCM
+    * need no external codec). 16-bit signed little-endian PCM is
+    * lossless, so a decode must reproduce [[waveSample]] bit-exactly. */
+  def encodeWav(mediaId: Long, nFrames: Int, sampleRate: Int, channels: Int = 2): Array[Byte] = {
+    val raw = new Array[Byte](nFrames * channels * 2)
+    var i = 0; var off = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val s = waveSample(mediaId, i, c)
+        raw(off) = (s & 0xff).toByte
+        raw(off + 1) = ((s >> 8) & 0xff).toByte
+        off += 2; c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, channels,
+      /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream(raw.length + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode + feature extraction (round 10 — closes the
+    * "JDK lacks audio" half of the old stub claim, which was wrong:
+    * AudioSystem decodes PCM containers out of the box). Sniffs the
+    * container from the bytes, decodes the PCM stream, and extracts
+    * exact integer stats: frame count, declared rate/channels, and the
+    * per-channel sum of absolute 16-bit amplitudes (channels beyond
+    * the second fold into nothing — the corpus is mono/stereo, and a
+    * production swap widens the struct, not the plumbing).
+    *
+    * Same partition-preserving contract as [[decodeImageStats]]: no
+    * shuffle, and an undecodable / NULL / non-16-bit-PCM payload
+    * degrades to a zero-stats row instead of killing the stage. */
+  def decodeAudioStats(media: Dataset[(Long, Array[Byte])]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { case (id, payload) =>
+        val st =
+          try {
+            if (payload == null || payload.length == 0) null
+            else {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try {
+                val f = ais.getFormat
+                if (f.getSampleSizeInBits != 16 ||
+                    f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
+                else {
+                  val bytes = ais.readAllBytes()
+                  val ch = f.getChannels
+                  val be = f.isBigEndian
+                  val frames = bytes.length / (2 * ch)
+                  var c0 = 0L; var c1 = 0L
+                  var i = 0
+                  while (i < frames) {
+                    var c = 0
+                    while (c < ch) {
+                      val off = (i * ch + c) * 2
+                      val s =
+                        if (be) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+                        else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+                      val a = math.abs(s.toLong)
+                      if (c == 0) c0 += a else if (c == 1) c1 += a
+                      c += 1
+                    }
+                    i += 1
+                  }
+                  AudioStats(id, f.getSampleRate.toLong, ch.toLong, frames.toLong, c0, c1)
+                }
+              } finally ais.close()
+            }
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (st == null) AudioStats(id, 0L, 0L, 0L, 0L, 0L) else st
+      }
+    }
+  }
+
+  /** Deterministic RGB pixel for the PERCEPTUAL-HASH gate corpus. The
+    * decode gate's linear grid ([[pixelChannels]]) is unusable here:
+    * its per-step luma delta along a row is under one mod-256 wrap for
+    * every gate image size, so luma rises monotonically and every
+    * image would hash to (near) dHash zero — one degenerate LSH bucket
+    * for the whole corpus. The `x·y` cross term makes the row slope
+    * (73+29y etc.) wrap several times between dHash samples, so
+    * distinct images get near-uniform 64-bit hashes; the `id mod
+    * <prime>` salts break the (dims × mod-256) periodicity that would
+    * otherwise repeat rasters every 3072 ids and turn exact-dup
+    * classes quadratic at scale. Still pure integer arithmetic — the
+    * oracle enumerates it verbatim. */
+  def phashPixelChannels(mediaId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((mediaId * 7 + 73L * x + 151L * y + 29L * x * y + mediaId % 997) % 256).toInt,
+    ((mediaId * 11 + 97L * x + 131L * y + 41L * x * y + mediaId % 991) % 256).toInt,
+    ((mediaId * 13 + 59L * x + 173L * y + 37L * x * y + mediaId % 983) % 256).toInt)
+
+  /** Encode an arbitrary deterministic pixel function as real PNG
+    * bytes (generalizes [[encodePng]], which keeps its own body — it
+    * gates multimodal_decode and stays untouched). */
+  def encodePngPixels(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(x, y)
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val out = new java.io.ByteArrayOutputStream(w * h / 2)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded raster — the standard
+    * perceptual fingerprint an image near-dup pass keys on: sample a
+    * 9×8 luma grid on [[resizeNearest]]'s exact integer coordinates
+    * (sample (gx,gy) reads source pixel (gx·w div 9, gy·h div 8)) and
+    * set bit gy·8+gx iff luma(gx,gy) > luma(gx+1,gy). Integer luma
+    * 299r+587g+114b (no divide — comparisons are scale-free), so the
+    * whole hash restates arithmetically in the oracle. Scale-invariant
+    * by construction: an upscaled re-encode samples the same source
+    * pixels (floor(floor(k·a)/k) = floor(a)), so true re-encodes
+    * collide at hamming 0 and near-variants land within a few bits. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val lum = new Array[Long](9 * 8)
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 9) {
+        val p = img.getRGB(gx * w / 9, sy)
+        lum(gy * 9 + gx) =
+          299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (lum(gy * 9 + gx) > lum(gy * 9 + gx + 1)) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Decode + [[dHash64]] in one partition-preserving stage:
+    * (media_id, phash) per DECODABLE image. Unlike the stats stages,
+    * an undecodable payload is DROPPED rather than zero-filled — a
+    * sentinel hash would put every corrupt file in one fake near-dup
+    * class, which is worse than excluding it from dedup (the standard
+    * posture: corrupt media is quarantined by the stats pass, not
+    * clustered). */
+  def decodeImagePhash(media: Dataset[(Long, Array[Byte])]): Dataset[(Long, Long)] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { case (id, payload) =>
+        val img =
+          if (payload == null || payload.length == 0) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) None else Some((id, dHash64(img)))
+      }
+    }
+  }
+
+  /** STUB decode for the one codec class the JDK does NOT ship
+    * (video — image is real via [[decodeImageStats]], audio via
+    * [[decodeAudioStats]]): byte-histogram + moments standing in for a
+    * codec + feature extractor. Deterministic: same payload → same
+    * features. Replace this body with e.g. a JNI media lib without
+    * touching the Spark plumbing. */
   def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

@@ -116,6 +116,91 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** Exact duplicated-substring REMOVAL (round 10 — the rewrite, where
+    * [[dedupSubstring]] only measures): Lee et al.'s ExactSubstr dedup
+    * ("Deduplicating Training Data Makes Language Models Better" '21)
+    * drops every duplicated span from all but its first occurrence.
+    * Token contract: a token is removed iff it lies inside some
+    * K=20-token window whose content occurs elsewhere in the corpus
+    * (any document, the same document included) at an earlier
+    * (doc_id, position); the FIRST occurrence of each duplicated span
+    * survives, so one copy of every byte remains — the property that
+    * separates span REMOVAL from naive span deletion. Overlapping and
+    * adjacent removal windows union into merged intervals (pinned with
+    * edge cases by CurationSpec). Output is the rewritten document:
+    * exact md5 + counts, the text_pii_redact byte-parity posture.
+    *
+    * The corpus plants both duplication shapes: a tail-truncated copy
+    * (+1e6, doc_id % 5 == 0 — cross-doc spans, the original is first
+    * and survives intact while the copy's overlap is erased) and an
+    * intra-doc repeat (doc_id % 7 == 0 appends its own first 25
+    * tokens — the head survives, the appended block is erased).
+    *
+    * Scale (dedup-family rule): span digests are xxhash64 over token
+    * slices — the frequency aggregate and the keep-first argmin shuffle
+    * 16-24 bytes per window; removal starts regroup as (doc_id, int)
+    * pairs; document TEXT crosses an exchange exactly once, at the
+    * rewrite join that co-partitions token arrays with their removal
+    * intervals (same price as text_line_dedup's rewrite regroup — it
+    * IS the output). The interval merge and token filter are per-row
+    * array work bounded by the doc's own length. Nothing is pairwise
+    * anywhere: cost stays O(total tokens) at any corpus size. */
+  def dedupSubstringRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 20
+    val t0 = Tables.widened(Tables.documents(spark, dir))
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", TextFunctions.wsTokens($"text").as("t"))
+    val inj = t0.select($"doc_id",
+      when($"doc_id" % 7 === 0 && size($"t") >= 25, concat($"t", slice($"t", 1, 25)))
+        .otherwise($"t").as("t"))
+    val copies = inj.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        slice($"t", lit(10), greatest(size($"t") - 9, lit(0))).as("t"))
+    val docs = inj.union(copies).filter(size($"t") >= 1)
+
+    val spans = docs.filter(size($"t") >= K)
+      .select($"doc_id", $"t", explode(sequence(lit(1), size($"t") - (K - 1))).as("i"))
+      .select($"doc_id", $"i", xxhash64(slice($"t", $"i", lit(K))).as("span"))
+
+    // keep-first: one partial aggregate finds each span's multiplicity
+    // AND its first occurrence (lexicographic min over (doc_id, i)) —
+    // no window function, no second pass over the corpus
+    val freq = spans.groupBy($"span")
+      .agg(count(lit(1)).as("n_occ"), min(struct($"doc_id", $"i")).as("first"))
+      .filter($"n_occ" >= 2)
+
+    val removalStarts = spans.join(freq, "span")
+      .filter(!($"doc_id" === $"first.doc_id" && $"i" === $"first.i"))
+      .groupBy($"doc_id").agg(sort_array(collect_list($"i")).as("starts"))
+
+    docs.join(removalStarts, Seq("doc_id"), "left")
+      .select($"doc_id", $"t",
+        coalesce($"starts", array().cast("array<int>")).as("starts"))
+      // sorted starts fold into disjoint merged intervals: window
+      // [s, s+19] extends the last interval when it overlaps or is
+      // adjacent (s <= hi+1), else opens a new one — the hi bound is
+      // monotone because starts are ascending
+      .withColumn("iv", expr(s"""
+        aggregate(starts, CAST(array() AS array<struct<lo:int,hi:int>>),
+          (acc, s) -> CASE WHEN size(acc) > 0 AND s <= element_at(acc, -1).hi + 1
+            THEN concat(slice(acc, 1, size(acc) - 1),
+              array(named_struct('lo', element_at(acc, -1).lo,
+                'hi', greatest(element_at(acc, -1).hi, s + ${K - 1}))))
+            ELSE concat(acc, array(named_struct('lo', s, 'hi', s + ${K - 1}))) END)"""))
+      .withColumn("kept", expr(
+        """filter(zip_with(t, sequence(1, size(t)),
+          |  (tok, p) -> named_struct('tok', tok, 'p', p)),
+          |  x -> NOT exists(iv, r -> x.p >= r.lo AND x.p <= r.hi))""".stripMargin))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tok"),
+        (size($"t") - size($"kept")).cast("long").as("n_removed"),
+        length(concat_ws(" ", expr("transform(kept, x -> x.tok)")))
+          .cast("long").as("clean_chars"),
+        md5(concat_ws(" ", expr("transform(kept, x -> x.tok)"))).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus-level line dedup + boilerplate removal — the C4/Gopher
     * curation pass every crawl pipeline runs first (C4 drops lines
     * seen verbatim across pages and sub-3-word fragments; reference

@@ -90,6 +90,34 @@ object MultimodalQueries {
       .orderBy($"media_id")
   }
 
+  /** REAL audio-codec roundtrip under a hash-exact gate (round 10 —
+    * the audio twin of [[multimodalDecode]]): each document becomes a
+    * deterministic stereo 16-bit PCM clip, ENCODED to actual WAV bytes
+    * and DECODED back via the JDK's javax.sound.sampled, with exact
+    * integer stats (frame count, rate, per-channel sums of absolute
+    * amplitudes) extracted from the decoded stream. The DuckDB oracle
+    * never touches a codec — it enumerates the same waveform
+    * arithmetically — so a hash match proves the encode→decode→
+    * featurize path is bit-exact end to end.
+    *
+    * Scale: identical plan shape to the image gates — two partition-
+    * preserving mapPartitions stages over the scan, zero shuffles
+    * before the output ordering; at 100 TB the encode stage disappears
+    * (payloads come from storage) and the decode stage is unchanged. */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id".as("media_id"),
+        (pmod($"doc_id", lit(480)) + 32).cast("int").as("n"),
+        element_at(array(lit(8000), lit(16000), lit(44100)),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("rate"))
+      .as[(Long, Int, Int)]
+    val encoded = media.mapPartitions { rows =>
+      rows.map { case (id, n, rate) => (id, Multimodal.encodeWav(id, n, rate)) }
+    }
+    Multimodal.decodeAudioStats(encoded).toDF().orderBy($"media_id")
+  }
+
   private def mediaCorpus(spark: SparkSession, dir: String) = {
     import spark.implicits._
     Tables.documents(spark, dir).select(

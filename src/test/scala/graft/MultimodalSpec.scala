@@ -166,4 +166,92 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(got === Set((1L, 256, 192), (2L, 100, 50), (3L, 256, 256)))
   }
+
+  test("REAL WAV decode reproduces the waveform bit-exactly") {
+    import spark.implicits._
+    val clips = Seq((3L, 40, 8000), (7L, 33, 44100), (12L, 64, 16000))
+    val encoded = spark.createDataset(clips).repartition(2)
+      .map { case (id, n, rate) => (id, Multimodal.encodeWav(id, n, rate)) }
+    val got = Multimodal.decodeAudioStats(encoded)
+      .collect().map(s => s.media_id -> s).toMap
+    clips.foreach { case (id, n, rate) =>
+      var c0 = 0L; var c1 = 0L
+      for (i <- 0 until n) {
+        c0 += math.abs(Multimodal.waveSample(id, i.toLong, 0).toLong)
+        c1 += math.abs(Multimodal.waveSample(id, i.toLong, 1).toLong)
+      }
+      val s = got(id)
+      assert((s.sample_rate, s.n_channels, s.n_frames) === (rate.toLong, 2L, n.toLong),
+        s"clip $id header")
+      assert((s.c0_abs_sum, s.c1_abs_sum) === (c0, c1), s"clip $id channel sums")
+    }
+  }
+
+  test("undecodable / NULL / truncated / non-PCM audio degrades to zero-stats rows") {
+    import spark.implicits._
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val good = Multimodal.encodeWav(4L, 40, 8000)
+    // a WAV header whose declared data outruns the actual bytes — the
+    // classic truncated-upload corruption
+    val truncated = good.take(good.length / 2)
+    val rows = Seq((1L, junk), (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.emptyByteArray), (4L, good), (5L, truncated))
+    val got = Multimodal.decodeAudioStats(spark.createDataset(rows))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(got(1L).n_frames === 0L && got(2L).n_frames === 0L && got(3L).n_frames === 0L)
+    assert(got(4L).n_frames === 40L && got(4L).n_channels === 2L)
+    // truncated: either decodes fewer frames or degrades to zero —
+    // both are task-survival; what it must NOT do is throw
+    assert(got(5L).n_frames < 40L)
+  }
+
+  test("audio decode stage preserves partitioning (no shuffle in the plan)") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq((1L, Multimodal.encodeWav(1L, 16, 8000))))
+      .repartition(3)
+    def exchanges(plan: String): Int =
+      plan.toLowerCase.linesIterator.count(_.contains("exchange"))
+    assert(exchanges(Multimodal.decodeAudioStats(ds)
+        .queryExecution.executedPlan.toString) ===
+      exchanges(ds.queryExecution.executedPlan.toString),
+      "audio decode stage must not add a shuffle")
+  }
+
+  test("dHash64 over a real PNG roundtrip == the arithmetic sample grid; scale-invariant") {
+    // arithmetic truth, no codec: luma at sample (gx,gy) of the
+    // base-id pixel grid, bit gy*8+gx iff L(gx) > L(gx+1)
+    def truth(id: Long, w: Int, h: Int): Long = {
+      def luma(x: Int, y: Int): Long = {
+        val (r, g, b) = Multimodal.phashPixelChannels(id, x, y)
+        299L * r + 587L * g + 114L * b
+      }
+      var hash = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8) {
+        if (luma(gx * w / 9, gy * h / 8) > luma((gx + 1) * w / 9, gy * h / 8))
+          hash |= 1L << (gy * 8 + gx)
+      }
+      hash
+    }
+    val dims = Seq((3L, 17, 23), (4L, 63, 20), (9L, 16, 16))
+    dims.foreach { case (id, w, h) =>
+      val png = Multimodal.encodePngPixels(w, h,
+        (x, y) => Multimodal.phashPixelChannels(id, x, y))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(Multimodal.dHash64(img) === truth(id, w, h), s"image $id dHash")
+      // 2x nearest-neighbor upscale re-encode: floor(floor(2a)/2) =
+      // floor(a), so the sample grid reads the SAME source pixels and
+      // the hash must be IDENTICAL (the property the phash dedup's
+      // planted pairs rely on)
+      val up = Multimodal.encodePngPixels(w * 2, h * 2,
+        (x, y) => Multimodal.phashPixelChannels(id, x / 2, y / 2))
+      val upImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+      assert(Multimodal.dHash64(upImg) === truth(id, w, h), s"image $id upscaled dHash")
+    }
+    // the phash pixel grid must not be luma-monotone (the decode
+    // gate's LINEAR grid is, which would collapse every image to
+    // dHash~0 and one degenerate LSH bucket): distinct images hash
+    // far apart
+    val h1 = truth(3L, 17, 23); val h2 = truth(4L, 63, 20)
+    assert(java.lang.Long.bitCount(h1 ^ h2) > 10, "phash grid lacks entropy")
+  }
 }

@@ -28,6 +28,16 @@ class UrlSpec extends SparkSpec {
       "svn+ssh://code.example.io/repo" -> "code.example.io",
       "http://192.168.3.7/raw" -> "192.168.3.7",
       "https://cdn.xn--bcher-kva.com/x.png" -> "cdn.xn--bcher-kva.com",
+      // RFC 3986: userinfo ends at the LAST '@' of the authority — a
+      // crafted user@evil@real.com URL must yield the REAL host (the
+      // round-9 first-'@' form returned 'evil@real.com', which a
+      // blocklist anti-join on real.com never matched)
+      "https://a@b@src2.com/x" -> "src2.com",
+      "https://user:p@ss@deep.example.org:8443/q?x=1" -> "deep.example.org",
+      // an '@' in the path or query is NOT userinfo (authority ends at
+      // the first /, ? or #)
+      "https://site.com/p?email=a@b.com" -> "site.com",
+      "https://site.com/~user@host/page" -> "site.com",
       // out-of-scope shapes degrade to '' (documented), never garbage
       "http://[2001:db8::1]/x" -> "",
       "not a url at all" -> "",
@@ -47,7 +57,23 @@ class UrlSpec extends SparkSpec {
       "999.1.1.1" -> "1.1", // NOT an IP (octet > 255) -> label logic, like browsers
       "co.uk" -> "co.uk", // bare suffix: nothing registrable below it
       "localhost" -> "localhost", // single label
-      "example.com" -> "example.com")
+      "example.com" -> "example.com",
+      // PSL WILDCARD rules (*.ck): every label under the base is a
+      // public suffix, so the registrable domain keeps THREE labels
+      "foo.bar.ck" -> "foo.bar.ck",
+      "x.foo.bar.ck" -> "foo.bar.ck",
+      "foo.ck" -> "foo.ck", // host IS a public suffix under *.ck
+      "a.site.mm" -> "a.site.mm",
+      // PSL EXCEPTION rules (!www.ck): the named host is registrable
+      // despite the covering wildcard — exceptions beat wildcards
+      "www.ck" -> "www.ck",
+      "x.www.ck" -> "www.ck",
+      // multi-label wildcard base (*.kawasaki.jp) and its exception
+      "a.b.kawasaki.jp" -> "a.b.kawasaki.jp",
+      "b.kawasaki.jp" -> "b.kawasaki.jp", // public suffix itself
+      "city.kawasaki.jp" -> "city.kawasaki.jp", // !city.kawasaki.jp
+      "x.city.kawasaki.jp" -> "city.kawasaki.jp",
+      "kawasaki.jp" -> "kawasaki.jp") // no rule matches -> default *
     val got = cases.map(_._1).toDF("host")
       .select($"host", UrlFunctions.registrableDomain($"host").as("d"))
       .as[(String, String)].collect().toMap
@@ -98,8 +124,15 @@ class UrlSpec extends SparkSpec {
       "http://example.com:80/a" -> "http://example.com/a",
       "http://example.com:443/a" -> "http://example.com:443/a",
       "https://example.com:8443/a" -> "https://example.com:8443/a",
-      // userinfo dropped
+      // ports compare and emit NUMERICALLY: zero-padded default ports
+      // strip, zero-padded non-defaults collapse with their plain form
+      "https://example.com:0443/a" -> "https://example.com/a",
+      "http://example.com:00080/a" -> "http://example.com/a",
+      "http://example.com:0443/a" -> "http://example.com:443/a",
+      "https://example.com:0/a" -> "https://example.com/a", // degenerate :0 = no port
+      // userinfo dropped — including multi-'@' userinfo
       "https://user:pw@example.com/a" -> "https://example.com/a",
+      "https://a@b@example.com/a" -> "https://example.com/a",
       // fragment dropped
       "https://example.com/a#section-2" -> "https://example.com/a",
       // tracking params: leading, middle, lone, several; separators repaired
@@ -108,6 +141,14 @@ class UrlSpec extends SparkSpec {
       "https://example.com/a?utm_source=x" -> "https://example.com/a",
       "https://example.com/a?utm_a=1&utm_b=2&fbclid=z&id=7" -> "https://example.com/a?id=7",
       "https://example.com/a?gclid=9" -> "https://example.com/a",
+      // tracking-param removal sees the QUERY STRING only: a path
+      // segment shaped like '&utm_x=...' (no '?' anywhere) names a
+      // different resource and must survive byte-for-byte (the
+      // round-9 form deleted it and over-merged two distinct pages)
+      "https://example.com/a&utm_source=x" -> "https://example.com/a&utm_source=x",
+      "https://example.com/a&gclid=1/b?id=2" -> "https://example.com/a&gclid=1/b?id=2",
+      // ...but the same shape AFTER the '?' is a real tracking param
+      "https://example.com/a?id=2&utm_source=x" -> "https://example.com/a?id=2",
       // non-tracking params preserved byte-for-byte (case included)
       "https://example.com/a?Q=Abc&z=2" -> "https://example.com/a?Q=Abc&z=2",
       // trailing slash stripped; root slash too (host-only form)
