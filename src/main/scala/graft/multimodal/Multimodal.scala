@@ -251,26 +251,41 @@ object Multimodal {
     * need no external codec). 16-bit signed little-endian PCM is
     * lossless, so a decode must reproduce [[waveSample]] bit-exactly. */
   def encodeWav(mediaId: Long, nFrames: Int, sampleRate: Int, channels: Int = 2): Array[Byte] = {
-    val raw = new Array[Byte](nFrames * channels * 2)
-    var i = 0; var off = 0
+    // canonical 44-byte RIFF/WAVE PCM header written directly (public
+    // spec) rather than through AudioSystem.write: the encoder is gate
+    // scaffolding (at scale payloads come from storage) and the
+    // stream/provider machinery cost more than the payload at millions
+    // of clips per task. The DECODER stays on javax.sound.sampled —
+    // which also validates this header on every gate row (the
+    // MultimodalSpec roundtrip would catch a malformed header).
+    val dataLen = nFrames * channels * 2
+    val b = new Array[Byte](44 + dataLen)
+    def w32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def w16(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { b(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); w32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16); w16(20, 1 /* PCM */); w16(22, channels)
+    w32(24, sampleRate); w32(28, sampleRate * channels * 2)
+    w16(32, channels * 2); w16(34, 16); tag(36, "data"); w32(40, dataLen)
+    var i = 0; var off = 44
     while (i < nFrames) {
       var c = 0
       while (c < channels) {
         val s = waveSample(mediaId, i, c)
-        raw(off) = (s & 0xff).toByte
-        raw(off + 1) = ((s >> 8) & 0xff).toByte
+        b(off) = (s & 0xff).toByte
+        b(off + 1) = ((s >> 8) & 0xff).toByte
         off += 2; c += 1
       }
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, channels,
-      /* signed = */ true, /* bigEndian = */ false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(raw), fmt, nFrames.toLong)
-    val out = new java.io.ByteArrayOutputStream(raw.length + 64)
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    b
   }
 
   /** REAL audio decode + feature extraction (round 10 — closes the
