@@ -479,7 +479,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents)
+        |  SELECT doc_id + 1000000000, text FROM documents)
         |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_copies
         |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
@@ -692,10 +692,10 @@ object SparkEntry {
         |  SELECT doc_id AS media_id, doc_id AS base, doc_id % 48 + 16 AS w,
         |         doc_id % 32 + 16 AS h, 1 AS sc, FALSE AS pert FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, doc_id, doc_id % 48 + 16,
+        |  SELECT doc_id + 1000000000, doc_id, doc_id % 48 + 16,
         |         doc_id % 32 + 16, 2, FALSE FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 2000000, doc_id, doc_id % 48 + 16,
+        |  SELECT doc_id + 2000000000, doc_id, doc_id % 48 + 16,
         |         doc_id % 32 + 16, 1, TRUE FROM documents WHERE doc_id % 5 = 0),
         |g AS (SELECT media_id, base, w*sc AS ww, h*sc AS hh, sc, pert,
         |        unnest(range(8)) AS gy FROM m),
@@ -743,7 +743,7 @@ object SparkEntry {
         |docs AS (
         |  SELECT doc_id, t FROM inj
         |  UNION ALL
-        |  SELECT doc_id + 1000000, list_slice(t, 10, len(t)) FROM inj
+        |  SELECT doc_id + 1000000000, list_slice(t, 10, len(t)) FROM inj
         |  WHERE doc_id % 5 = 0 AND len(list_slice(t, 10, len(t))) >= 1),
         |sp0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 18)) AS i
         |  FROM docs WHERE len(t) >= 20),
@@ -993,7 +993,7 @@ object SparkEntry {
         |    md5(lower(regexp_replace(trim(text || ' edited v2'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS digest_v2
         |  FROM documents),
         |batch AS (
-        |  SELECT doc_id + 2000000 AS batch_id, digest FROM norm WHERE doc_id % 3 = 0
+        |  SELECT doc_id + 2000000000 AS batch_id, digest FROM norm WHERE doc_id % 3 = 0
         |  UNION ALL
         |  SELECT doc_id + 3000000, digest_v2 FROM norm WHERE doc_id % 7 = 1),
         |kept AS (
@@ -1322,7 +1322,7 @@ object SparkEntry {
         |corpus AS (
         |  SELECT doc_id, t FROM toks
         |  UNION ALL
-        |  SELECT doc_id + 1000000, list_slice(t, 10, len(t)) FROM toks
+        |  SELECT doc_id + 1000000000, list_slice(t, 10, len(t)) FROM toks
         |  WHERE doc_id % 5 = 0),
         |c2 AS (SELECT * FROM corpus WHERE len(t) >= 20),
         |spans AS (
@@ -1333,7 +1333,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
         |  CAST(floor((20000 * sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) + count(*))
         |       / (2.0 * count(*))) AS BIGINT) AS dup_bp
-        |FROM spans s JOIN freq f USING (span) WHERE s.doc_id < 1000000
+        |FROM spans s JOIN freq f USING (span) WHERE s.doc_id < 1000000000
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     // split decided by the cluster REPRESENTATIVE's hash draw (min
@@ -1344,7 +1344,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT doc_id, lang, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, lang, text FROM documents),
+        |  SELECT doc_id + 1000000000, lang, text FROM documents),
         |dgs AS (
         |  SELECT doc_id, lang,
         |    md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS dg
@@ -1551,7 +1551,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000,
+        |  SELECT doc_id + 1000000000,
         |    CASE WHEN length(text) < 30 THEN text
         |      WHEN doc_id % 2 = 0
         |      THEN substr(text, 1, 10) || 'Q' || substr(text, 12, 11)

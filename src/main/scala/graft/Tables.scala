@@ -77,4 +77,29 @@ object Tables {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
+
+  /** Id offset for gate-corpus synthetic variants (planted copies,
+    * mutants, upscales). Round 10 found the old 1e6 offset COLLIDING
+    * with real doc_ids at sf100 (5M documents): a copy's doc_id+1e6
+    * equaled another original's id, silently merging two documents'
+    * state in every per-doc aggregate downstream — and crashing
+    * dedup_substring_rewrite outright (a foreign doc's removal
+    * intervals landed beyond the victim's token count). 1e9 covers
+    * every measured scale (sf100 = 5e6 docs; sf1000 would be 5e7);
+    * a 100 TB corpus can exceed 1e9 documents, at which point the
+    * offset becomes max(doc_id)+1 computed once up front — the
+    * expression shape is unchanged. */
+  val SynthIdOffset = 1000000000L
+
+  /** `id + k * SynthIdOffset`, failing LOUDLY if the real id is
+    * outside [0, SynthIdOffset) — a silent collision corrupts
+    * per-document state, the exact bug class the r10 sf100 run caught
+    * (same posture as docs_source_cap's pack-range guards; oracles
+    * omit the guard because it never fires on a valid corpus). */
+  def synthId(id: org.apache.spark.sql.Column, k: Int = 1): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(id.between(0L, SynthIdOffset - 1L), id + k * SynthIdOffset)
+      .otherwise(raise_error(concat(
+        lit(s"synthId: id outside [0, $SynthIdOffset): "), id.cast("string"))))
+  }
 }

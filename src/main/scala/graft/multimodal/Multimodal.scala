@@ -303,13 +303,44 @@ object Multimodal {
   def decodeAudioStats(media: Dataset[(Long, Array[Byte])]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      // per-PARTITION init (the slot the mapPartitions contract exists
+      // for): the AudioSystem facade re-resolves its provider list
+      // through a SYNCHRONIZED global lookup on EVERY
+      // getAudioInputStream call — 31.6 µs/clip single-threaded
+      // (AudioDiag), and a global lock that serializes all 32 executor
+      // threads under load (the sf100 cell read ~7 ms/clip/core before
+      // this). The same SPI readers AudioSystem consults are public
+      // API (javax.sound.sampled.spi.AudioFileReader, discovered via
+      // ServiceLoader); loading them once per partition keeps the
+      // decode on the real JDK codec with zero shared state. WAVE
+      // readers are tried first — each non-matching provider costs a
+      // thrown UnsupportedAudioFileException per clip.
+      val readers = {
+        val it = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+            classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
+          .iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[javax.sound.sampled.spi.AudioFileReader]()
+        while (it.hasNext) buf += it.next()
+        buf.sortBy(r => if (r.getClass.getSimpleName.startsWith("Wave")) 0 else 1).toArray
+      }
+      def sniff(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+        var i = 0
+        while (i < readers.length) {
+          try return readers(i).getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+          i += 1
+        }
+        null
+      }
       rows.map { case (id, payload) =>
         val st =
           try {
             if (payload == null || payload.length == 0) null
             else {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(payload))
+              val ais = sniff(payload)
+              if (ais == null) null
+              else
               try {
                 val f = ais.getFormat
                 if (f.getSampleSizeInBits != 16 ||

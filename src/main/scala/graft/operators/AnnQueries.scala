@@ -117,7 +117,7 @@ object AnnQueries {
     graft.functions.CosineSimilarity.ensureRegistered(spark)
     val base = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val perturbed = base.select(
-      ($"vec_id" + 1000000L).as("vec_id"),
+      graft.Tables.synthId($"vec_id").as("vec_id"),
       zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
         (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
     val corpus = base.union(perturbed)

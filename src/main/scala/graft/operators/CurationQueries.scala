@@ -78,7 +78,7 @@ object CurationQueries {
       .filter(length(trim($"text")) > 0)
       .select($"doc_id", TextFunctions.wsTokens($"text").as("t"))
     val copies = toks.filter($"doc_id" % 5 === 0)
-      .select(($"doc_id" + 1000000L).as("doc_id"),
+      .select(graft.Tables.synthId($"doc_id").as("doc_id"),
         slice($"t", lit(10), greatest(size($"t") - 9, lit(0))).as("t"))
     val corpus = toks.union(copies).filter(size($"t") >= K)
 
@@ -105,7 +105,7 @@ object CurationQueries {
     val freq = spans.groupBy($"span")
       .agg((min($"doc_id") =!= max($"doc_id")).as("dup"))
 
-    spans.filter($"doc_id" < 1000000L)
+    spans.filter($"doc_id" < graft.Tables.SynthIdOffset)
       .join(freq, "span")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"),
@@ -131,7 +131,7 @@ object CurationQueries {
     * exact md5 + counts, the text_pii_redact byte-parity posture.
     *
     * The corpus plants both duplication shapes: a tail-truncated copy
-    * (+1e6, doc_id % 5 == 0 — cross-doc spans, the original is first
+    * (+Tables.SynthIdOffset, doc_id % 5 == 0 — cross-doc spans, the original is first
     * and survives intact while the copy's overlap is erased) and an
     * intra-doc repeat (doc_id % 7 == 0 appends its own first 25
     * tokens — the head survives, the appended block is erased).
@@ -155,7 +155,7 @@ object CurationQueries {
       when($"doc_id" % 7 === 0 && size($"t") >= 25, concat($"t", slice($"t", 1, 25)))
         .otherwise($"t").as("t"))
     val copies = inj.filter($"doc_id" % 5 === 0)
-      .select(($"doc_id" + 1000000L).as("doc_id"),
+      .select(graft.Tables.synthId($"doc_id").as("doc_id"),
         slice($"t", lit(10), greatest(size($"t") - 9, lit(0))).as("t"))
     val docs = inj.union(copies).filter(size($"t") >= 1)
 
@@ -374,7 +374,7 @@ object CurationQueries {
     // pass regardless of consumer count.
     val digests = docs
       .withColumn("dg", TextFunctions.normalizedDigest($"text"))
-      .select(explode(array($"doc_id", $"doc_id" + 1000000L)).as("doc_id"),
+      .select(explode(array($"doc_id", graft.Tables.synthId($"doc_id"))).as("doc_id"),
         $"lang", $"dg")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize in a single-stage job BEFORE wiring up the two

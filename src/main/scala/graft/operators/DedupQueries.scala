@@ -79,7 +79,7 @@ object DedupQueries {
   private def doubledCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.widened(Tables.documents(spark, dir)).select($"doc_id", $"text")
-    docs.union(docs.select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+    docs.union(docs.select(graft.Tables.synthId($"doc_id").as("doc_id"), $"text"))
   }
 
   /** Exact dedup: group by content digest, keep the smallest doc_id.
@@ -504,7 +504,7 @@ object DedupQueries {
     val nseg = k + 1
 
     val docs = Tables.widened(Tables.documents(spark, dir)).select($"doc_id", $"text")
-    val mutated = docs.select(($"doc_id" + 1000000L).as("doc_id"),
+    val mutated = docs.select(graft.Tables.synthId($"doc_id").as("doc_id"),
       when(length($"text") < 30, $"text")
         .when($"doc_id" % 2 === 0,
           concat(substring($"text", 1, 10), lit("Q"),
@@ -686,7 +686,7 @@ object DedupQueries {
     val base = Tables.widened(Tables.embeddings(spark, dir)).select($"vec_id", $"embedding")
     // perturb: flip alternate dims by ±2% — cosine vs source ≈ 0.9996
     val perturbed = base.select(
-      ($"vec_id" + 1000000L).as("vec_id"),
+      graft.Tables.synthId($"vec_id").as("vec_id"),
       zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
         (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
     val corpus = base.union(perturbed)

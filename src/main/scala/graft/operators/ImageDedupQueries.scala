@@ -50,10 +50,10 @@ object ImageDedupQueries {
         (pmod($"doc_id", lit(32)) + 16).cast("int").as("h"))
     val variants = base.select($"doc_id".as("media_id"), $"doc_id".as("base"),
         $"w", $"h", lit(1).as("sc"), lit(false).as("pert"))
-      .unionAll(base.select(($"doc_id" + 1000000L).as("media_id"), $"doc_id".as("base"),
+      .unionAll(base.select(graft.Tables.synthId($"doc_id").as("media_id"), $"doc_id".as("base"),
         $"w", $"h", lit(2).as("sc"), lit(false).as("pert")))
       .unionAll(base.filter($"doc_id" % 5 === 0)
-        .select(($"doc_id" + 2000000L).as("media_id"), $"doc_id".as("base"),
+        .select(graft.Tables.synthId($"doc_id", 2).as("media_id"), $"doc_id".as("base"),
           $"w", $"h", lit(1).as("sc"), lit(true).as("pert")))
       .as[(Long, Long, Int, Int, Int, Boolean)]
     variants.mapPartitions { rows =>
@@ -93,12 +93,21 @@ object ImageDedupQueries {
           explode(Similarity.simhashBlockCombos($"phash", 5, MaxHamming)).as("bb"))
         .select($"media_id", $"phash", $"bb.band", $"bb.band_bits"),
       Seq("band", "band_bits"), 10000)
+    // each qualifying pair is emitted from its FIRST truly-agreeing
+    // combo only (derived from the phash XOR) instead of from all ~10
+    // shared bands followed by a distinct: the corpus-sized distinct
+    // exchange disappears and the candidate stream shrinks ~10x — the
+    // first sf100 attempt filled the disk exactly there. Pigeonhole
+    // still guarantees every hamming<=MaxHamming pair one agreeing
+    // combo, so the pair set is unchanged (ImageDedupSpec pins it
+    // equal to driver-side all-pairs).
     val pairs = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_bits" === $"b.band_bits" &&
           $"a.media_id" < $"b.media_id")
+      .filter($"a.band" === Similarity.firstAgreeingCombo(
+        $"a.phash".bitwiseXOR($"b.phash"), 5, MaxHamming))
       .select($"a.media_id".as("id_a"), $"b.media_id".as("id_b"),
         Similarity.hamming64($"a.phash", $"b.phash").cast("long").as("hamming"))
-      .distinct()
       .filter($"hamming" <= MaxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count() // materialize so the hash frame can release eagerly

@@ -117,7 +117,7 @@ object PipelineQueries {
     val tau = 0.99
     val base = Tables.widened(Tables.embeddings(spark, dir)).select($"vec_id", $"embedding")
     val eval = base.filter($"vec_id" % 20 === 0)
-    val planted = eval.select(($"vec_id" + 1000000L).as("vec_id"),
+    val planted = eval.select(graft.Tables.synthId($"vec_id").as("vec_id"),
       zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
         (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
     val corpus = base.filter($"vec_id" % 20 =!= 0).union(planted)
@@ -518,7 +518,7 @@ object PipelineQueries {
     val docs = Tables.widened(Tables.documents(spark, dir))
     val index = docs.select(digestOf($"text").as("digest"))
     val batch = docs.filter($"doc_id" % 3 === 0)
-      .select(($"doc_id" + 2000000L).as("batch_id"), digestOf($"text").as("digest"))
+      .select(graft.Tables.synthId($"doc_id", 2).as("batch_id"), digestOf($"text").as("digest"))
       .union(docs.filter($"doc_id" % 7 === 1)
         .select(($"doc_id" + 3000000L).as("batch_id"),
           digestOf(concat($"text", lit(" edited v2"))).as("digest")))

@@ -171,6 +171,31 @@ object Similarity {
     array(structs: _*)
   }
 
+  /** Index of the FIRST block combination (in [[simhashBlockCombos]]'s
+    * combo order) on which two signatures agree exactly — computed
+    * from their XOR, or -1 when none agrees. Lets a banded candidate
+    * join keep exactly ONE row per pair (`band === firstAgreeingCombo`)
+    * instead of deduplicating up to C(blocks, blocks-k) duplicates
+    * with a corpus-sized distinct exchange; also makes the pair set
+    * independent of band-KEY hash collisions (a collided key without
+    * true slice agreement is dropped here, and any within-radius pair
+    * has a truly-agreeing combo by pigeonhole, so nothing is lost). */
+  def firstAgreeingCombo(
+      xorCol: Column, blocks: Int, maxHamming: Int, bits: Int = 64): Column = {
+    require(blocks > maxHamming, "need more blocks than flipped bits")
+    val base = bits / blocks
+    val extra = bits % blocks
+    val widths = (0 until blocks).map(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq.zipWithIndex
+    combos.foldRight(lit(-1)) { case ((combo, ci), acc) =>
+      val agrees = combo.map(b =>
+        shiftright(xorCol, offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1)) === 0L)
+        .reduce(_ && _)
+      when(agrees, lit(ci)).otherwise(acc)
+    }
+  }
+
   /** Random-hyperplane signature for cosine LSH: bit i is the sign of
     * the dot product with a deterministic ±1 hyperplane derived from
     * xxhash64(plane, dim). Angle between vectors ∝ expected bit

@@ -109,7 +109,7 @@ object PinHarness {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val base = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
       val perturbed = base.select(
-        ($"vec_id" + 1000000L).as("vec_id"),
+        ($"vec_id" + 1000000000L).as("vec_id"),
         zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
           (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
       val corpus = base.union(perturbed)
@@ -178,7 +178,7 @@ object PinHarness {
         .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
         .map { case (v, e) => (v, e.toArray) }
       val corpus = base ++ base.map { case (v, e) =>
-        (v + 1000000L,
+        (v + 1000000000L,
           e.zipWithIndex.map { case (x, d) => if (d % 2 == 0) x * 1.02f else x * 0.98f })
       }
       def cos(a: Array[Float], b: Array[Float]): Double = {

@@ -78,7 +78,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val corpus = Tables.documents(spark, sf).select($"doc_id", length($"text").as("len"))
     // odd-doc_id mutants insert one char (net Δlen = +1); the round-4
     // equal-length blocking could never emit these pairs
-    val lens = corpus.union(corpus.select(($"doc_id" + 1000000L).as("doc_id"),
+    val lens = corpus.union(corpus.select(($"doc_id" + 1000000000L).as("doc_id"),
       when($"len" >= 30, $"len" + 1).otherwise($"len").as("len")))
     val joined = out
       .join(lens.select($"doc_id".as("id_a"), $"len".as("la")), "id_a")
@@ -87,7 +87,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(lenDiffering > 0, "no length-differing pair survived — indel blocking broken")
     // and every odd doc with len >= 30 must pair with its planted twin
     val expectedTwins = corpus.filter($"doc_id" % 2 === 1 && $"len" >= 30).count()
-    val foundTwins = out.filter($"id_b" === $"id_a" + 1000000L &&
+    val foundTwins = out.filter($"id_b" === $"id_a" + 1000000000L &&
       $"id_a" % 2 === 1).join(corpus.filter($"len" >= 30)
         .select($"doc_id".as("id_a")), "id_a").count()
     assert(foundTwins === expectedTwins,
@@ -111,8 +111,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
     // brute-force truth over the same corpus (docs under 30 chars gain
-    // a verbatim +1000000 twin, exactly what the query plants)
-    val corpus = docs ++ docs.map { case (id, t) => (id + 1000000L, t) }
+    // a verbatim +1e9 twin, exactly what the query plants)
+    val corpus = docs ++ docs.map { case (id, t) => (id + 1000000000L, t) }
     val want = (for {
       (ia, ta) <- corpus; (ib, tb) <- corpus
       if ia < ib
@@ -123,7 +123,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // sanity: short pairs the round-4/early-round-5 blocking missed
     assert(want.contains((1L, 2L, 1L)), "a~b substitution pair missing from truth")
     assert(want.contains((3L, 4L, 2L)), "ab~ba pair missing from truth")
-    assert(want.contains((7L, 1000007L, 0L)), "empty-doc twin missing from truth")
+    assert(want.contains((7L, 1000000007L, 0L)), "empty-doc twin missing from truth")
   }
 
   test("prefix-filtered jaccard join == brute force (sf0.001 documents)") {
@@ -227,7 +227,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // edges, same connected-components labeling
     val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
     val perturbed = base.select(
-      ($"vec_id" + 1000000L).as("vec_id"),
+      ($"vec_id" + 1000000000L).as("vec_id"),
       zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
         (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
     val corpus = base.union(perturbed)

@@ -22,7 +22,7 @@ class ImageDedupSpec extends SparkSpec {
     val docIds = Tables.documents(spark, sf).select($"doc_id")
       .as[Long].collect().toSet
     assert(docIds.nonEmpty)
-    val upscale = pairs.filter { case (a, b, _) => b == a + 1000000L && docIds(a) }
+    val upscale = pairs.filter { case (a, b, _) => b == a + 1000000000L && docIds(a) }
       .map { case (a, _, ham) => a -> ham }.toMap
     docIds.foreach { id =>
       assert(upscale.contains(id), s"missing upscale pair for image $id")
@@ -49,10 +49,10 @@ class ImageDedupSpec extends SparkSpec {
 
   test("retouched corner variants land within a few bits of their base") {
     val hm = hashes.toMap
-    val retouched = hm.keys.filter(_ >= 2000000L)
+    val retouched = hm.keys.filter(_ >= 2000000000L)
     assert(retouched.nonEmpty)
     retouched.foreach { rid =>
-      val base = rid - 2000000L
+      val base = rid - 2000000000L
       val ham = java.lang.Long.bitCount(hm(rid) ^ hm(base))
       // a 4x4 corner overlay moves at most the few luma samples that
       // fall inside it: small but usually nonzero hamming
@@ -61,7 +61,7 @@ class ImageDedupSpec extends SparkSpec {
     // ...and at least one retouch actually flips a bit somewhere, or
     // the perturbation isn't exercising anything
     assert(retouched.exists(rid =>
-      java.lang.Long.bitCount(hm(rid) ^ hm(rid - 2000000L)) > 0))
+      java.lang.Long.bitCount(hm(rid) ^ hm(rid - 2000000000L)) > 0))
   }
 
   test("phashes are near-uniform: the largest LSH bucket is nowhere near the cap") {

@@ -120,7 +120,7 @@ class MaintenanceSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", length($"text").as("len")).as[(Long, Int)].collect()
     docs.filter(_._2 >= 30).foreach { case (id, _) =>
-      val d = byPair.get((id, id + 1000000L))
+      val d = byPair.get((id, id + 1000000000L))
       assert(d.exists(_ <= 2), s"planted twin of doc $id must be found (dist <= 2)")
     }
   }

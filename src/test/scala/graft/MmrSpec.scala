@@ -62,8 +62,8 @@ class MmrSpec extends SparkSpec {
       val vids = rows.sortBy(_._2).map(_._3).toSeq
       assert(vids.size == vids.distinct.size, s"query $qid repeated a result")
       // the corpus doubles every vector with a cos≈0.9996 twin; MMR must
-      // not select both members of any (v, v+1000000) pair
-      val bases = vids.map(v => if (v >= 1000000L) v - 1000000L else v)
+      // not select both members of any (v, v+1e9) pair
+      val bases = vids.map(v => if (v >= 1000000000L) v - 1000000000L else v)
       assert(bases.size == bases.distinct.size,
         s"query $qid selected a near-duplicate pair: $vids")
     }

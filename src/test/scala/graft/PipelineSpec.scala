@@ -244,7 +244,7 @@ class PipelineSpec extends SparkSpec {
     // same corpus construction, brute-force all-pairs eval x corpus
     val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
     val ev = base.filter($"vec_id" % 20 === 0)
-    val planted = ev.select(($"vec_id" + 1000000L).as("vec_id"),
+    val planted = ev.select(($"vec_id" + 1000000000L).as("vec_id"),
       zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
         (x, d) => x * when(d % 2 === 0, lit(1.02f)).otherwise(lit(0.98f))).as("embedding"))
     val corpus = base.filter($"vec_id" % 20 =!= 0).union(planted)
