@@ -119,21 +119,26 @@ object Bench {
       try { Files.writeString(Paths.get(repoOut), line + "\n"); true }
       catch { case e: Exception =>
         Console.err.println(s"[bench] could not write $repoOut: ${e.getMessage}"); false }
-    val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},""" +
-      s""""nerrors":${errors.size},"queries_file":${if (wroteRepo) jq(repoOut) else "null"},"sf":${jq(sfDir)}}"""
-    println(summary)
     // The per-query map must also survive a TAIL-captured stdout: the
     // single canonical line is ~3k chars and the driver's capture
     // window front-truncated it two rounds running (BENCH_r09 carried
-    // 66 of 100 cells). So the map is re-emitted LAST, chunked ~25
-    // queries per self-describing JSON line — the tail keeps the
+    // 66 of 100 cells). So the map is re-emitted near the end, chunked
+    // ~25 queries per self-describing JSON line — the tail keeps the
     // final lines, and each chunk is independently parseable.
     val chunks = results.toSeq.grouped(25).toSeq
     chunks.zipWithIndex.foreach { case (c, i) =>
       val obj = c.map { case (k, v) => s"${jq(k)}:${fmt(v)}" }.mkString("{", ",", "}")
       println(s"""{"metric":"queries_chunk","part":${i + 1},"of":${chunks.size},"queries":$obj}""")
     }
+    // the compact totals line prints LAST, after the chunks: the r9
+    // ordering put it before them and the driver's tail window dropped
+    // it (BENCH_r10 carried chunks but no total) — the tail must keep
+    // BOTH, and totals-after-chunks is the only order that guarantees
+    // the total survives any truncation that keeps the final lines
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},""" +
+      s""""nerrors":${errors.size},"queries_file":${if (wroteRepo) jq(repoOut) else "null"},"sf":${jq(sfDir)}}"""
+    println(summary)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

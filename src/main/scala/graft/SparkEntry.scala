@@ -995,7 +995,7 @@ object SparkEntry {
         |batch AS (
         |  SELECT doc_id + 2000000000 AS batch_id, digest FROM norm WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id + 3000000, digest_v2 FROM norm WHERE doc_id % 7 = 1),
+        |  SELECT doc_id + 3000000000 AS batch_id, digest_v2 FROM norm WHERE doc_id % 7 = 1),
         |kept AS (
         |  SELECT b.batch_id, b.digest FROM batch b
         |  WHERE NOT EXISTS (SELECT 1 FROM norm n WHERE n.digest = b.digest))

@@ -407,18 +407,31 @@ object DedupQueries {
 
   /** SimHash near-dup pairs: 64-bit token simhash from codegen'd
     * per-bit sum aggregates over exploded token hashes, block-
-    * combination blocking (5 blocks choose 2, complete for hamming
-    * <= 3 — see Similarity.simhashBlockCombos for why 4×16-bit bands
-    * go quadratic in corpus size), exact hamming verify. blocks=5
-    * emits 10 rows/doc with 25–26-bit pair keys (block widths
-    * 13,13,13,13,12 → 6·2^26 + 4·2^25 ≈ 537M slots across the 10
-    * combos): buckets average ~2 occupants at 10^8 docs at half the
-    * row cost of C(6,3); past that, raise blocks to 6 (32-bit
-    * keys) — measured at sf10: bands 44.6M raw candidate pairs,
-    * C(5,2) 7.0M, C(6,3) 2.9M, all verifying to the same 97149 pair
-    * set. Produces the same signatures as Similarity.simhash64 (ties
-    * set the bit). */
+    * combination blocking (complete for hamming <= 3 at any
+    * blocks > 3 — see Similarity.simhashBlockCombos for why 4×16-bit
+    * bands go quadratic in corpus size), exact hamming verify. The
+    * width adapts to the corpus via the same footer-count probe as
+    * dedup_image_phash (Similarity.blocksForCodes): C(5,2) emits 10
+    * rows/doc with 25–26-bit pair keys (block widths 13,13,13,13,12 →
+    * 6·2^26 + 4·2^25 ≈ 537M slots across the 10 combos — buckets
+    * average ~2 occupants at 10^8 docs at half the row cost of
+    * C(6,3)), but the random key-COINCIDENCE pair count grows
+    * quadratically in corpus/2^keyBits, so past ~10^7 docs the probe
+    * switches to C(6,3) 31-33-bit triple keys — measured at sf10:
+    * bands 44.6M raw candidate pairs, C(5,2) 7.0M, C(6,3) 2.9M, all
+    * verifying to the same 97149 pair set. Produces the same
+    * signatures as Similarity.simhash64 (ties set the bit). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.io.GraftIO.footerRowCount(spark, s"$dir/documents.parquet")
+      .getOrElse(Long.MaxValue)
+    dedupSimhashBlocks(spark, dir, Similarity.blocksForCodes(docs))
+  }
+
+  /** [[dedupSimhash]] with the blocking width pinned (the spec runs
+    * both widths and pins pair-set equality, so the adaptive switch is
+    * provably result-invariant). */
+  private[graft] def dedupSimhashBlocks(
+      spark: SparkSession, dir: String, blocks: Int): DataFrame = {
     import spark.implicits._
     val maxHamming = 3
 
@@ -444,17 +457,23 @@ object DedupQueries {
 
     val buckets = Similarity.boundBuckets(
       sigs.select($"doc_id", $"sig",
-          explode(Similarity.simhashBlockCombos($"sig", 5, maxHamming)).as("bb"))
+          explode(Similarity.simhashBlockCombos($"sig", blocks, maxHamming)).as("bb"))
         .select($"doc_id", $"sig", $"bb.band", $"bb.band_bits"),
       Seq("band", "band_bits"), MaxBucket)
 
+    // comboAgrees kills band-key coincidences map-side before the
+    // dedup exchange (the same emission discipline as
+    // dedup_image_phash: aggregate over every truly-agreeing band so a
+    // pair survives boundBuckets dropping any one of its buckets)
     val pairs = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_bits" === $"b.band_bits" &&
           $"a.doc_id" < $"b.doc_id")
+      .filter(Similarity.comboAgrees(
+        $"a.sig".bitwiseXOR($"b.sig"), $"a.band", blocks, maxHamming))
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
         Similarity.hamming64($"a.sig", $"b.sig").cast("long").as("hamming"))
-      .distinct()
       .filter($"hamming" <= maxHamming)
+      .groupBy($"id_a", $"id_b").agg(min($"hamming").as("hamming"))
       // materialized + persisted so sigs can be released eagerly (the
       // returned frame is PERSISTED — long-lived sessions should
       // unpersist once consumed, as with ConnectedComponents.label)

@@ -68,19 +68,44 @@ object ImageDedupQueries {
     }
   }
 
+  /** Blocking width for this corpus, derived from a parquet-footer
+    * row-count probe (metadata-only, zero jobs — the pagerankKeyType
+    * posture): the encoded corpus is ~2.2 codes per document (base +
+    * upscale + every-5th retouch), and
+    * [[Similarity.blocksForCodes]] switches C(5,2) → C(6,3) near 10^7
+    * codes, where the r10 sf100 decade measured the quadratic C(5,2)
+    * key-coincidence term. An unreadable layout probes as
+    * Long.MaxValue: at unknown scale the wide keys are the safe
+    * default (their only cost is 2x candidate rows). */
+  private[graft] def blocksFor(spark: SparkSession, dir: String): Int = {
+    val docs = graft.io.GraftIO.footerRowCount(spark, s"$dir/documents.parquet")
+      .getOrElse(Long.MaxValue)
+    Similarity.blocksForCodes(if (docs > Long.MaxValue / 3) Long.MaxValue else docs * 11 / 5)
+  }
+
   /** Near-dup image pairs: REAL decode → dHash → banded candidate join
     * → exact hamming verify.
     *
     * Scale: the decode+hash stage is partition-preserving map work
     * (per-image cost independent of corpus size); after it the corpus
     * is 16 bytes/image (id, phash) — raster bytes never cross a
-    * shuffle. Blocking emits C(5,2)=10 rows per image keyed on 25-26
-    * bit combo hashes (near-singleton buckets to ~10^8 images, the
-    * dedup_simhash sizing argument verbatim), bucket caps bound any
-    * degenerate key, and only candidates pay the (codegen bit_count)
-    * verify. Pairs are linear in the planted-dup rate, never
-    * quadratic in the corpus. */
-  def dedupImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    * shuffle. Blocking emits C(blocks, blocks-3) rows per image with
+    * the key width chosen from a corpus-count probe ([[blocksFor]]:
+    * C(5,2) 25-26-bit keys below ~10^7 codes, C(6,3) 31-33-bit keys
+    * above — the fixed C(5,2) width was the board's one measured
+    * scale-killer, a 21.2x sf100 decade from quadratic key
+    * coincidences), bucket caps bound any degenerate key, and only
+    * candidates pay the (codegen bit_count) verify. Pairs are linear
+    * in the planted-dup rate, never quadratic in the corpus. */
+  def dedupImagePhash(spark: SparkSession, dir: String): DataFrame =
+    dedupImagePhashBlocks(spark, dir, blocksFor(spark, dir))
+
+  /** [[dedupImagePhash]] with the blocking width pinned — the gate
+    * entry derives it from the corpus probe; ImageDedupSpec runs BOTH
+    * widths and pins pair-set equality (completeness does not depend
+    * on the width, so the adaptive switch can never change results). */
+  private[graft] def dedupImagePhashBlocks(
+      spark: SparkSession, dir: String, blocks: Int): DataFrame = {
     import spark.implicits._
     val hashes = Multimodal.decodeImagePhash(encodedCorpus(spark, dir))
       .toDF("media_id", "phash")
@@ -90,25 +115,28 @@ object ImageDedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = Similarity.boundBuckets(
       hashes.select($"media_id", $"phash",
-          explode(Similarity.simhashBlockCombos($"phash", 5, MaxHamming)).as("bb"))
+          explode(Similarity.simhashBlockCombos($"phash", blocks, MaxHamming)).as("bb"))
         .select($"media_id", $"phash", $"bb.band", $"bb.band_bits"),
       Seq("band", "band_bits"), 10000)
-    // each qualifying pair is emitted from its FIRST truly-agreeing
-    // combo only (derived from the phash XOR) instead of from all ~10
-    // shared bands followed by a distinct: the corpus-sized distinct
-    // exchange disappears and the candidate stream shrinks ~10x — the
-    // first sf100 attempt filled the disk exactly there. Pigeonhole
-    // still guarantees every hamming<=MaxHamming pair one agreeing
-    // combo, so the pair set is unchanged (ImageDedupSpec pins it
-    // equal to driver-side all-pairs).
+    // candidate rows whose band key collided WITHOUT true slice
+    // agreement die in the comboAgrees filter (map-side, before any
+    // exchange — this is what killed the corpus-sized distinct that
+    // filled the disk on the first sf100 attempt); the survivors are
+    // <= C(blocks, blocks-k) rows per TRUE pair, deduplicated by a
+    // partial-agg min. Aggregating over every truly-agreeing band —
+    // rather than keeping only the FIRST agreeing combo — keeps a pair
+    // alive when boundBuckets drops the bucket its first combo landed
+    // in but another agreeing band survives (the r10 first-combo
+    // filter silently lost exactly those pairs).
     val pairs = buckets.as("a").join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.band_bits" === $"b.band_bits" &&
           $"a.media_id" < $"b.media_id")
-      .filter($"a.band" === Similarity.firstAgreeingCombo(
-        $"a.phash".bitwiseXOR($"b.phash"), 5, MaxHamming))
+      .filter(Similarity.comboAgrees(
+        $"a.phash".bitwiseXOR($"b.phash"), $"a.band", blocks, MaxHamming))
       .select($"a.media_id".as("id_a"), $"b.media_id".as("id_b"),
         Similarity.hamming64($"a.phash", $"b.phash").cast("long").as("hamming"))
       .filter($"hamming" <= MaxHamming)
+      .groupBy($"id_a", $"id_b").agg(min($"hamming").as("hamming"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count() // materialize so the hash frame can release eagerly
     hashes.unpersist()

@@ -520,7 +520,7 @@ object PipelineQueries {
     val batch = docs.filter($"doc_id" % 3 === 0)
       .select(graft.Tables.synthId($"doc_id", 2).as("batch_id"), digestOf($"text").as("digest"))
       .union(docs.filter($"doc_id" % 7 === 1)
-        .select(($"doc_id" + 3000000L).as("batch_id"),
+        .select(graft.Tables.synthId($"doc_id", 3).as("batch_id"),
           digestOf(concat($"text", lit(" edited v2"))).as("digest")))
     batch
       .join(index, Seq("digest"), "left_anti")

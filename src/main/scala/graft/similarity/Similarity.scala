@@ -171,28 +171,48 @@ object Similarity {
     array(structs: _*)
   }
 
-  /** Index of the FIRST block combination (in [[simhashBlockCombos]]'s
-    * combo order) on which two signatures agree exactly — computed
-    * from their XOR, or -1 when none agrees. Lets a banded candidate
-    * join keep exactly ONE row per pair (`band === firstAgreeingCombo`)
-    * instead of deduplicating up to C(blocks, blocks-k) duplicates
-    * with a corpus-sized distinct exchange; also makes the pair set
-    * independent of band-KEY hash collisions (a collided key without
-    * true slice agreement is dropped here, and any within-radius pair
-    * has a truly-agreeing combo by pigeonhole, so nothing is lost). */
-  def firstAgreeingCombo(
-      xorCol: Column, blocks: Int, maxHamming: Int, bits: Int = 64): Column = {
+  /** Number of signature blocks for block-combination blocking, sized
+    * to the corpus: C(5,2) 25-26-bit combo keys stay near-singleton to
+    * ~10^7 codes at half the per-doc row cost of C(6,3); past that the
+    * random key-COINCIDENCE term (pairs sharing a combo key without
+    * being near-dups) grows quadratically in corpus/2^keyBits — the
+    * r10 sf100 decade measured dedup_image_phash at 21.2x for 10x data
+    * exactly there — so bigger corpora switch to C(6,3) 31-33-bit
+    * triple keys (near-singleton to ~2^32 codes, 20 rows/doc).
+    * Completeness for hamming <= 3 is independent of the choice
+    * (blocks > maxHamming either way), so the PAIR SET is identical —
+    * only the candidate-join volume changes. Callers derive `estCodes`
+    * from a parquet footer row-count probe (the pagerankKeyType
+    * posture: metadata-only, zero jobs; an unreadable layout should
+    * pass Long.MaxValue so the probe failure picks the scale-safe
+    * width). */
+  def blocksForCodes(estCodes: Long): Int =
+    if (estCodes < 10000000L) 5 else 6
+
+  /** Whether combo #`band` (in [[simhashBlockCombos]]'s combo order)
+    * TRULY agrees between two signatures, from their XOR — the
+    * candidate-join filter that drops band-key hash coincidences
+    * map-side. Unlike keeping only `band === firstAgreeingCombo`,
+    * keeping EVERY truly-agreeing row and aggregating per pair stays
+    * correct when [[boundBuckets]] drops a hot bucket: a pair whose
+    * first-agreeing combo landed in a dropped bucket still surfaces
+    * from any surviving agreeing band (the r10 first-combo-only filter
+    * silently lost such pairs — gate corpora were safe only because
+    * ImageDedupSpec pins max bucket far below the cap). */
+  def comboAgrees(
+      xorCol: Column, band: Column, blocks: Int, maxHamming: Int,
+      bits: Int = 64): Column = {
     require(blocks > maxHamming, "need more blocks than flipped bits")
     val base = bits / blocks
     val extra = bits % blocks
     val widths = (0 until blocks).map(i => base + (if (i < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq.zipWithIndex
-    combos.foldRight(lit(-1)) { case ((combo, ci), acc) =>
+    combos.foldRight(lit(false)) { case ((combo, ci), acc) =>
       val agrees = combo.map(b =>
         shiftright(xorCol, offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1)) === 0L)
         .reduce(_ && _)
-      when(agrees, lit(ci)).otherwise(acc)
+      when(band === ci, agrees).otherwise(acc)
     }
   }
 

@@ -155,7 +155,11 @@ object BenchControlled {
       val proc = pb.start()
       // a wedged query must not wedge the whole protocol
       val finished = proc.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
-      if (!finished) { proc.destroyForcibly(); anyError = true }
+      // destroyForcibly is ASYNCHRONOUS: exitValue() on a
+      // not-yet-reaped child throws IllegalThreadStateException and
+      // would kill the whole controlled run over one wedged family —
+      // wait for the kill to complete before reading the exit status
+      if (!finished) { proc.destroyForcibly(); proc.waitFor(); anyError = true }
       val famSec = (System.nanoTime() - t0) / 1e9
       val got =
         if (Files.exists(Paths.get(outFile))) parseCells(Files.readString(Paths.get(outFile)))

@@ -218,6 +218,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty, "corpus should contain simhash near-dups")
   }
 
+  test("simhash C(5,2) and C(6,3) CODE PATHS yield identical pair sets") {
+    import spark.implicits._
+    // the adaptive width switch (Similarity.blocksForCodes over the
+    // footer-count probe) must be result-invariant on the full
+    // operator — both widths are pigeonhole-complete for hamming<=3
+    val p5 = DedupQueries.dedupSimhashBlocks(spark, sf, 5)
+      .select($"id_a", $"id_b", $"hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val p6 = DedupQueries.dedupSimhashBlocks(spark, sf, 6)
+      .select($"id_a", $"id_b", $"hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(p5 === p6)
+    assert(p5.nonEmpty)
+  }
+
   test("embedding-cosine clusters match brute-force cosine clustering (sf0.001)") {
     import spark.implicits._
     val got = DedupQueries.dedupEmbeddingCosine(spark, sf)

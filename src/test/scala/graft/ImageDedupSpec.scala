@@ -47,6 +47,22 @@ class ImageDedupSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("C(5,2) and C(6,3) CODE PATHS yield identical pair sets (adaptive switch is result-invariant)") {
+    // blocksFor picks the width from a corpus-count probe; both widths
+    // are complete for hamming<=3, so the switch may change candidate
+    // volume but NEVER the answer — pinned on the full operator (real
+    // decode, boundBuckets, comboAgrees emission), not just the data
+    val p5 = ImageDedupQueries.dedupImagePhashBlocks(spark, sf, 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val p6 = ImageDedupQueries.dedupImagePhashBlocks(spark, sf, 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p5 === p6)
+    assert(p5.nonEmpty)
+    // the gate corpus sits far below the 10^7-code switch point
+    assert(ImageDedupQueries.blocksFor(spark, sf) === 5)
+    assert(graft.similarity.Similarity.blocksForCodes(20000000L) === 6)
+  }
+
   test("retouched corner variants land within a few bits of their base") {
     val hm = hashes.toMap
     val retouched = hm.keys.filter(_ >= 2000000000L)

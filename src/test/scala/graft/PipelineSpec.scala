@@ -106,8 +106,13 @@ class PipelineSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val kept = PipelineQueries.dedupIncremental(spark, sf)
       .select($"keep_id").as[Long].collect().toSet
-    // no re-ingested doc (batch_id = doc_id + 2M) may survive
-    assert(kept.forall(_ >= 3000000L), s"re-ingested doc survived: ${kept.filter(_ < 3000000L)}")
+    // re-ingested ids are doc_id + 2e9, edited ids doc_id + 3e9: every
+    // survivor must be an edited doc, so no kept id may fall in the
+    // re-ingested [2e9, 3e9) range (the pre-synthId assertion checked
+    // >= 3M, which re-ingested ids satisfied vacuously)
+    assert(kept.forall(id => id >= 3L * Tables.SynthIdOffset &&
+        id < 4L * Tables.SynthIdOffset),
+      s"re-ingested doc survived: ${kept.filter(_ < 3L * Tables.SynthIdOffset)}")
     // edited docs survive except within-batch duplicates (same edited
     // digest); count distinct edited digests instead of raw ids
     val editedDistinct = docs.filter($"doc_id" % 7 === 1)
