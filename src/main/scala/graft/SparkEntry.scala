@@ -64,6 +64,7 @@ object SparkEntry {
     "multimodal_decode"        -> (MultimodalQueries.multimodalDecode _),
     "multimodal_resize"        -> (MultimodalQueries.multimodalResize _),
     "multimodal_audio"         -> (MultimodalQueries.multimodalAudio _),
+    "multimodal_video"         -> (MultimodalQueries.multimodalVideo _),
     "dedup_image_phash"        -> (ImageDedupQueries.dedupImagePhash _),
     "text_pii_redact"          -> (PipelineQueries.textPiiRedact _),
     "text_decontaminate"       -> (PipelineQueries.textDecontaminate _),
@@ -679,6 +680,34 @@ object SparkEntry {
         |  CAST(sum(abs((media_id*7 + i*13) % 65536 - 32768)) AS BIGINT) AS c0_abs_sum,
         |  CAST(sum(abs((media_id*7 + i*13 + 31) % 65536 - 32768)) AS BIGINT) AS c1_abs_sum
         |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // the REAL video-container roundtrip gate: Spark encodes each
+    // deterministic BI_RGB frame sequence to actual AVI bytes (RIFF,
+    // public spec) and parses them back with the zero-dependency RIFF
+    // walk, frame-sampling every 10th frame; every 97th clip is
+    // truncated to 32 bytes and must read as zero stats — the
+    // corruption contract is part of the hash gate. The oracle
+    // enumerates the sampled pixel grid arithmetically.
+    "multimodal_video" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
+        |         doc_id % 30 + 1 AS nf, doc_id % 97 = 0 AS corrupt
+        |  FROM documents),
+        |f AS (SELECT media_id, w, h, nf, unnest(range(0, nf, 10)) AS fr
+        |  FROM m WHERE NOT corrupt),
+        |fx AS (SELECT media_id, w, h, nf, fr, unnest(range(w)) AS x FROM f),
+        |fxy AS (SELECT media_id, w, h, nf, fr, x, unnest(range(h)) AS y FROM fx)
+        |SELECT media_id, CAST(max(w) AS BIGINT) AS width,
+        |  CAST(max(h) AS BIGINT) AS height,
+        |  CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST((max(nf) + 9) // 10 AS BIGINT) AS frames_sampled,
+        |  CAST(sum((media_id*7 + 3*x + 5*y + 17*fr) % 256) AS BIGINT) AS r_sum,
+        |  CAST(sum((media_id*11 + 5*x + 7*y + 19*fr) % 256) AS BIGINT) AS g_sum,
+        |  CAST(sum((media_id*13 + 7*x + 11*y + 23*fr) % 256) AS BIGINT) AS b_sum
+        |FROM fxy GROUP BY media_id
+        |UNION ALL
+        |SELECT media_id, 0, 0, 0, 0, 0, 0, 0 FROM m WHERE corrupt
+        |ORDER BY media_id""".stripMargin,
 
     // image near-dup dedup gate: Spark really encodes/decodes PNGs,
     // dHashes the decoded rasters, and finds hamming<=3 pairs via

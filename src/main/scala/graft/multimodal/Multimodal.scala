@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * payloads + a typed metadata struct, processed by partition-
   * preserving `mapPartitions` stages shaped like real codec batches.
   *
-  * IMAGE decode is REAL (round 9): [[decodeImageStats]] decodes
-  * actual encoded bytes via the JDK's ImageIO (PNG/JPEG/BMP/GIF) and
-  * extracts exact integer pixel statistics. AUDIO decode is REAL
-  * (round 10): [[decodeAudioStats]] decodes WAV/AIFF/AU PCM via the
-  * JDK's javax.sound.sampled. Only VIDEO — the one codec class with
-  * no JDK decoder — keeps the clearly-marked deterministic
-  * byte-histogram STUB in [[decodeAndFeaturize]]. Everything
-  * Spark-side is identical between the two paths and load-bearing at
-  * scale: the schema, the binary column lifecycle, the batch-at-a-time
+  * ALL THREE codec classes decode REAL bytes. IMAGE (round 9):
+  * [[decodeImageStats]] decodes actual encoded bytes via the JDK's
+  * ImageIO (PNG/JPEG/BMP/GIF) and extracts exact integer pixel
+  * statistics. AUDIO (round 10): [[decodeAudioStats]] decodes
+  * WAV/AIFF/AU PCM via the JDK's javax.sound.sampled. VIDEO (round
+  * 11): the JDK ships no video codec, but an uncompressed BI_RGB AVI
+  * is a RIFF container (public spec) around exact integer DIB frames —
+  * [[decodeVideoStats]] parses real AVI bytes with a zero-dependency
+  * RIFF walk, frame-samples, and extracts exact per-channel sums, so
+  * the last deterministic-fake decode path is gone. Everything
+  * Spark-side is shared across the three and load-bearing at scale:
+  * the schema, the binary column lifecycle, the batch-at-a-time
   * iterator shape (a real decoder amortizes codec init per PARTITION,
   * not per row), and the fact that no stage shuffles (features ride
   * the same partitions as payloads; only the caller's final
@@ -288,6 +291,40 @@ object Multimodal {
     b
   }
 
+  /** Per-partition SPI reader table (the slot the mapPartitions
+    * contract exists for): the AudioSystem facade re-resolves its
+    * provider list through a SYNCHRONIZED global lookup on EVERY
+    * getAudioInputStream call — 31.6 µs/clip single-threaded
+    * (AudioDiag), and a global lock that serializes all 32 executor
+    * threads under load (the sf100 cell read ~7 ms/clip/core before
+    * this). The same SPI readers AudioSystem consults are public API
+    * (javax.sound.sampled.spi.AudioFileReader, discovered via
+    * ServiceLoader); loading them once per partition keeps the decode
+    * on the real JDK codec with zero shared state. WAVE readers sort
+    * first — each non-matching provider costs a thrown
+    * UnsupportedAudioFileException per clip. */
+  private[multimodal] def audioReaders(): Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+        classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
+      .iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[javax.sound.sampled.spi.AudioFileReader]()
+    while (it.hasNext) buf += it.next()
+    buf.sortBy(r => if (r.getClass.getSimpleName.startsWith("Wave")) 0 else 1).toArray
+  }
+
+  private[multimodal] def sniffAudio(
+      readers: Array[javax.sound.sampled.spi.AudioFileReader],
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    var i = 0
+    while (i < readers.length) {
+      try return readers(i).getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      i += 1
+    }
+    null
+  }
+
   /** REAL audio decode + feature extraction (round 10 — closes the
     * "JDK lacks audio" half of the old stub claim, which was wrong:
     * AudioSystem decodes PCM containers out of the box). Sniffs the
@@ -303,36 +340,10 @@ object Multimodal {
   def decodeAudioStats(media: Dataset[(Long, Array[Byte])]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-PARTITION init (the slot the mapPartitions contract exists
-      // for): the AudioSystem facade re-resolves its provider list
-      // through a SYNCHRONIZED global lookup on EVERY
-      // getAudioInputStream call — 31.6 µs/clip single-threaded
-      // (AudioDiag), and a global lock that serializes all 32 executor
-      // threads under load (the sf100 cell read ~7 ms/clip/core before
-      // this). The same SPI readers AudioSystem consults are public
-      // API (javax.sound.sampled.spi.AudioFileReader, discovered via
-      // ServiceLoader); loading them once per partition keeps the
-      // decode on the real JDK codec with zero shared state. WAVE
-      // readers are tried first — each non-matching provider costs a
-      // thrown UnsupportedAudioFileException per clip.
-      val readers = {
-        val it = java.util.ServiceLoader
-          .load(classOf[javax.sound.sampled.spi.AudioFileReader],
-            classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
-          .iterator()
-        val buf = scala.collection.mutable.ArrayBuffer[javax.sound.sampled.spi.AudioFileReader]()
-        while (it.hasNext) buf += it.next()
-        buf.sortBy(r => if (r.getClass.getSimpleName.startsWith("Wave")) 0 else 1).toArray
-      }
-      def sniff(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-        var i = 0
-        while (i < readers.length) {
-          try return readers(i).getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
-          i += 1
-        }
-        null
-      }
+      // per-PARTITION init — see audioReaders
+      val readers = audioReaders()
+      def sniff(payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+        sniffAudio(readers, payload)
       rows.map { case (id, payload) =>
         val st =
           try {
@@ -475,43 +486,290 @@ object Multimodal {
     }
   }
 
-  /** STUB decode for the one codec class the JDK does NOT ship
-    * (video — image is real via [[decodeImageStats]], audio via
-    * [[decodeAudioStats]]): byte-histogram + moments standing in for a
-    * codec + feature extractor. Deterministic: same payload → same
-    * features. Replace this body with e.g. a JNI media lib without
-    * touching the Spark plumbing. */
+  /** Deterministic RGB pixel for VIDEO frame `f` of clip `mediaId` —
+    * pure integer arithmetic restatable in any SQL engine, the same
+    * trick as [[pixelChannels]]/[[waveSample]]: the frame term makes
+    * every sampled frame distinct, so a frame-sampling bug shows up in
+    * the channel sums. */
+  def videoPixelChannels(mediaId: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = (
+    ((mediaId * 7 + 3L * x + 5L * y + 17L * f) % 256).toInt,
+    ((mediaId * 11 + 5L * x + 7L * y + 19L * f) % 256).toInt,
+    ((mediaId * 13 + 7L * x + 11L * y + 23L * f) % 256).toInt)
+
+  /** Encode the deterministic frame sequence as a REAL uncompressed
+    * AVI: the RIFF container (public spec — RIFF/'AVI ' around LIST
+    * hdrl {avih, LIST strl {strh 'vids'/'DIB ', strf
+    * BITMAPINFOHEADER}} and LIST movi {'00db' DIB frames}) holding
+    * exact BI_RGB 24-bit frames, bottom-up BGR rows padded to 4-byte
+    * stride. BI_RGB is lossless integers, so a decode must reproduce
+    * [[videoPixelChannels]] bit-exactly — the property that puts the
+    * video path under a hash-exact gate with zero codec dependencies. */
+  def encodeAvi(mediaId: Long, w: Int, h: Int, nFrames: Int, fps: Int = 25): Array[Byte] = {
+    val rowStride = (3 * w + 3) & ~3
+    val frameBytes = rowStride * h
+    val strlSize = 4 + 8 + 56 + 8 + 40
+    val hdrlSize = 4 + 8 + 56 + 8 + strlSize
+    val moviSize = 4 + nFrames * (8 + frameBytes) // frameBytes is 4-aligned: no pad
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+    val b = new Array[Byte](8 + riffSize)
+    var p = 0
+    def tag(s: String): Unit = {
+      var i = 0; while (i < 4) { b(p + i) = s.charAt(i).toByte; i += 1 }; p += 4
+    }
+    def u32(v: Int): Unit = {
+      b(p) = (v & 0xff).toByte; b(p + 1) = ((v >> 8) & 0xff).toByte
+      b(p + 2) = ((v >> 16) & 0xff).toByte; b(p + 3) = ((v >> 24) & 0xff).toByte
+      p += 4
+    }
+    def u16(v: Int): Unit = {
+      b(p) = (v & 0xff).toByte; b(p + 1) = ((v >> 8) & 0xff).toByte; p += 2
+    }
+    tag("RIFF"); u32(riffSize); tag("AVI ")
+    tag("LIST"); u32(hdrlSize); tag("hdrl")
+    // MainAVIHeader: usPerFrame, maxBytesPerSec, padGranularity, flags,
+    // totalFrames, initialFrames, streams, suggestedBuf, w, h, rsvd[4]
+    tag("avih"); u32(56)
+    u32(1000000 / fps); u32(0); u32(0); u32(0)
+    u32(nFrames); u32(0); u32(1); u32(frameBytes); u32(w); u32(h)
+    u32(0); u32(0); u32(0); u32(0)
+    tag("LIST"); u32(strlSize); tag("strl")
+    // AVIStreamHeader: 'vids'/'DIB ', flags, prio+lang, initialFrames,
+    // scale, rate, start, length, suggestedBuf, quality, sampleSize, rcFrame
+    tag("strh"); u32(56)
+    tag("vids"); tag("DIB "); u32(0); u16(0); u16(0); u32(0)
+    u32(1); u32(fps); u32(0); u32(nFrames); u32(frameBytes); u32(0); u32(0)
+    u16(0); u16(0); u16(w); u16(h)
+    // BITMAPINFOHEADER: positive height = bottom-up DIB, BI_RGB
+    tag("strf"); u32(40)
+    u32(40); u32(w); u32(h); u16(1); u16(24); u32(0); u32(frameBytes)
+    u32(0); u32(0); u32(0); u32(0)
+    tag("LIST"); u32(moviSize); tag("movi")
+    var f = 0
+    while (f < nFrames) {
+      tag("00db"); u32(frameBytes)
+      var sy = 0
+      while (sy < h) {
+        val y = h - 1 - sy // bottom-up row order
+        var x = 0
+        var off = p + sy * rowStride
+        while (x < w) {
+          val (r, g, bl) = videoPixelChannels(mediaId, f, x, y)
+          b(off) = bl.toByte; b(off + 1) = g.toByte; b(off + 2) = r.toByte
+          off += 3; x += 1
+        }
+        sy += 1
+      }
+      p += frameBytes
+      f += 1
+    }
+    b
+  }
+
+  /** Per-video exact integer statistics from a REAL RIFF/AVI parse —
+    * the typed output of [[decodeVideoStats]]. Channel sums cover the
+    * SAMPLED frames only (every [[FrameStride]]-th, frame 0 included):
+    * frame sampling is the first thing a video training pipeline does,
+    * so the gate pins it, not just the raw decode. */
+  case class VideoStats(
+      media_id: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      frames_sampled: Long,
+      r_sum: Long,
+      g_sum: Long,
+      b_sum: Long)
+
+  private final case class AviDims(w: Int, h: Int, frames: Int, sampled: Int)
+
+  /** RIFF walk over an AVI payload, invoking `px(r, g, b)` for every
+    * pixel of every sampled frame (every `every`-th, frame 0 first).
+    * Returns null — never throws — when the payload is not a decodable
+    * bottom-up/top-down BI_RGB 24-bit AVI: NULL/short bytes, a RIFF
+    * size field outrunning the actual bytes (the classic truncated
+    * upload), malformed chunk sizes, a compressed or non-24-bit video
+    * stream, or frame chunks smaller than one DIB raster. The caller
+    * degrades such rows to zero stats — at 100 TB some fraction of any
+    * crawl's media IS corrupt, and one bad file must not fail a task
+    * that has decoded a million good ones. */
+  private def aviSampledPixels(
+      payload: Array[Byte], every: Int)(px: (Int, Int, Int) => Unit): AviDims = {
+    if (payload == null || payload.length < 12) return null
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    def s32(off: Int): Int = u32(off).toInt
+    def u16(off: Int): Int = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    def fourcc(off: Int): String = new String(payload, off, 4, "ISO-8859-1")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return null
+    val riffSize = u32(4)
+    // a declared size beyond the actual bytes IS the truncation signal
+    if (riffSize < 4 || 8 + riffSize > payload.length) return null
+    val end = (8 + riffSize).toInt
+
+    var w = -1; var hRaw = 0; var bitCount = -1; var compression = -1L
+    var moviStart = -1; var moviEnd = -1
+    var malformed = false
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to && !malformed) {
+        val fc = fourcc(p); val sz = u32(p + 4)
+        if (sz < 0 || p + 8 + sz > to) { malformed = true; return }
+        if (fc == "LIST" && sz >= 4) {
+          val lt = fourcc(p + 8)
+          if (lt == "movi") { moviStart = p + 12; moviEnd = (p + 8 + sz).toInt }
+          else walk(p + 12, (p + 8 + sz).toInt)
+        } else if (fc == "strf" && sz >= 40 && w < 0) {
+          w = s32(p + 8 + 4); hRaw = s32(p + 8 + 8)
+          bitCount = u16(p + 8 + 14); compression = u32(p + 8 + 16)
+        }
+        p += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+      }
+    }
+    walk(12, end)
+    val h = math.abs(hRaw) // negative biHeight = top-down DIB
+    val bottomUp = hRaw > 0
+    if (malformed || moviStart < 0 || w <= 0 || h <= 0 ||
+        bitCount != 24 || compression != 0L) return null
+    val rowStride = (3 * w + 3) & ~3
+    val frameBytes = rowStride * h
+
+    var frames = 0; var sampled = 0
+    var p = moviStart
+    while (p + 8 <= moviEnd) {
+      val fc = fourcc(p); val sz = u32(p + 4)
+      if (sz < 0 || p + 8 + sz > moviEnd) return null
+      if (fc == "LIST") {
+        // 'rec ' grouping LISTs are legal inside movi; our encoder
+        // emits none, but flattening them costs two lines
+        p += 12
+      } else {
+        if (fc.endsWith("db") || fc.endsWith("dc")) {
+          if (frames % every == 0) {
+            if (sz < frameBytes) return null
+            val base = p + 8
+            var y = 0
+            while (y < h) {
+              val rowOff = base + (if (bottomUp) (h - 1 - y) else y) * rowStride
+              var x = 0
+              while (x < w) {
+                val o = rowOff + 3 * x
+                px(payload(o + 2) & 0xff, payload(o + 1) & 0xff, payload(o) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            sampled += 1
+          }
+          frames += 1
+        }
+        p += 8 + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    AviDims(w, h, frames, sampled)
+  }
+
+  /** REAL video decode + frame-sample + feature extraction (round 11 —
+    * the last codec class leaves stub-land): parse actual AVI bytes
+    * via [[aviSampledPixels]] and extract exact integer stats over the
+    * sampled frames. Same partition-preserving contract as the image
+    * and audio stages: no shuffle, corrupt/truncated/unsupported
+    * payloads degrade to a zero-stats row instead of killing the
+    * stage. */
+  def decodeVideoStats(media: Dataset[(Long, Array[Byte])]): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { case (id, payload) =>
+        var r = 0L; var g = 0L; var b = 0L
+        val dims =
+          try aviSampledPixels(payload, FrameStride) { (pr, pg, pb) =>
+            r += pr; g += pg; b += pb
+          }
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (dims == null) VideoStats(id, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        else VideoStats(id, dims.w.toLong, dims.h.toLong, dims.frames.toLong,
+          dims.sampled.toLong, r, g, b)
+      }
+    }
+  }
+
+  /** REAL decode + featurize across ALL THREE codec classes (round 11
+    * — this replaces the round-1 byte-histogram stub: image decodes
+    * via ImageIO, audio via the javax.sound SPI readers, video via the
+    * zero-dependency AVI parse). The features are a 16-bin histogram
+    * digest + mean (basis points) over the DECODED content's 8-bit
+    * units — pixel channel values for image and video (video over the
+    * sampled frames only), (sample+32768)>>8 for 16-bit audio — so
+    * they describe the media, not its container bytes. frames_sampled
+    * comes from the BYTES (video: sampled frame count; image/audio:
+    * 1), not trusted metadata. An undecodable / NULL / wrong-kind
+    * payload degrades to a zero-features row (digest 0, mean 0,
+    * frames_sampled 0) instead of killing the stage. */
   def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // >>> per-PARTITION init would go here (codec contexts, models).
+      // per-PARTITION codec init: ImageIO cache switch + SPI readers
+      javax.imageio.ImageIO.setUseCache(false)
+      val readers = audioReaders()
       rows.map { m =>
-        // >>> STUB DECODE: a real implementation decodes m.payload via
-        // >>> an image/audio codec. This deterministic fake computes a
-        // >>> 16-bin byte histogram + mean as the "features".
-        // A NULL payload (missing/corrupt media — inevitable in a
-        // large corpus) must not kill the job mid-stage: featurize it
-        // as zero-length media (n_bytes 0 is the downstream signal),
-        // the same posture a real codec stage takes on undecodable
-        // input.
-        val payload = if (m.payload == null) Array.emptyByteArray else m.payload
+        val nBytes = if (m.payload == null) 0L else m.payload.length.toLong
         val hist = new Array[Long](16)
-        var sum = 0L
-        var i = 0
-        while (i < payload.length) {
-          val b = payload(i) & 0xff
-          hist(b >> 4) += 1
-          sum += b
-          i += 1
+        var sum = 0L; var cnt = 0L
+        def add(u: Int): Unit = { hist(u >> 4) += 1; sum += u; cnt += 1 }
+        var framesSampled = 0L
+        var ok = false
+        try {
+          if (m.payload != null && m.payload.length > 0) m.kind match {
+            case "image" =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(m.payload))
+              if (img != null) {
+                val w = img.getWidth; val h = img.getHeight
+                val pxs = img.getRGB(0, 0, w, h, null, 0, w)
+                var i = 0
+                while (i < pxs.length) {
+                  val v = pxs(i)
+                  add((v >> 16) & 0xff); add((v >> 8) & 0xff); add(v & 0xff)
+                  i += 1
+                }
+                framesSampled = 1L; ok = true
+              }
+            case "audio" =>
+              val ais = sniffAudio(readers, m.payload)
+              if (ais != null) try {
+                val f = ais.getFormat
+                if (f.getSampleSizeInBits == 16 &&
+                    f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+                  val bytes = ais.readAllBytes()
+                  val be = f.isBigEndian
+                  var i = 0
+                  while (i + 1 < bytes.length) {
+                    val s =
+                      if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+                      else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                    add((s + 32768) >> 8)
+                    i += 2
+                  }
+                  framesSampled = 1L; ok = true
+                }
+              } finally ais.close()
+            case "video" =>
+              val dims = aviSampledPixels(m.payload, FrameStride) { (r, g, b) =>
+                add(r); add(g); add(b)
+              }
+              if (dims != null) { framesSampled = dims.sampled.toLong; ok = true }
+            case _ => () // unknown kind: degrade, same as undecodable
+          }
+        } catch { case scala.util.control.NonFatal(_) => ok = false }
+        if (!ok) MediaFeatures(m.media_id, m.kind, nBytes, 0L, 0L, 0)
+        else {
+          var digest = 1125899906842597L
+          var j = 0
+          while (j < hist.length) { digest = digest * 31 + hist(j); j += 1 }
+          MediaFeatures(m.media_id, m.kind, nBytes, digest,
+            if (cnt == 0) 0L else sum * 10000L / cnt,
+            framesSampled.toInt)
         }
-        var digest = 1125899906842597L
-        var j = 0
-        while (j < hist.length) { digest = digest * 31 + hist(j); j += 1 }
-        val frames = frameSampleCount(m.n_frames)
-        MediaFeatures(
-          m.media_id, m.kind, payload.length.toLong, digest,
-          if (payload.length == 0) 0L else sum * 10000L / payload.length,
-          frames)
       }
     }
   }
@@ -529,8 +787,12 @@ object Multimodal {
     * happens inside the stubbed decode at scale): clamp the longer
     * side to `maxSide` preserving aspect ratio. */
   def resizePlan(df: DataFrame, maxSide: Int): DataFrame = {
-    val scale = least(lit(1.0),
-      lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
+    // zero-dim media (audio rows in a mixed-kind table) has no spatial
+    // plan: scale 0 keeps out dims at 0 instead of an ANSI
+    // divide-by-zero killing the stage
+    val longer = greatest(col("width"), col("height")).cast("double")
+    val scale = when(longer > 0, least(lit(1.0), lit(maxSide) / longer))
+      .otherwise(lit(0.0))
     df.withColumn("out_width", ceil(col("width") * scale).cast("int"))
       .withColumn("out_height", ceil(col("height") * scale).cast("int"))
   }

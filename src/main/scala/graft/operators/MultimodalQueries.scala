@@ -118,6 +118,43 @@ object MultimodalQueries {
     Multimodal.decodeAudioStats(encoded).toDF().orderBy($"media_id")
   }
 
+  /** REAL video decode under a hash-exact gate (round 11 — the last
+    * codec class leaves stub-land): each document becomes a
+    * deterministic BI_RGB frame sequence, ENCODED to actual AVI bytes
+    * (RIFF container, public spec) and parsed back via the
+    * zero-dependency RIFF walk, with frame-sampling (every 10th frame,
+    * frame 0 included) and exact integer channel sums over the SAMPLED
+    * frames. Every 97th clip is TRUNCATED to its first 32 bytes — the
+    * classic interrupted-upload corruption — and must degrade to a
+    * zero-stats row, so the corruption contract sits INSIDE the hash
+    * gate, not just a spec. The DuckDB oracle never touches a
+    * container — it enumerates the sampled pixel grid arithmetically.
+    *
+    * Scale: identical plan shape to the image/audio gates — two
+    * partition-preserving mapPartitions stages over the scan, zero
+    * shuffles before the output ordering; at 100 TB the encode stage
+    * disappears (payloads come from storage) and the parse stage is
+    * unchanged. */
+  def multimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.widened(Tables.documents(spark, dir))
+      .select($"doc_id".as("media_id"),
+        (pmod($"doc_id", lit(24)) + 8).cast("int").as("w"),
+        (pmod($"doc_id", lit(16)) + 8).cast("int").as("h"),
+        (pmod($"doc_id", lit(30)) + 1).cast("int").as("nf"))
+      .as[(Long, Int, Int, Int)]
+    val encoded = media.mapPartitions { rows =>
+      rows.map { case (id, w, h, nf) =>
+        val avi = Multimodal.encodeAvi(id, w, h, nf)
+        (id, if (id % 97 == 0) avi.take(32) else avi)
+      }
+    }
+    Multimodal.decodeVideoStats(encoded).toDF().orderBy($"media_id")
+  }
+
+  /** Metadata-only media corpus backing [[multimodalMeta]]'s
+    * arithmetic hash gate (payload bytes are the raw text — only their
+    * LENGTH is observable there). */
   private def mediaCorpus(spark: SparkSession, dir: String) = {
     import spark.implicits._
     Tables.documents(spark, dir).select(
@@ -132,14 +169,71 @@ object MultimodalQueries {
       .as[MediaRow]
   }
 
+  /** Mixed-kind corpus with REAL encoded payloads — PNG for images,
+    * WAV for audio, AVI for video (round 11: the pipeline's decode
+    * stage stopped being a byte-histogram fake, so its corpus must be
+    * real media). Metadata mirrors what each encoder was given, the
+    * way a lakehouse media table carries both. The encode stage is a
+    * partition-preserving mapPartitions — at scale the payloads come
+    * from storage and this stage disappears. */
+  /** Per-kind metadata the real corpus encodes from — also feeds the
+    * pipeline's resize plan WITHOUT forcing a second encode pass (the
+    * payload is produced inside a typed mapPartitions, so column
+    * pruning cannot reach below it; metadata consumers read this frame
+    * instead). */
+  private def realMediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.widened(Tables.documents(spark, dir)).select(
+      $"doc_id".as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+      when(pmod($"doc_id", lit(3)) === 0, pmod($"doc_id", lit(48)) + 16)
+        .when(pmod($"doc_id", lit(3)) === 2, pmod($"doc_id", lit(24)) + 8)
+        .otherwise(0).cast("int").as("width"),
+      when(pmod($"doc_id", lit(3)) === 0, pmod($"doc_id", lit(32)) + 16)
+        .when(pmod($"doc_id", lit(3)) === 2, pmod($"doc_id", lit(16)) + 8)
+        .otherwise(0).cast("int").as("height"),
+      when(pmod($"doc_id", lit(3)) === 1, 16000).otherwise(0)
+        .cast("int").as("sample_rate"),
+      when(pmod($"doc_id", lit(3)) === 1, pmod($"doc_id", lit(480)) + 32)
+        .when(pmod($"doc_id", lit(3)) === 2, pmod($"doc_id", lit(30)) + 1)
+        .otherwise(1).cast("int").as("n_frames"))
+  }
+
+  private[graft] def realMediaCorpus(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    realMediaMeta(spark, dir).as[(Long, String, Int, Int, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, kind, w, h, rate, nf) =>
+          kind match {
+            case "image" =>
+              MediaRow(id, kind, Multimodal.encodePng(id, w, h), w, h, rate, nf)
+            case "audio" =>
+              MediaRow(id, kind, Multimodal.encodeWav(id, nf, rate), w, h, rate, nf)
+            case _ =>
+              MediaRow(id, kind, Multimodal.encodeAvi(id, w, h, nf), w, h, rate, nf)
+          }
+        }
+      }
+  }
+
+  /** End-to-end media pipeline over REAL payloads: decode + featurize
+    * across all three codec classes ([[Multimodal.decodeAndFeaturize]])
+    * joined with the resize plan, aggregated per kind. Rows-only gate
+    * (an order-free digest over real-codec features isn't
+    * SQL-expressible); MultimodalSpec pins the decode truths and the
+    * no-added-shuffle plan shape. */
   def multimodalPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
 
-    val media = mediaCorpus(spark, dir)
+    val media = realMediaCorpus(spark, dir)
 
     val features = Multimodal.decodeAndFeaturize(media)
 
-    val resized = Multimodal.resizePlan(media.toDF(), maxSide = 256)
+    // resize is metadata math — planned from the meta frame so the
+    // encode stage runs ONCE (through the features side), not twice
+    val resized = Multimodal.resizePlan(realMediaMeta(spark, dir), maxSide = 256)
       .select($"media_id", $"out_width", $"out_height")
 
     features.toDF()

@@ -12,21 +12,47 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       frames: Int = 30): MediaRow =
     MediaRow(id, "image", payload, w, h, 16000, frames)
 
-  test("decode stub is deterministic and batch-shaped") {
+  test("featurize REALLY decodes all three kinds; undecodable payloads zero out") {
     import spark.implicits._
+    // arithmetic truths, no codec anywhere: image = pixelChannels
+    // units, audio = (waveSample+32768)>>8 units, video =
+    // videoPixelChannels units over SAMPLED frames only
+    var iSum = 0L; var iCnt = 0L
+    for (y <- 0 until 10; x <- 0 until 12) {
+      val (r, g, b) = Multimodal.pixelChannels(1L, x, y)
+      iSum += r + g + b; iCnt += 3
+    }
+    var aSum = 0L; var aCnt = 0L
+    for (i <- 0 until 40; c <- 0 until 2) {
+      aSum += (Multimodal.waveSample(2L, i.toLong, c) + 32768) >> 8; aCnt += 1
+    }
+    var vSum = 0L; var vCnt = 0L
+    for (f <- 0 until 15 by Multimodal.FrameStride; y <- 0 until 6; x <- 0 until 9) {
+      val (r, g, b) = Multimodal.videoPixelChannels(3L, f, x, y)
+      vSum += r + g + b; vCnt += 3
+    }
     val data = Seq(
-      row(1, "hello world".getBytes("UTF-8")),
-      row(2, Array[Byte](0, 1, 2, 127, -1, -128)),
-      row(3, Array.empty[Byte]))
-    val ds = spark.createDataset(data).repartition(2)
-    val f1 = Multimodal.decodeAndFeaturize(ds).collect().sortBy(_.media_id)
-    val f2 = Multimodal.decodeAndFeaturize(ds).collect().sortBy(_.media_id)
-    assert(f1.map(_.hist_digest).toSeq === f2.map(_.hist_digest).toSeq)
-    assert(f1.map(_.n_bytes).toSeq === Seq(11L, 6L, 0L))
-    assert(f1(2).mean_byte_bp === 0L) // empty payload guarded
-    // mean of "hello world" bytes, in basis points
-    val expectedMean = "hello world".getBytes("UTF-8").map(_ & 0xff).sum * 10000L / 11
-    assert(f1(0).mean_byte_bp === expectedMean)
+      MediaRow(1, "image", Multimodal.encodePng(1L, 12, 10), 12, 10, 0, 1),
+      MediaRow(2, "audio", Multimodal.encodeWav(2L, 40, 8000), 0, 0, 8000, 40),
+      MediaRow(3, "video", Multimodal.encodeAvi(3L, 9, 6, 15), 9, 6, 0, 15),
+      row(4, "hello world".getBytes("UTF-8")), // kind=image, not a PNG
+      row(5, null), row(6, Array.emptyByteArray))
+    val got = Multimodal.decodeAndFeaturize(spark.createDataset(data).repartition(2))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got(1L).mean_byte_bp === iSum * 10000L / iCnt)
+    assert(got(1L).frames_sampled === 1)
+    assert(got(2L).mean_byte_bp === aSum * 10000L / aCnt)
+    assert(got(3L).mean_byte_bp === vSum * 10000L / vCnt)
+    assert(got(3L).frames_sampled === 2) // frames 0 and 10 of 15
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(got(id).hist_digest === 0L && got(id).mean_byte_bp === 0L &&
+        got(id).frames_sampled === 0, s"media $id must degrade to zero features")
+    }
+    assert(got(4L).n_bytes === 11L) // payload length still reported
+    // determinism across runs (digest covers the decoded histogram)
+    val again = Multimodal.decodeAndFeaturize(spark.createDataset(data).repartition(2))
+      .collect().map(f => f.media_id -> f.hist_digest).toMap
+    assert(got.view.mapValues(_.hist_digest).toMap === again)
   }
 
   test("feature stage preserves partitioning (no shuffle in the plan)") {
@@ -215,6 +241,63 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
         .queryExecution.executedPlan.toString) ===
       exchanges(ds.queryExecution.executedPlan.toString),
       "audio decode stage must not add a shuffle")
+  }
+
+  test("REAL AVI parse reproduces the sampled frame pixels bit-exactly") {
+    import spark.implicits._
+    // odd widths exercise the 4-byte row-stride padding; nf around the
+    // stride boundary exercises frame sampling (10 -> 1 frame sampled,
+    // 11 -> 2)
+    val clips = Seq((3L, 9, 6, 15), (7L, 8, 8, 10), (11L, 13, 5, 11), (4L, 24, 16, 1))
+    val encoded = spark.createDataset(clips).repartition(2)
+      .map { case (id, w, h, nf) => (id, Multimodal.encodeAvi(id, w, h, nf)) }
+    val got = Multimodal.decodeVideoStats(encoded)
+      .collect().map(s => s.media_id -> s).toMap
+    clips.foreach { case (id, w, h, nf) =>
+      var r = 0L; var g = 0L; var b = 0L; var sampled = 0
+      for (f <- 0 until nf by Multimodal.FrameStride) {
+        sampled += 1
+        for (y <- 0 until h; x <- 0 until w) {
+          val (pr, pg, pb) = Multimodal.videoPixelChannels(id, f, x, y)
+          r += pr; g += pg; b += pb
+        }
+      }
+      val s = got(id)
+      assert((s.width, s.height, s.n_frames, s.frames_sampled) ===
+        (w.toLong, h.toLong, nf.toLong, sampled.toLong), s"clip $id header")
+      assert((s.r_sum, s.g_sum, s.b_sum) === (r, g, b), s"clip $id channel sums")
+    }
+  }
+
+  test("corrupt / truncated / NULL / non-AVI video degrades to zero-stats rows") {
+    import spark.implicits._
+    val good = Multimodal.encodeAvi(4L, 12, 8, 12)
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val rows = Seq(
+      (1L, junk), (2L, null.asInstanceOf[Array[Byte]]), (3L, Array.emptyByteArray),
+      (4L, good),
+      (5L, good.take(32)),                 // truncated header
+      (6L, good.take(good.length - 40)),   // truncated mid-movi: RIFF size outruns bytes
+      (7L, Multimodal.encodeWav(7L, 20, 8000))) // a RIFF that is not AVI
+    val got = Multimodal.decodeVideoStats(spark.createDataset(rows))
+      .collect().map(s => s.media_id -> s).toMap
+    Seq(1L, 2L, 3L, 5L, 6L, 7L).foreach { id =>
+      assert(got(id).n_frames === 0L && got(id).r_sum === 0L,
+        s"clip $id must be a zero-stats row")
+    }
+    assert(got(4L).n_frames === 12L && got(4L).frames_sampled === 2L)
+  }
+
+  test("video decode stage preserves partitioning (no shuffle in the plan)") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq((1L, Multimodal.encodeAvi(1L, 8, 8, 5))))
+      .repartition(3)
+    def exchanges(plan: String): Int =
+      plan.toLowerCase.linesIterator.count(_.contains("exchange"))
+    assert(exchanges(Multimodal.decodeVideoStats(ds)
+        .queryExecution.executedPlan.toString) ===
+      exchanges(ds.queryExecution.executedPlan.toString),
+      "video decode stage must not add a shuffle")
   }
 
   test("dHash64 over a real PNG roundtrip == the arithmetic sample grid; scale-invariant") {
