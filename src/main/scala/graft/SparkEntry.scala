@@ -88,10 +88,12 @@ object SparkEntry {
     // rows-only gate: LSH banding + cosine aren't SQL-expressible;
     // PipelineSpec pins equality with all-pairs brute force
     "text_decontaminate_semantic" -> (PipelineQueries.textDecontaminateSemantic _),
-    // rows-only gate: BPE training is iterative and not
-    // SQL-expressible; BpeSpec pins trainer + encoder invariants
-    "text_bpe_encode"          -> ((s: SparkSession, d: String) =>
-      CorpusQueries.textBpeEncode(s, d)),
+    // HASH gate since r11: encode under the FIXTURE merge table
+    // (encoding is deterministic given ranks, so DuckDB replays each
+    // merge as a string replace — CorpusQueries.bpeFixtureOracleSql is
+    // generated from the same vector); the TRAINER stays covered by
+    // BpeSpec's hand-computed merges + the ModelIO train/serve path
+    "text_bpe_encode"          -> (CorpusQueries.textBpeEncodeFixture _),
     "io_merge_upsert"          -> (IoQueries.ioMergeUpsert _),
     "text_chunk_rag"           -> (CurationQueries.textChunkRag _),
     "dedup_substring"          -> (CurationQueries.dedupSubstring _),
@@ -277,6 +279,25 @@ object SparkEntry {
         |  FROM events)
         |WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
 
+    // Efraimidis-Spirakis weighted sample, hash-gated (r11): the draw
+    // is 52 sha256 bits (bit-identical in DuckDB; '0x'-cast = Spark's
+    // conv(hex,16,10)), the key pow(u, 1/w) restated verbatim. The key
+    // is not an output column — only the per-lang order matters, and
+    // adjacent keys are ~1/n apart, far above pow ULP wobble.
+    "q_sample_weighted" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS w,
+        |    (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+        |      / 4503599627370498.0 AS u
+        |  FROM documents WHERE length(text) > 0),
+        |r AS (
+        |  SELECT lang, doc_id, CAST(w AS BIGINT) AS weight,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY pow(u, 1.0 / w) DESC, doc_id) AS BIGINT) AS rk
+        |  FROM k)
+        |SELECT lang, rk, doc_id, weight FROM r
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
     "q_pivot_events" ->
       """SELECT event_type,
         |  count(*) FILTER (WHERE date_part('dow', ts) = 0) AS "0",
@@ -363,6 +384,11 @@ object SparkEntry {
 
     // text_* oracles restate the same expression pipeline in DuckDB SQL;
     // language_id and fingerprint are heuristic/hash outputs → rows-only.
+    // BPE encode under the fixture merge table — SQL generated from
+    // CorpusQueries.FixtureMerges itself (the UrlFunctions.SqlAlts
+    // posture: one source of truth, the engines cannot drift)
+    "text_bpe_encode" -> graft.operators.CorpusQueries.bpeFixtureOracleSql,
+
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

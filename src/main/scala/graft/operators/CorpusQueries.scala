@@ -270,6 +270,77 @@ object CorpusQueries {
       vocab.map { case (w, _) => w -> graft.text.Bpe.encode(w, merges) }.toMap)
   }
 
+  /** Fixture merge table for the HASH-gated encode (r11): encoding is
+    * deterministic given the ranks, so pinning the table makes the
+    * whole distributed encode pass SQL-restatable — the DuckDB oracle
+    * ([[bpeFixtureOracleSql]], generated from THIS vector so the two
+    * engines cannot drift) replays each merge as one string `replace`
+    * over a separator-wrapped symbol string, which BpeSpec pins
+    * byte-equal to [[graft.text.Bpe.encode]]'s left-to-right
+    * non-overlapping pass. The TRAINER keeps its own coverage: BpeSpec
+    * hand-computed merges + the ModelIO train/serve path. Chained
+    * multi-level merges (th→the, er→ther) exercise the rank-order
+    * replay. */
+  val FixtureMerges: Vector[graft.text.Bpe.Merge] = Vector(
+    ("e", "r"), ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("o", "n"), ("e", "n"), ("t", "i"), ("o", "r"), ("s", "t"), ("a", "r"),
+    ("e", "s"), ("o", "u"), ("l", "l"), ("e", "d"), ("in", "g"), ("a", "t"),
+    ("t", "o"), ("i", "t"), ("o", "f"), ("i", "s"), ("a", "l"), ("e", "l"),
+    ("r", "e"), ("s", "e"), ("n", "t"), ("m", "e"), ("c", "o"), ("d", "e"),
+    ("u", "r"), ("t", "er"), ("c", "h"), ("o", "m"), ("p", "r"), ("w", "h"),
+    ("l", "e"), ("a", "s"), ("h", "e"), ("th", "er"))
+
+  /** Hash-gated BPE encode under [[FixtureMerges]] (the gate entry for
+    * `text_bpe_encode` since r11): same distributed encode kernel as
+    * the trained path (broadcast ranks, per-task memoized replay), but
+    * the stream digest is md5 over the SEP-joined subwords — md5 is
+    * bit-identical in DuckDB where xxhash64 has no oracle-side
+    * equivalent. */
+  def textBpeEncodeFixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    encodeSubwords(spark, dir, FixtureMerges, Map.empty)
+      .select($"doc_id", $"n_words", size($"sub").cast("long").as("n_subwords"),
+        md5(array_join($"sub", "\u001f")).as("stream_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** The DuckDB restatement of [[textBpeEncodeFixture]], generated
+    * from [[FixtureMerges]]: each word becomes a chr(31)-wrapped
+    * codepoint string (`✂c✂✂d✂…`), each merge one plain `replace` of
+    * `✂a✂✂b✂` with `✂ab✂` in rank order — string replace is
+    * left-to-right and non-overlapping in both engines, and the
+    * double-separator wrapping makes symbol boundaries unambiguous
+    * (verified: "aaa" under (a,a) → [aa, a], adjacent merges do not
+    * consume each other's separators). */
+  def bpeFixtureOracleSql: String = {
+    val S = "\u001f"
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val base = s"regexp_replace(word, '(.)', ${q(S + "\\1" + S)}, 'g')"
+    val enc = FixtureMerges.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc, ${q(S + a + S + S + b + S)}, ${q(S + a + b + S)})"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS t
+       |  FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM toks),
+       |words AS (SELECT doc_id, p, t[p] AS word FROM pos),
+       |enc AS (SELECT doc_id, p, $enc AS e FROM words),
+       |per AS (SELECT doc_id, p,
+       |    (length(e) - length(replace(e, chr(31), ''))) // 2 AS n_sub,
+       |    trim(replace(e, chr(31) || chr(31), chr(31)), chr(31)) AS plain
+       |  FROM enc),
+       |agg AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |    md5(string_agg(plain, chr(31) ORDER BY p)) AS stream_md5
+       |  FROM per GROUP BY doc_id)
+       |SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_words,
+       |  CASE WHEN k.t IS NULL THEN NULL ELSE coalesce(a.n_subwords, 0) END AS n_subwords,
+       |  CASE WHEN k.t IS NULL THEN NULL ELSE coalesce(a.stream_md5, md5('')) END AS stream_md5
+       |FROM toks k LEFT JOIN agg a ON a.doc_id = k.doc_id
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
   /** The training half of the train/serve split: fit the ranked merge
     * table alone, e.g. to persist via [[graft.io.ModelIO.saveBpeMerges]]
     * and serve from in later runs. */
@@ -315,6 +386,19 @@ object CorpusQueries {
       spark: SparkSession, dir: String, merges: Seq[graft.text.Bpe.Merge],
       seedMemo: Map[String, Seq[String]]): DataFrame = {
     import spark.implicits._
+    encodeSubwords(spark, dir, merges, seedMemo)
+      .select($"doc_id", $"n_words", size($"sub").cast("long").as("n_subwords"),
+        xxhash64($"sub").as("stream_hash"))
+      .orderBy($"doc_id")
+  }
+
+  // the shared distributed encode pass: (doc_id, n_words, sub) — the
+  // digest flavor (xxhash64 for the trained path, md5 for the
+  // SQL-gated fixture path) is the caller's projection
+  private def encodeSubwords(
+      spark: SparkSession, dir: String, merges: Seq[graft.text.Bpe.Merge],
+      seedMemo: Map[String, Seq[String]]): DataFrame = {
+    import spark.implicits._
     val bcTable = spark.sparkContext.broadcast(seedMemo)
     val bcMerges = spark.sparkContext.broadcast(merges)
     // taskMemo deserializes EMPTY with each task closure and fills as
@@ -343,9 +427,6 @@ object CorpusQueries {
     Tables.widened(Tables.documents(spark, dir))
       .select($"doc_id", wsTokens($"text").as("toks"))
       .select($"doc_id", size($"toks").cast("long").as("n_words"), enc($"toks").as("sub"))
-      .select($"doc_id", $"n_words", size($"sub").cast("long").as("n_subwords"),
-        xxhash64($"sub").as("stream_hash"))
-      .orderBy($"doc_id")
   }
 
   /** (doc_id, g) bigram instances of a documents frame — the map-side

@@ -38,18 +38,24 @@ object SampleQueries {
     * top-k keys per group are a weight-proportional sample, here top-5
     * per language weighted by document length. Map-side key
     * computation + the same two-phase top-k discipline as every other
-    * per-group selection. Rows oracle (pow ulps aren't stable
-    * cross-engine); WeightedSampleSpec recomputes the identical
-    * formula driver-side and pins the exact selection, plus the
-    * weight-skew property. */
+    * per-group selection. HASH-gated as of r11: the draw comes from
+    * sha256 (bit-identical in DuckDB, the q_sample_deterministic
+    * argument — the old xxhash64 draw had no oracle-side equivalent),
+    * 52 hex-parsed bits → u in (0,1), and the oracle restates
+    * pow(u, 1/w) verbatim; the es_key itself is not an output column,
+    * so only the per-group ORDER must agree, and adjacent keys sit
+    * ~1/n apart — 11 orders of magnitude above any pow ULP wobble.
+    * WeightedSampleSpec still re-derives the selection driver-side and
+    * pins the weight-skew property. */
   def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 5
     val keyed = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", length($"text").cast("double").as("w"),
-        // u in (0, 1): (52 hash bits + 1) over 2^52 + 2 — never 0,
+        // u in (0, 1): (52 sha bits + 1) over 2^52 + 2 — never 0,
         // never 1 (WeightedSampleSpec re-derives this exact formula)
-        ((pmod(xxhash64($"doc_id"), lit(1L << 52)) + 1.0) / (Math.pow(2, 52) + 2))
+        ((conv(substring(sha2($"doc_id".cast("string"), 256), 1, 13), 16, 10)
+          .cast("long") + 1.0) / (Math.pow(2, 52) + 2))
           .as("u"))
       // Efraimidis-Spirakis is defined for w > 0: a zero-length or
       // NULL text has no selection mass, and 1/w on w=0 is an ANSI

@@ -51,6 +51,43 @@ class BpeSpec extends SparkSpec {
     assert(merges.isEmpty, s"singleton pairs must not merge: $merges")
   }
 
+  test("string-replace merge replay == Bpe.encode on every corpus word (the oracle's algorithm)") {
+    // the DuckDB oracle for the fixture gate replays each merge as ONE
+    // string replace over a chr(31)-wrapped symbol string; Java's
+    // String.replace is the same left-to-right non-overlapping scan
+    // SQL replace performs, so this pins the equivalence the oracle
+    // relies on — over the REAL corpus vocabulary plus the adversarial
+    // shapes (repeated symbols, chained merges, astral code points)
+    val S = "\u001f"
+    def wrap(w: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        sb.append(S).append(w.substring(i, i + n)).append(S)
+        i += n
+      }
+      sb.toString
+    }
+    def encodeByReplace(w: String, merges: Seq[Bpe.Merge]): Vector[String] = {
+      var s = wrap(w)
+      merges.foreach { case (a, b) =>
+        s = s.replace(S + a + S + S + b + S, S + a + b + S)
+      }
+      if (s.isEmpty) Vector.empty
+      else s.stripPrefix(S).stripSuffix(S).split(S + S, -1).toVector
+    }
+    val merges = graft.operators.CorpusQueries.FixtureMerges
+    val words = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextFunctions.wsTokens($"text")).as("w"))
+      .distinct().as[String].collect().toSeq ++
+      Seq("aaa", "thee", "another", "ther", "anand", "a\uD83D\uDE42b", "x")
+    words.foreach { w =>
+      assert(encodeByReplace(w, merges) === Bpe.encode(w, merges),
+        s"replace-replay diverged from Bpe.encode on: $w")
+    }
+  }
+
   test("textBpeEncode output: counts consistent, digest pins the segmentation") {
     val got = graft.operators.CorpusQueries.textBpeEncode(spark, sf)
       .as[(Long, Long, Long, Long)].collect()

@@ -10,9 +10,15 @@ import graft.operators.SampleQueries
 class WeightedSampleSpec extends SparkSpec {
   import spark.implicits._
 
-  private def u(h: Long): Double = {
-    val m = 1L << 52
-    ((h % m + m) % m + 1.0) / (Math.pow(2, 52) + 2)
+  // the r11 sha-based draw, re-derived with ZERO Spark expressions:
+  // first 13 hex chars of sha256(id-as-decimal-string), parsed as 52
+  // bits — the same arithmetic the DuckDB oracle states
+  private def u(id: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 13), 16) + 1.0) /
+      (Math.pow(2, 52) + 2)
   }
 
   test("selection equals a driver-side recomputation of the ES keys") {
@@ -26,12 +32,11 @@ class WeightedSampleSpec extends SparkSpec {
     // NULL-text corpora
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"lang",
-        coalesce(length($"text").cast("long"), lit(0L)).as("w"),
-        xxhash64($"doc_id").as("h"))
-      .as[(Long, String, Long, Long)].collect()
+        coalesce(length($"text").cast("long"), lit(0L)).as("w"))
+      .as[(Long, String, Long)].collect()
       .filter(_._3 > 0)
     val expected = docs.groupBy(_._2).map { case (l, ds) =>
-      l -> ds.map { case (id, _, w, h) => (id, math.pow(u(h), 1.0 / w)) }
+      l -> ds.map { case (id, _, w) => (id, math.pow(u(id), 1.0 / w)) }
         .sortBy { case (id, key) => (-key, id) }.take(5).map(_._1).toSeq
     }
     assert(got == expected)
