@@ -26,8 +26,10 @@ object UrlQueries {
   /** Documents per domain kept by the cap. */
   val DomainCap = 3
 
-  /** Deterministic per-doc URL with adversarial parse shapes. */
-  private def urlCol(src: Column, id: Column): Column = {
+  /** Deterministic per-doc URL with adversarial parse shapes (exposed
+    * to UrlSpec so the full-PSL lookup can be pinned equal to the
+    * embedded regex on exactly the gate corpus's host shapes). */
+  private[graft] def urlCol(src: Column, id: Column): Column = {
     val idStr = id.cast("string")
     val v = pmod(id, lit(7))
     when(v === 0, concat(lit("https://www."), src, lit(".com/articles/"), idStr))

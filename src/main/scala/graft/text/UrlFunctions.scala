@@ -36,8 +36,9 @@ object UrlFunctions {
     * [[registrableDomain]] (representative PSL subset; see scope note
     * above). */
   val MultiLabelSuffixes: Seq[String] = Seq(
-    // uk
-    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    // uk (sch.uk is a WILDCARD rule in the real list — caught by the
+    // r11 full-table pin, moved to WildcardSuffixBases)
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
     "ac.uk", "gov.uk", "nhs.uk", "police.uk",
     // au
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
@@ -82,7 +83,10 @@ object UrlFunctions {
     "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id", "mil.id",
     "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "ngo.ph",
     "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
-    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th", "mi.th")
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th", "mi.th",
+    // ye (the real list has concrete second-levels, NOT *.ye — caught
+    // by the r11 full-table pin)
+    "com.ye", "edu.ye", "gov.ye", "net.ye", "mil.ye", "org.ye")
 
   /** Wildcard rule bases — PSL `*.<base>` rules: EVERY label directly
     * under the base is itself a public suffix, so the registrable
@@ -91,8 +95,8 @@ object UrlFunctions {
     * plus the Japanese city wildcards (which exercise multi-label
     * bases). */
   val WildcardSuffixBases: Seq[String] = Seq(
-    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg", "ye",
-    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+    "sch.uk", "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
     "sapporo.jp", "sendai.jp", "yokohama.jp")
 
   /** Exception rules — PSL `!<host>`: the named host IS registrable
@@ -172,6 +176,42 @@ object UrlFunctions {
       .when(host.rlike(s"\\.($wild1Alt)$$"), orHost(last3))
       .when(host.rlike(s"(^|\\.)($multiSuffixAlt)$$"), orHost(last3))
       .otherwise(orHost(last2))
+  }
+
+  /** Registrable domain under the COMPLETE public-suffix table — the
+    * production swap the embedded-subset docs promise, in the form
+    * that survives the swap: per-width membership probes instead of a
+    * ~9.5k-literal alternation regex (pattern size is not free in
+    * codegen; a hash-set probe is O(1) per row regardless of table
+    * size — Catalyst rewrites a >10-literal `isin` to a codegen'd
+    * InSet).
+    *
+    * Same PSL algorithm and precedence as [[registrableDomain]]:
+    * exceptions (longest first) beat everything; then the longest
+    * matching rule, where a normal w-label rule keeps w+1 labels and a
+    * wildcard `*.base` (base w-1 labels) is a w-label rule keeping
+    * w+1; then the implicit `*` default keeps 2. `substring_index`
+    * returns the WHOLE host when it has fewer labels than asked —
+    * exactly the "host IS a public suffix → return itself" fallback
+    * the regex form gets from orHost, and a k-label rule can never
+    * spuriously match a shorter host (string equality implies equal
+    * dot counts). UrlSpec pins this equal to the regex form on every
+    * embedded rule class and on the gate corpus's host shapes. */
+  def registrableDomainFull(host: Column, rules: graft.text.Psl.Rules): Column = {
+    def lastK(k: Int): Column = substring_index(host, ".", -k)
+    val excBranches = rules.exceptions.toSeq.sortBy(-_._1).map { case (w, hs) =>
+      (lastK(w).isin(hs: _*), lastK(w))
+    }
+    val ruleBranches = (rules.maxWidth to 1 by -1).flatMap { w =>
+      val conds = Seq(
+        rules.normal.get(w).map(ns => lastK(w).isin(ns: _*)),
+        rules.wildcardBases.get(w - 1).map(bs => lastK(w - 1).isin(bs: _*))
+      ).flatten
+      conds.reduceOption(_ || _).map(c => (c, lastK(w + 1)))
+    }
+    (excBranches ++ ruleBranches)
+      .foldLeft(when(isIpv4(host), host)) { case (acc, (c, v)) => acc.when(c, v) }
+      .otherwise(lastK(2))
   }
 
   private val TrackingParam = "(utm_[A-Za-z0-9_]*|fbclid|gclid)"

@@ -206,4 +206,52 @@ class UrlSpec extends SparkSpec {
     assert(domains.exists(_.startsWith("192.168.")), "IP domain missing")
     assert(domains.exists(_.endsWith(".co.uk")), "multi-label suffix missing")
   }
+
+  test("FULL public-suffix table (9.5k rules) == embedded regex on every gate and rule-class host") {
+    import graft.text.{Psl, UrlFunctions}
+    val rules = Psl.load()
+    assert(rules.ruleCount > 9000, s"full PSL should parse ~9.5k rules, got ${rules.ruleCount}")
+    assert(rules.maxWidth === 5)
+    // battery 1: every host shape the embedded rule classes recognize
+    // (normal multi-label, wildcard base/under/deep, exception hosts,
+    // IPs, punycode, bare suffixes, single labels, non-hosts) — the
+    // full list contains all of the embedded subset's rules, so the
+    // two forms must agree exactly on these
+    val classHosts =
+      UrlFunctions.MultiLabelSuffixes.flatMap(s => Seq(s"www.x.$s", s"x.$s", s)) ++
+      UrlFunctions.WildcardSuffixBases.flatMap(b => Seq(s"a.b.$b", s"b.$b", b)) ++
+      UrlFunctions.ExceptionRules.flatMap(e => Seq(s"www.$e", e)) ++
+      Seq("www.example.com", "example.com", "com", "a.b.c.example.org",
+        "192.168.3.7", "999.1.1.1", "cdn.xn--src5-4ab.com", "", "localhost")
+    val cmp = classHosts.toDF("host")
+      .select($"host",
+        UrlFunctions.registrableDomain($"host").as("regex"),
+        UrlFunctions.registrableDomainFull($"host", rules).as("lookup"))
+      .collect()
+    val bad = cmp.filter(r => r.getString(1) != r.getString(2))
+    assert(bad.isEmpty, "full-table lookup diverged from embedded regex on: " +
+      bad.map(r => s"${r.getString(0)} (${r.getString(1)} vs ${r.getString(2)})").mkString(", "))
+    // battery 2: the gate corpus's actual hosts (every urlCol shape)
+    val gateCmp = Tables.documents(spark, sf)
+      .select(UrlFunctions.urlHost(
+        graft.operators.UrlQueries.urlCol(coalesce($"source", lit("")), $"doc_id")).as("host"))
+      .distinct()
+      .select($"host",
+        UrlFunctions.registrableDomain($"host").as("regex"),
+        UrlFunctions.registrableDomainFull($"host", rules).as("lookup"))
+      .collect()
+    assert(gateCmp.nonEmpty)
+    val gateBad = gateCmp.filter(r => r.getString(1) != r.getString(2))
+    assert(gateBad.isEmpty, "full-table lookup diverged on gate hosts: " +
+      gateBad.take(5).map(r => s"${r.getString(0)}").mkString(", "))
+    // battery 3: full-list-ONLY behavior the subset cannot see — pins
+    // that the lookup really consults the complete table (a 2-label
+    // private-section rule and a deep wildcard)
+    val fullOnly = Seq("user.github.io" -> "user.github.io",
+      "a.user.github.io" -> "user.github.io")
+    val got = fullOnly.map(_._1).toDF("host")
+      .select(UrlFunctions.registrableDomainFull($"host", rules)).as[String].collect()
+    assert(got.toSeq === fullOnly.map(_._2),
+      s"github.io (full-list-only rule) lookup: ${got.toSeq}")
+  }
 }
