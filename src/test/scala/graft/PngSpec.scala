@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{Multimodal, Png}
+
+/** Pins the r11 zero-dependency PNG fast path against the JDK codec:
+  * the fast DECODER must reproduce ImageIO's pixels bit-exactly on
+  * ImageIO-encoded bytes (the multimodal_pipeline corpus), the fast
+  * ENCODER's bytes must decode back to the exact raster under BOTH
+  * decoders, and anything outside the fast path's format envelope —
+  * corrupt, truncated, or non-truecolor bytes — must return null so
+  * the ImageIO fallback (and the operators' degrade-to-zero-stats
+  * contract) still governs.
+  */
+class PngSpec extends AnyFunSuite {
+
+  private def imageIoPixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth; val h = img.getHeight
+    (w, h, img.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xffffff))
+  }
+
+  test("fast decode == ImageIO pixels on ImageIO-encoded PNGs (all gate sizes)") {
+    for (id <- Seq(0L, 1L, 17L, 997L); (w, h) <- Seq((16, 16), (63, 47), (96, 16))) {
+      val bytes = Multimodal.encodePng(id, w, h) // the ImageIO encoder
+      val ras = Png.decodeRgb(bytes)
+      assert(ras != null, s"fast path must handle ImageIO PNG output ($w x $h)")
+      val (iw, ih, ipx) = imageIoPixels(bytes)
+      assert((ras.w, ras.h) === ((iw, ih)))
+      assert(ras.px.map(_ & 0xffffff).toSeq === ipx.toSeq, s"pixels diverge at $w x $h id=$id")
+    }
+  }
+
+  test("fast encode round-trips bit-exactly under BOTH decoders") {
+    for (id <- Seq(3L, 500L); (w, h) <- Seq((16, 16), (41, 29))) {
+      def pixel(x: Int, y: Int) = Multimodal.phashPixelChannels(id, x, y)
+      val bytes = Png.encodeRgbFast(w, h, pixel)
+      // truth raster from the pixel function
+      val truth = (0 until h).flatMap(y => (0 until w).map(x => {
+        val (r, g, b) = pixel(x, y); (r << 16) | (g << 8) | b
+      }))
+      val ras = Png.decodeRgb(bytes)
+      assert(ras != null && ras.w == w && ras.h == h)
+      assert(ras.px.toSeq === truth)
+      // the JDK decoder agrees — proves the fast encoder emits a
+      // conformant PNG, not just one our own decoder accepts
+      val (iw, ih, ipx) = imageIoPixels(bytes)
+      assert((iw, ih) === ((w, h)))
+      assert(ipx.toSeq === truth)
+    }
+  }
+
+  test("out-of-envelope payloads return null (fallback governs)") {
+    assert(Png.decodeRgb(null) == null)
+    assert(Png.decodeRgb(Array.emptyByteArray) == null)
+    assert(Png.decodeRgb("definitely not a png".getBytes) == null)
+    val good = Png.encodeRgbFast(20, 20, (x, y) => (x, y, x + y))
+    assert(Png.decodeRgb(good.take(40)) == null, "truncated mid-chunk")
+    assert(Png.decodeRgb(good.take(good.length - 8)) == null, "missing IEND tail")
+    val zlibCorrupt = good.clone()
+    zlibCorrupt(60) = (zlibCorrupt(60) ^ 0x5a).toByte // inside IDAT body
+    // either the inflate fails (null) or it survives the bit flip as
+    // garbage pixels — the contract here is only that it never throws
+    Png.decodeRgb(zlibCorrupt)
+    // a GRAYSCALE png (color type 0) must be rejected by the fast path
+    // and still decode through ImageIO: build one via the JDK encoder
+    val gray = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", bos)
+    assert(Png.decodeRgb(bos.toByteArray) == null, "grayscale must fall back")
+  }
+
+  test("dHash64 over the fast raster == dHash64 over the BufferedImage") {
+    for (id <- Seq(7L, 123L); (w, h) <- Seq((24, 18), (61, 33))) {
+      val bytes = Png.encodeRgbFast(w, h, (x, y) => Multimodal.phashPixelChannels(id, x, y))
+      val ras = Png.decodeRgb(bytes)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(Multimodal.dHash64(ras) === Multimodal.dHash64(img))
+    }
+  }
+}
