@@ -147,12 +147,11 @@ object CorpusQueries {
     * anyway. */
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docGrams = bigramInstances(Tables.widened(Tables.documents(spark, dir)))
-      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+    val docGrams = hashedDocGramCounts(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model =
-      lmBigramModelFromCounts(docGrams.groupBy($"g").agg(sum($"cnt").as("c2")))
-    val scored = docGrams.join(model, "g")
+    val model = hashedModelFromCounts(
+      docGrams.groupBy($"gh", $"w1h").agg(sum($"cnt").as("c2")))
+    val scored = docGrams.join(model, "gh")
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_bigrams"), sum($"cnt" * $"bp").as("sum_bp"))
       .select($"doc_id", $"n_bigrams", $"sum_bp",
@@ -164,6 +163,36 @@ object CorpusQueries {
     scored.count()
     docGrams.unpersist()
     graft.CacheLedger.register("text_lm_score", scored).orderBy($"doc_id")
+  }
+
+  /** Hashed-gram per-doc counts (doc_id, gh, w1h, cnt) — the r11
+    * optimization of the lm-score pipeline's shuffle/aggregate keys:
+    * every downstream grouping and join keys on 64-bit xxhash64 values
+    * instead of bigram STRINGS (hash-aggregate probes and join
+    * comparisons on longs, not UTF8String), exactly the dedup family's
+    * hashed-shingle posture and the same negligible-collision
+    * arithmetic (~n·2^-64; the sf0.01 hash gate agrees). w1h — the
+    * hash of the left context — is carried from the map side because
+    * it cannot be derived from gh; it is a function of gh's preimage,
+    * so adding it to grouping keys creates no extra groups. */
+  private def hashedDocGramCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bigramInstances(Tables.widened(Tables.documents(spark, dir)))
+      .select($"doc_id", xxhash64($"g").as("gh"),
+        xxhash64(substring_index($"g", " ", 1)).as("w1h"))
+      .groupBy($"doc_id", $"gh", $"w1h").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[lmBigramModelFromCounts]] restated over hashed gram keys: bp =
+    * floor(10000·c2/c1) with c1 summing the FULL table per left
+    * context before any head threshold — identical arithmetic, long
+    * keys. */
+  private def hashedModelFromCounts(c2: DataFrame, minCount: Long = 1L): DataFrame = {
+    import c2.sparkSession.implicits._
+    val c1 = c2.groupBy($"w1h").agg(sum($"c2").as("c1"))
+    c2.filter($"c2" >= minCount)
+      .join(c1, "w1h")
+      .select($"gh", floor(lit(10000L) * $"c2" / $"c1").cast("long").as("bp"))
   }
 
   /** CCNet-style quality bucketing: split each language's corpus into
@@ -495,14 +524,13 @@ object CorpusQueries {
   def textLmScoreHead(
       spark: SparkSession, dir: String, minCount: Long = 2L): DataFrame = {
     import spark.implicits._
-    val docGrams = bigramInstances(Tables.widened(Tables.documents(spark, dir)))
-      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+    val docGrams = hashedDocGramCounts(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val head = lmBigramModelFromCounts(
-      docGrams.groupBy($"g").agg(sum($"cnt").as("c2")), minCount)
+    val head = hashedModelFromCounts(
+      docGrams.groupBy($"gh", $"w1h").agg(sum($"cnt").as("c2")), minCount)
     // materialize-then-release (the dedup-family discipline); the
     // returned frame stays persisted, ledger-registered for callers
-    val scored = scoreUnderHead(docGrams, head)
+    val scored = scoreUnderHeadKeyed(docGrams, head, "gh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count()
     docGrams.unpersist()
@@ -512,16 +540,21 @@ object CorpusQueries {
   /** The one scoring plan every head-model variant shares: per-doc
     * gram counts left-joined to the BROADCAST head (the corpus side
     * never shuffles for the model), absent grams scoring 0 bp without
-    * leaving the n_bigrams denominator. */
-  private def scoreUnderHead(docGrams: DataFrame, model: DataFrame): DataFrame = {
+    * leaving the n_bigrams denominator. `key` is "gh" on the hashed
+    * fast path and "g" for the string-keyed persisted-model path. */
+  private def scoreUnderHeadKeyed(
+      docGrams: DataFrame, model: DataFrame, key: String): DataFrame = {
     import docGrams.sparkSession.implicits._
-    docGrams.join(broadcast(model.select($"g", $"bp")), Seq("g"), "left")
+    docGrams.join(broadcast(model.select(col(key), $"bp")), Seq(key), "left")
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_bigrams"),
         sum($"cnt" * coalesce($"bp", lit(0L))).as("sum_bp"))
       .select($"doc_id", $"n_bigrams", $"sum_bp",
         floor($"sum_bp" / $"n_bigrams").cast("long").as("avg_bp"))
   }
+
+  private def scoreUnderHead(docGrams: DataFrame, model: DataFrame): DataFrame =
+    scoreUnderHeadKeyed(docGrams, model, "g")
 
   /** Training half of the LM-head train/serve split: fit the
     * thresholded bigram head alone (one corpus scan), e.g. to persist

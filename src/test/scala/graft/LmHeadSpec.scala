@@ -19,6 +19,20 @@ class LmHeadSpec extends SparkSpec {
     CacheLedger.releaseAll()
   }
 
+  test("hashed-gram pipeline == the string-keyed model path (r11 key swap)") {
+    // textLmScoreHeadWith(trainLmHead(minCount=1)) is the STRING-keyed
+    // pipeline end to end (trainLmHead groups bigram strings, the
+    // scoring join keys on g); textLmScore is the r11 hashed-key fast
+    // path. Equality pins that switching every grouping/join key to
+    // xxhash64 longs changed nothing observable.
+    val viaStrings = CorpusQueries
+      .textLmScoreHeadWith(spark, sf, CorpusQueries.trainLmHead(spark, sf, minCount = 1L))
+      .collect().toSet
+    val hashed = CorpusQueries.textLmScore(spark, sf).collect().toSet
+    assert(viaStrings === hashed)
+    CacheLedger.releaseAll()
+  }
+
   test("head error is one-sided and exactly the tail mass; n_bigrams unchanged") {
     val minCount = 2L
     val exact = CorpusQueries.textLmScore(spark, sf)
