@@ -72,6 +72,37 @@ class PngSpec extends AnyFunSuite {
     assert(Png.decodeRgb(bos.toByteArray) == null, "grayscale must fall back")
   }
 
+  test("multi-IDAT streams decode bit-exactly (JDK writer chunks IDAT at 8 KB)") {
+    // a large high-frequency image compresses to well over one 8 KB
+    // IDAT chunk under the JDK encoder, exercising the fast decoder's
+    // streaming-span inflate (no single-IDAT assumption)
+    val (w, h) = (320, 240)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = Multimodal.phashPixelChannels(9001L, x, y)
+      px(y * w + x) = (r << 16) | (g << 8) | b
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    // count IDAT chunks to prove the case actually covers >1
+    var p = 8; var idats = 0
+    while (p + 8 <= bytes.length) {
+      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      if (bytes(p + 4) == 'I' && bytes(p + 5) == 'D' &&
+          bytes(p + 6) == 'A' && bytes(p + 7) == 'T') idats += 1
+      p += 12 + len
+    }
+    assert(idats > 1, s"fixture must have multiple IDAT chunks, got $idats")
+    val ras = Png.decodeRgb(bytes)
+    assert(ras != null && ras.w == w && ras.h == h)
+    assert(ras.px.toSeq === px.toSeq)
+  }
+
   test("dHash64 over the fast raster == dHash64 over the BufferedImage") {
     for (id <- Seq(7L, 123L); (w, h) <- Seq((24, 18), (61, 33))) {
       val bytes = Png.encodeRgbFast(w, h, (x, y) => Multimodal.phashPixelChannels(id, x, y))
