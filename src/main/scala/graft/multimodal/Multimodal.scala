@@ -64,10 +64,19 @@ object Multimodal {
     * any SQL engine, which is what lets a REAL codec roundtrip sit
     * under a hash-exact gate: the oracle enumerates the pixel grid
     * arithmetically while Spark actually encodes and decodes bytes. */
-  def pixelChannels(mediaId: Long, x: Int, y: Int): (Int, Int, Int) = (
-    ((mediaId * 7 + 3L * x + 5L * y) % 256).toInt,
-    ((mediaId * 11 + 5L * x + 7L * y) % 256).toInt,
-    ((mediaId * 13 + 7L * x + 11L * y) % 256).toInt)
+  def pixelChannels(mediaId: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val p = pixelPacked(mediaId, x, y)
+    ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+  }
+
+  /** [[pixelChannels]] as one packed 0xRRGGBB int — the corpus-encode
+    * hot path's form (a tuple would box per PIXEL; Function2[Int,Int]
+    * -> Int stays primitive). The tuple variant delegates here so the
+    * two can never drift. */
+  def pixelPacked(mediaId: Long, x: Int, y: Int): Int =
+    ((((mediaId * 7 + 3L * x + 5L * y) % 256).toInt) << 16) |
+      ((((mediaId * 11 + 5L * x + 7L * y) % 256).toInt) << 8) |
+      (((mediaId * 13 + 7L * x + 11L * y) % 256).toInt)
 
   /** Encode the deterministic test image as real PNG bytes via the
     * JDK's ImageIO. TYPE_INT_RGB + PNG is lossless, so a decode must
@@ -414,10 +423,17 @@ object Multimodal {
     * otherwise repeat rasters every 3072 ids and turn exact-dup
     * classes quadratic at scale. Still pure integer arithmetic — the
     * oracle enumerates it verbatim. */
-  def phashPixelChannels(mediaId: Long, x: Int, y: Int): (Int, Int, Int) = (
-    ((mediaId * 7 + 73L * x + 151L * y + 29L * x * y + mediaId % 997) % 256).toInt,
-    ((mediaId * 11 + 97L * x + 131L * y + 41L * x * y + mediaId % 991) % 256).toInt,
-    ((mediaId * 13 + 59L * x + 173L * y + 37L * x * y + mediaId % 983) % 256).toInt)
+  def phashPixelChannels(mediaId: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val p = phashPixelPacked(mediaId, x, y)
+    ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+  }
+
+  /** [[phashPixelChannels]] as one packed 0xRRGGBB int (see
+    * [[pixelPacked]] for why the hot encode path avoids the tuple). */
+  def phashPixelPacked(mediaId: Long, x: Int, y: Int): Int =
+    ((((mediaId * 7 + 73L * x + 151L * y + 29L * x * y + mediaId % 997) % 256).toInt) << 16) |
+      ((((mediaId * 11 + 97L * x + 131L * y + 41L * x * y + mediaId % 991) % 256).toInt) << 8) |
+      (((mediaId * 13 + 59L * x + 173L * y + 37L * x * y + mediaId % 983) % 256).toInt)
 
   /** Encode an arbitrary deterministic pixel function as real PNG
     * bytes. r11: delegates to the fast zero-dependency encoder

@@ -172,7 +172,16 @@ object Png {
     * type 2, filter 0 on every row, one IDAT, deflate BEST_SPEED.
     * Decoded pixels are identical to any conformant encoder's for the
     * same raster (PNG is lossless); only the byte stream differs. */
-  def encodeRgbFast(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+  def encodeRgbFast(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeRgbFastPacked(w, h, (x, y) => {
+      val (r, g, b) = pixel(x, y); (r << 16) | (g << 8) | b
+    })
+
+  /** [[encodeRgbFast]] with a packed-0xRRGGBB pixel function — the hot
+    * corpus encoders use this form because a `(Int, Int, Int)` tuple
+    * allocates per PIXEL (billions of boxes over an sf10 corpus); a
+    * packed int stays primitive through the specialized Function2. */
+  def encodeRgbFastPacked(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
     val rowBytes = 1 + 3 * w
     val raw = new Array[Byte](rowBytes * h)
     var y = 0
@@ -180,8 +189,8 @@ object Png {
       var o = y * rowBytes + 1 // filter byte 0 already zero
       var x = 0
       while (x < w) {
-        val (r, g, b) = pixel(x, y)
-        raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = b.toByte
+        val p = pixel(x, y)
+        raw(o) = (p >> 16).toByte; raw(o + 1) = (p >> 8).toByte; raw(o + 2) = p.toByte
         o += 3; x += 1
       }
       y += 1

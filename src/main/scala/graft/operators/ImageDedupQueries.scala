@@ -57,11 +57,13 @@ object ImageDedupQueries {
           $"w", $"h", lit(1).as("sc"), lit(true).as("pert")))
       .as[(Long, Long, Int, Int, Int, Boolean)]
     variants.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
       rows.map { case (id, b, w, h, sc, pert) =>
-        val bytes = Multimodal.encodePngPixels(w * sc, h * sc, (x, y) => {
-          val (r, g, bl) = Multimodal.phashPixelChannels(b, x / sc, y / sc)
-          if (pert && x < 4 && y < 4) (255 - r, 255 - g, 255 - bl) else (r, g, bl)
+        // packed-int pixel fn: a (r,g,b) tuple boxes per PIXEL —
+        // billions of allocations over an sf10 corpus (255-c per
+        // channel == ~p masked to 24 bits)
+        val bytes = graft.multimodal.Png.encodeRgbFastPacked(w * sc, h * sc, (x, y) => {
+          val p = Multimodal.phashPixelPacked(b, x / sc, y / sc)
+          if (pert && x < 4 && y < 4) ~p & 0xffffff else p
         })
         (id, bytes)
       }

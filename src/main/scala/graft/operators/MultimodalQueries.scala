@@ -63,8 +63,8 @@ object MultimodalQueries {
     // unfilter pass (Png.decodeRgb, ImageIO fallback).
     val encoded = media.mapPartitions { rows =>
       rows.map { case (id, w, h) =>
-        (id, graft.multimodal.Png.encodeRgbFast(w, h,
-          (x, y) => Multimodal.pixelChannels(id, x, y)))
+        (id, graft.multimodal.Png.encodeRgbFastPacked(w, h,
+          (x, y) => Multimodal.pixelPacked(id, x, y)))
       }
     }
     Multimodal.decodeImageStats(encoded).toDF().orderBy($"media_id")
@@ -92,8 +92,8 @@ object MultimodalQueries {
     // multimodalDecode — only decoded pixels are observable here
     val encoded = media.mapPartitions { rows =>
       rows.map { case (id, w, h) =>
-        (id, graft.multimodal.Png.encodeRgbFast(w, h,
-          (x, y) => Multimodal.pixelChannels(id, x, y)))
+        (id, graft.multimodal.Png.encodeRgbFastPacked(w, h,
+          (x, y) => Multimodal.pixelPacked(id, x, y)))
       }
     }
     Multimodal.decodeResizeStats(encoded, maxSide = 16).toDF()
