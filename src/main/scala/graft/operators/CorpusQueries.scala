@@ -171,7 +171,10 @@ object CorpusQueries {
     * instead of bigram STRINGS (hash-aggregate probes and join
     * comparisons on longs, not UTF8String), exactly the dedup family's
     * hashed-shingle posture and the same negligible-collision
-    * arithmetic (~n·2^-64; the sf0.01 hash gate agrees). w1h — the
+    * arithmetic (~n·2^-64; the sf0.01 hash gate agrees — note a gh
+    * collision between distinct grams would yield two model rows for
+    * one join key, DUPLICATING that gram's scoring rows, not merely
+    * merging counts). w1h — the
     * hash of the left context — is carried from the map side because
     * it cannot be derived from gh; it is a function of gh's preimage,
     * so adding it to grouping keys creates no extra groups. */
@@ -595,7 +598,18 @@ object CorpusQueries {
     * corpus scan like its inline twin, not two (the model still
     * round-trips through parquet; only the gram frame is shared, which
     * a real train-then-serve deployment would checkpoint the same
-    * way). */
+    * way).
+    *
+    * The SCORING join keys on xxhash64 longs (r12): the persisted
+    * (g string, bp) artifact is untouched — that contract is what the
+    * gate proves — but once the model is LOADED, both sides project
+    * `gh = xxhash64(g)` map-side and the broadcast join probes on
+    * longs instead of UTF8Strings (the r11 textLmScore key posture,
+    * same ~n·2^-64 collision arithmetic; note a gh collision would
+    * duplicate scoring join rows for the colliding gram, not just
+    * merge counts — the sf0.01 hash gate computing with strings
+    * pins parity). Training still consumes the string-keyed counts,
+    * so the shared gram frame keeps `g`. */
   def textLmScoreHeadServed(spark: SparkSession, dir: String, minCount: Long = 2L): DataFrame = {
     import spark.implicits._
     val path = s"/tmp/graft_io/lm_head_${math.abs(dir.hashCode)}"
@@ -604,7 +618,10 @@ object CorpusQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.io.ModelIO.saveLmHead(lmBigramModelFromCounts(
       docGrams.groupBy($"g").agg(sum($"cnt").as("c2")), minCount), path)
-    val scored = scoreUnderHead(docGrams, graft.io.ModelIO.loadLmHead(spark, path))
+    val scored = scoreUnderHeadKeyed(
+      docGrams.withColumn("gh", xxhash64($"g")),
+      graft.io.ModelIO.loadLmHead(spark, path).select(xxhash64($"g").as("gh"), $"bp"),
+      "gh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count()
     docGrams.unpersist()
