@@ -244,19 +244,30 @@ object MultimodalQueries {
     val features = Multimodal.decodeAndFeaturize(media)
 
     // resize is metadata math — planned from the meta frame so the
-    // encode stage runs ONCE (through the features side), not twice
-    val resized = Multimodal.resizePlan(realMediaMeta(spark, dir), maxSide = 256)
-      .select($"media_id", $"out_width", $"out_height")
+    // encode stage runs ONCE (through the features side), not twice.
+    // r12: the features×resize join moved ABOVE the per-kind
+    // aggregates — the old media_id join shuffled the corpus-sized
+    // feature frame against the corpus-sized resize plan only to sum
+    // out_width+out_height per kind; both sides aggregate to one row
+    // per kind independently (the feature agg keys identically, the
+    // resize agg is pure column math over the meta scan), so the join
+    // now carries 3 rows a side instead of the corpus (guide §2.4:
+    // aggregate before you shuffle / join small proxies). Row-for-row
+    // identical: every media_id appears exactly once on each side, so
+    // per-kind counts and sums are unchanged (PipelineSpec pins
+    // old-shape == new-shape on a mixed corpus).
+    val perKindResize = Multimodal.resizePlan(realMediaMeta(spark, dir), maxSide = 256)
+      .groupBy($"kind")
+      .agg(sum($"out_width" + $"out_height").cast("long").as("resize_checksum"))
 
     features.toDF()
-      .join(resized, "media_id")
       .groupBy($"kind")
       .agg(
         count(lit(1)).as("n"),
         sum($"n_bytes").as("total_bytes"),
         xxhash64(sort_array(collect_list(struct($"media_id", $"hist_digest")))).as("digest"),
-        sum($"frames_sampled").cast("long").as("frames"),
-        sum($"out_width" + $"out_height").cast("long").as("resize_checksum"))
+        sum($"frames_sampled").cast("long").as("frames"))
+      .join(perKindResize, "kind")
       .orderBy($"kind")
   }
 }

@@ -337,4 +337,34 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val h1 = truth(3L, 17, 23); val h2 = truth(4L, 63, 20)
     assert(java.lang.Long.bitCount(h1 ^ h2) > 10, "phash grid lacks entropy")
   }
+
+  test("pipeline pre-aggregated join == row-level media_id join (r12 reshape)") {
+    import spark.implicits._
+    // the r12 plan joins two per-kind aggregates instead of shuffling
+    // the corpus-sized feature frame against the resize plan; this pin
+    // replays the OLD row-level formulation over the same sf corpus
+    // and demands cell-identical output
+    val got = graft.operators.MultimodalQueries.multimodalPipeline(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val media = graft.operators.MultimodalQueries.realMediaCorpus(spark, sf)
+    val features = Multimodal.decodeAndFeaturize(media)
+    // old formulation verbatim: row-level media_id join, then one agg
+    // (the resize plan runs over the corpus's own metadata columns —
+    // identical inputs to the meta frame the query plans from)
+    val resizedRows = Multimodal.resizePlan(
+      media.toDF().select($"media_id", $"kind", $"width", $"height"), maxSide = 256)
+      .select($"media_id", $"out_width", $"out_height")
+    val old = features.toDF()
+      .join(resizedRows, "media_id")
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"n_bytes").as("total_bytes"),
+        xxhash64(sort_array(collect_list(struct($"media_id", $"hist_digest")))).as("digest"),
+        sum($"frames_sampled").cast("long").as("frames"),
+        sum($"out_width" + $"out_height").cast("long").as("resize_checksum"))
+      .orderBy($"kind")
+      .collect().map(_.toSeq).toSeq
+    assert(got === old)
+  }
 }
