@@ -177,18 +177,41 @@ object IoQueries {
         render(min(c), f.dataType).as(s"${f.name}__min"),
         render(max(c), f.dataType).as(s"${f.name}__max"))
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(fields.length + 1)
+    // pool CAPPED at 8 (r12): the §2.6 overlap benefit saturates at a
+    // handful of in-flight jobs — fields.length+1 threads on a
+    // hundreds-of-columns table would submit hundreds of concurrent
+    // full-scan jobs and thrash the scheduler; excess column jobs just
+    // queue on the pool (A/B at k=9: no wall-clock change vs unbounded)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(fields.length + 1, 8))
+    // per-call job group: one failing aggregate must cancel the rest,
+    // not let them run to completion on non-daemon threads (job groups
+    // are thread-local, so each pool task re-tags itself)
+    val group = s"graft-profile-${java.lang.Long.toHexString(System.nanoTime())}"
     val (ndRow, distincts) =
       try {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        val ndF = Future(df.agg(aggsNd.head, aggsNd.tail: _*).collect()(0))
-        val dFs = fields.toSeq.map { f =>
-          Future(df.select(col(f.name))
-            .agg(countDistinct(col(f.name))).collect()(0).getLong(0))
+        def inGroup[T](body: => T): T = {
+          spark.sparkContext.setJobGroup(group, "profileColumns", interruptOnCancel = true)
+          body
         }
-        (Await.result(ndF, Duration.Inf), dFs.map(Await.result(_, Duration.Inf)))
+        val ndF = Future(inGroup(df.agg(aggsNd.head, aggsNd.tail: _*).collect()(0)))
+        val dFs = fields.toSeq.map { f =>
+          Future(inGroup(df.select(col(f.name))
+            .agg(countDistinct(col(f.name))).collect()(0).getLong(0)))
+        }
+        val all = Future.sequence(ndF +: dFs) // fails as soon as any job fails
+        try {
+          val rows = Await.result(all, Duration.Inf)
+          (rows.head.asInstanceOf[org.apache.spark.sql.Row],
+            rows.tail.map(_.asInstanceOf[Long]))
+        } catch { case e: Throwable =>
+          spark.sparkContext.cancelJobGroup(group) // kill in-flight scans
+          pool.shutdownNow()
+          throw e
+        }
       } finally pool.shutdown() // non-daemon workers must not outlive the call
     val nRows = ndRow.getLong(0)
     val out = fields.zipWithIndex.map { case (f, i) =>
