@@ -111,4 +111,35 @@ class PngSpec extends AnyFunSuite {
       assert(Multimodal.dHash64(ras) === Multimodal.dHash64(img))
     }
   }
+
+  test("a tampered zlib Adler-32 trailer is rejected, not decoded to garbage (r12)") {
+    val bytes = Png.encodeRgbFast(20, 15, (x, y) => ((x * 7) % 256, (y * 11) % 256, 40))
+    assert(Png.decodeRgb(bytes) != null, "untampered fixture must decode")
+    // the zlib trailer is the last 4 bytes of the (single) IDAT body;
+    // flipping a bit there leaves the deflate DATA fully inflatable —
+    // exactly the corruption class the r11 decoder silently accepted.
+    // Chunk CRC is deliberately not fixed up: decodeRgb never read it.
+    var p = 8; var idatEnd = -1
+    while (p + 8 <= bytes.length && idatEnd < 0) {
+      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      if (bytes(p + 4) == 'I' && bytes(p + 5) == 'D' &&
+          bytes(p + 6) == 'A' && bytes(p + 7) == 'T') idatEnd = p + 8 + len
+      p += 12 + len
+    }
+    assert(idatEnd > 0)
+    val bad = bytes.clone()
+    bad(idatEnd - 1) = (bad(idatEnd - 1) ^ 0x01).toByte
+    assert(Png.decodeRgb(bad) == null,
+      "corrupt checksum must fall through to the ImageIO fallback")
+  }
+
+  test("encoder size guard: oversized rasters fail loudly, not with a negative array") {
+    intercept[IllegalArgumentException] {
+      Png.encodeRgbFastPacked(46341, 46341, (_, _) => 0) // (1+3w)h overflows Int
+    }
+    intercept[IllegalArgumentException] {
+      Png.encodeRgbFastPacked(0, 10, (_, _) => 0)
+    }
+  }
 }
