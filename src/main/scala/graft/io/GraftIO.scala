@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -174,14 +174,19 @@ object GraftIO {
       : org.apache.spark.sql.DataFrameWriter[T] = format match {
     case Parquet => w.format("parquet")
       .option("compression", if (gzip) "gzip" else "snappy")
+    // member-chunked gzip (see MemberGzip): byte-level framing only —
+    // the file is a standard multi-member gzip stream every reader
+    // (gunzip, GZIPInputStream, Hadoop's GzipCodec) consumes whole,
+    // but the member index makes the READ side splittable, which
+    // plain one-stream gzip text can never be (guide §6)
     case Dsv => w.format("csv")
       .option("sep", sep).option("header", header.toString)
       .option("escape", "\\")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
-      .option("compression", if (gzip) "gzip" else "none")
+      .option("compression", if (gzip) classOf[MemberGzipCodec].getName else "none")
     case JsonLines => w.format("json")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
-      .option("compression", if (gzip) "gzip" else "none")
+      .option("compression", if (gzip) classOf[MemberGzipCodec].getName else "none")
     case Orc => w.format("orc")
       .option("compression", if (gzip) "zlib" else "snappy")
   }
@@ -778,6 +783,64 @@ object GraftIO {
     }
   }
 
+  /** The line dataset behind the member-parallel gzip read: list the
+    * flat directory (driver-side, one listing — same cost the normal
+    * reader pays), probe ONE file for the MemberGzip framing, then
+    * index and decode the members in TASKS: indexing hops headers with
+    * one positioned read per member (no decompression), and decoded
+    * members are spread round-robin so read parallelism is bounded by
+    * member count (~1 MiB each), not file count. None whenever the
+    * layout is not a flat directory of framed .gz files — the caller
+    * falls back to the ordinary reader, which consumes the same bytes
+    * whole (multi-member gzip is still standard gzip). */
+  private def memberSplitLines(
+      spark: SparkSession, path: String, dropHeader: Boolean): Option[Dataset[String]] = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return None
+    val st = fs.getFileStatus(root)
+    val all = if (st.isDirectory) fs.listStatus(root).toSeq else Seq(st)
+    if (all.exists(_.isDirectory)) return None // hive layout: fall back
+    val data = all.filter { f =>
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (data.isEmpty || !data.forall(_.getPath.getName.endsWith(".gz"))) return None
+    // all-or-nothing probe: one header read decides for the directory
+    // (write() produces uniform files; a foreign mixed directory falls
+    // back whole rather than half-splitting)
+    if (MemberGzip.memberIndex(fs, data.head.getPath).isEmpty) return None
+    val names = data.map(_.getPath.toString)
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+    val members = spark.createDataset(names)
+      .repartition(math.min(names.size, spark.sparkContext.defaultParallelism))
+      .flatMap { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val tfs = p.getFileSystem(bc.value.value)
+        MemberGzip.memberIndex(tfs, p)
+          .getOrElse(throw new IllegalStateException(
+            s"not a member-framed gzip file (mixed directory?): $f"))
+          .map(m => (f, m.offset, m.length, m.firstOfFile))
+      }
+    val lines = members
+      // round-robin members over the cluster: each ~1 MiB member is an
+      // independent unit of decompress+parse work
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val conf = bc.value.value
+        it.flatMap { case (f, off, len, first) =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val tfs = p.getFileSystem(conf)
+          val ls = MemberGzip.memberLines(tfs, p, MemberGzip.Member(off, len, first))
+          if (first && dropHeader) ls.drop(1) else ls
+        }
+      }
+    Some(lines)
+  }
+
   /** Read a dataset (single file, directory tree, or glob) written by
     * `write` — or by anything else speaking the same formats.
     *
@@ -809,9 +872,33 @@ object GraftIO {
       // recursiveFileLookup=true disables hive partition discovery, so
       // the resolved schema contains only data-file columns.
       val reader = if (recursive) reader1.option("recursiveFileLookup", "true") else reader1
+      // member-framed gzip text reads member-PARALLEL (r12, guide §6):
+      // a one-stream .gz is one task per file no matter the size; the
+      // MemberGzip framing turns each ~1 MiB member into its own unit
+      // of read work. Engages only for flat directories of framed .gz
+      // files with an explicit schema — everything else (plain gzip,
+      // uncompressed, hive layouts, schema inference) falls through to
+      // the standard reader unchanged.
+      def memberSplit: Option[DataFrame] =
+        if (recursive || schema.isEmpty) None
+        else memberSplitLines(spark, path, dropHeader = header && format == Dsv).map { lines =>
+          format match {
+            case Dsv =>
+              spark.read.schema(schema.get)
+                .option("sep", sep)
+                .option("escape", "\\")
+                .option("nullValue", "__graft_reserved_null__")
+                .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+                .options(options).csv(lines) // header already stripped per file
+            case _ =>
+              spark.read.schema(schema.get)
+                .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+                .options(options).json(lines)
+          }
+        }
       format match {
         case Parquet => reader.options(options).parquet(path)
-        case Dsv =>
+        case Dsv => memberSplit.getOrElse {
           reader
             .option("sep", sep).option("header", header.toString)
             // the writer quotes empty strings (`""`) and leaves nulls as
@@ -823,7 +910,8 @@ object GraftIO {
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
             .option("inferSchema", inferSchema.toString)
             .options(options).csv(path)
-        case JsonLines => reader.options(options).json(path)
+        }
+        case JsonLines => memberSplit.getOrElse(reader.options(options).json(path))
         case Orc       => reader.options(options).orc(path)
       }
     }

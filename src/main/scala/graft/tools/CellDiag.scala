@@ -72,6 +72,36 @@ object CellDiag {
           .write.format("noop").mode("overwrite").save()
         drain.drain("score_join", t0)
         docGrams.unpersist(); model.unpersist()
+      case "zstats" =>
+        // phase split mirrors ioStatsPruneScan exactly (r12: the cell
+        // ran at EXACTLY 1.00x between 8 and 32 cores — attribute the
+        // core-count-independent term)
+        val li = Tables.lineitem(spark, dir)
+          .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_returnflag")
+        val out = s"/tmp/graft_celldiag_zstats_${math.abs(dir.hashCode)}"
+        val files = math.max(16, li.rdd.getNumPartitions / 2)
+        println(s"[diag] files=$files scanParts=${li.rdd.getNumPartitions}")
+        var t0 = System.nanoTime()
+        graft.io.GraftIO.writeZOrdered(li, out,
+          Seq("l_orderkey", "l_partkey"), files = files)
+        drain.drain("zorder_write", t0)
+        t0 = System.nanoTime()
+        val index = graft.io.GraftIO.buildStatsIndex(
+          spark, out, Seq("l_orderkey", "l_partkey"))
+        drain.drain("stats_index", t0)
+        t0 = System.nanoTime()
+        val r = index.agg(min($"min_l_partkey").cast("long"),
+          max($"max_l_partkey").cast("long")).first()
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val (qLo, qHi) = (lo + (hi - lo) * 2 / 5, lo + (hi - lo) * 3 / 5)
+        drain.drain("range_bounds", t0)
+        t0 = System.nanoTime()
+        graft.io.GraftIO.readPruned(spark, index, "l_partkey", qLo, qHi)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").cast("long").as("sum_qty"),
+            sum($"l_orderkey").as("sum_okey"))
+          .collect()
+        drain.drain("pruned_read_agg", t0)
     }
     spark.stop()
   }
