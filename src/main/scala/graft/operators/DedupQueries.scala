@@ -137,6 +137,78 @@ object DedupQueries {
   private[graft] val SketchWords = 8
   private[graft] val SketchMaxS = 32768L
 
+  /** Per-doc verify arrays, rarest-token prefixes, and gram-count
+    * sketch lanes in ONE doc-keyed pass: hash-partition the
+    * df-annotated shingle rows by doc, tungsten-sort each partition on
+    * (doc_id, df, gram), and assemble every doc's primitive long
+    * arrays in a single linear scan — `g` (all s grams; its only
+    * consumer is array_intersect/size, so emission order is free),
+    * `prefix` (the first s - ceil(tau*s) + 1 grams, which under the
+    * global (df, gram) sort are exactly the doc's rarest grams), and
+    * the 8 packed sketch longs (bucket = pmod(gram, 32), lane b of
+    * word w at bit 16·b — see [[SketchWords]]; docs with
+    * s >= [[SketchMaxS]] emit all-zero lanes and skip the prune, as a
+    * 16-bit lane could carry into its neighbor).
+    *
+    * r12 (VERDICT #4): this replaces a collect_list(struct(df, gram))
+    * aggregate whose projection ran array_sort + two interpreted
+    * higher-order transform lambdas per doc — boxed containers and
+    * non-codegen expression trees in the family's hottest aggregate.
+    * The exchange carries the same (doc, s, df, gram) rows either way
+    * (collect_list has no map-side combine); the per-doc sort+lambda
+    * CPU becomes one codegen'd sort plus a boxing-free linear pass.
+    * DedupSpec pins this builder cell-equal to the old aggregate
+    * formulation, and the end-to-end pair set is brute-force-pinned. */
+  private[graft] def ngramDocArrays(ex: DataFrame, freq2: DataFrame): DataFrame = {
+    val spark = ex.sparkSession
+    import spark.implicits._
+    val sorted = ex.join(freq2, Seq("gram"), "left")
+      .select($"doc_id", $"s", coalesce($"df", lit(1L)).as("df"), $"gram")
+      .repartition($"doc_id")
+      .sortWithinPartitions($"doc_id", $"df", $"gram")
+      .as[(Long, Int, Long, Long)]
+    sorted.mapPartitions { it =>
+      new Iterator[(Long, Int, Array[Long], Array[Long],
+          Long, Long, Long, Long, Long, Long, Long, Long)] {
+        private var has = it.hasNext
+        private var cur: (Long, Int, Long, Long) = if (has) it.next() else null
+        def hasNext: Boolean = has
+        def next(): (Long, Int, Array[Long], Array[Long],
+            Long, Long, Long, Long, Long, Long, Long, Long) = {
+          val docId = cur._1
+          val s = cur._2
+          // explodedShingles emits exactly one row per distinct gram,
+          // so a doc's row count IS s: exact-size allocations, no
+          // growth or trimming
+          val g = new Array[Long](s)
+          val sk = new Array[Long](SketchWords)
+          val sketchable = s < SketchMaxS
+          var i = 0
+          var more = true
+          while (more) {
+            val gram = cur._4
+            g(i) = gram
+            i += 1
+            if (sketchable) {
+              val b = (((gram % 32) + 32) % 32).toInt // pmod(gram, 32)
+              sk(b / 4) += 1L << (16 * (b % 4))
+            }
+            if (it.hasNext) {
+              cur = it.next()
+              if (cur._1 != docId) more = false
+            } else { has = false; more = false }
+          }
+          // same arithmetic as the SQL int(s - ceil(s * tau) + 1):
+          // long-double multiply, ceil, truncate
+          val nPrefix = (s - math.ceil(s * Tau).toLong + 1).toInt
+          val prefix = java.util.Arrays.copyOfRange(g, 0, math.min(nPrefix, i))
+          (docId, s, g, prefix, sk(0), sk(1), sk(2), sk(3), sk(4), sk(5), sk(6), sk(7))
+        }
+      }
+    }.toDF("doc_id" +: "s" +: "g" +: "prefix" +:
+      (0 until SketchWords).map(w => s"sk$w"): _*)
+  }
+
   /** The verified (id_a, id_b, j_bp) near-dup pairs behind
     * [[dedupNgramJaccard]], unordered. Returned frame is PERSISTED and
     * materialized (its persisted inputs are already released) — callers
@@ -159,37 +231,14 @@ object DedupQueries {
     val freq2 = ex.groupBy($"gram").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2)
 
-    // ONE doc-keyed aggregate builds verify arrays, prefixes, AND the
-    // gram-count sketch lanes — per doc: the sorted hashed-shingle
-    // array `g` (exact-jaccard verify input), the rarest-prefix gram
-    // list (the first s - ceil(tau*s) + 1 grams under the global
-    // (df, gram) order, sorted per doc after collection), and 8 packed
-    // sketch longs (see SketchWords). The earlier formulation
-    // computed prefixes with a corpus-wide row_number window — a
-    // second full shuffle AND sort of every (doc, gram) row that this
-    // aggregate's per-doc array sort replaces; at sf100 that exchange
+    // ONE doc-keyed pass builds verify arrays, prefixes, AND the
+    // gram-count sketch lanes — see [[ngramDocArrays]]. The earlier
+    // formulation computed prefixes with a corpus-wide row_number
+    // window — a second full shuffle AND sort of every (doc, gram) row
+    // that this pass's doc-keyed sort replaces; at sf100 that exchange
     // (with the separate verify-array shuffle it duplicated) was a
     // double-digit-GB contributor to the run that filled the disk.
-    val sketchAggs = (0 until SketchWords).map { w =>
-      // bucket = low 5 bits of the (uniform) gram hash; lane w*4+b
-      // accumulates at bit 16·b of long w (gram read from the kg
-      // struct so the pre-aggregate exchange carries no extra column).
-      // The s-bound lives INSIDE the aggregate: an unguarded sum over
-      // an oversized doc would ANSI-overflow before any filter could
-      // skip it (see SketchMaxS)
-      sum(expr(s"CASE WHEN s < $SketchMaxS AND pmod(kg.gram, 32L) div 4 = " + w +
-        " THEN shiftleft(1L, 16 * int(pmod(kg.gram, 32L) % 4)) ELSE 0L END")).as(s"sk$w")
-    }
-    val arrays = ex.join(freq2, Seq("gram"), "left")
-      .select($"doc_id", $"s",
-        struct(coalesce($"df", lit(1L)).as("df"), $"gram").as("kg"))
-      .groupBy($"doc_id")
-      .agg(first($"s").as("s"), collect_list($"kg").as("kgs") +: sketchAggs: _*)
-      .select($"doc_id" +: $"s" +:
-        sort_array(transform($"kgs", x => x("gram"))).as("g") +:
-        expr(s"transform(slice(array_sort(kgs), 1, int(s - ceil(s * $Tau) + 1)), x -> x.gram)")
-          .as("prefix") +:
-        (0 until SketchWords).map(w => col(s"sk$w")): _*)
+    val arrays = ngramDocArrays(ex, freq2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Prefix rows carry their 1-based POSITION, which — because the

@@ -107,10 +107,19 @@ object ImageDedupQueries {
     * widths and pins pair-set equality (completeness does not depend
     * on the width, so the adaptive switch can never change results). */
   private[graft] def dedupImagePhashBlocks(
-      spark: SparkSession, dir: String, blocks: Int): DataFrame = {
+      spark: SparkSession, dir: String, blocks: Int): DataFrame =
+    pairsFromHashes(
+      Multimodal.decodeImagePhash(encodedCorpus(spark, dir)).toDF("media_id", "phash"),
+      blocks)
+
+  /** The banding + verify pair pipeline over a prebuilt (media_id,
+    * phash) frame — split out (r12) so the codec A/B diag can time the
+    * FULL query with an alternative decode stage feeding the identical
+    * pair plan. Production always feeds it the fast-path corpus. */
+  private[graft] def pairsFromHashes(hashes0: DataFrame, blocks: Int): DataFrame = {
+    val spark = hashes0.sparkSession
     import spark.implicits._
-    val hashes = Multimodal.decodeImagePhash(encodedCorpus(spark, dir))
-      .toDF("media_id", "phash")
+    val hashes = hashes0
       // persisted: the bucket frame feeds both sides of the candidate
       // self-join (and the hot-bucket anti-join) — without the cache
       // the encode+decode+hash pipeline executes up to 4x

@@ -72,6 +72,61 @@ object CellDiag {
           .write.format("noop").mode("overwrite").save()
         drain.drain("score_join", t0)
         docGrams.unpersist(); model.unpersist()
+      case "ngram_ab" =>
+        // within-JVM alternating A/B of the ngram per-doc arrays stage
+        // (r12, VERDICT #4): the box's minute-scale throttle waves make
+        // cross-JVM cells incomparable (identical-code boards measured
+        // 10x cell swings), so both formulations run interleaved in ONE
+        // session over the SAME persisted shingle input — adjacent runs
+        // share the throttle state and the comparison is the medians.
+        val exAb = graft.operators.DedupQueries.explodedShingles(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[diag] shingle_rows=${exAb.count()}")
+        val freq2Ab = exAb.groupBy($"gram").agg(count(lit(1)).as("df"))
+          .filter($"df" >= 2)
+        val tau = graft.operators.DedupQueries.Tau
+        val sw = graft.operators.DedupQueries.SketchWords
+        val smax = graft.operators.DedupQueries.SketchMaxS
+        // the pre-r12 formulation, verbatim
+        def oldArrays() = {
+          val sketchAggs = (0 until sw).map { w =>
+            sum(expr(s"CASE WHEN s < $smax AND pmod(kg.gram, 32L) div 4 = " + w +
+              " THEN shiftleft(1L, 16 * int(pmod(kg.gram, 32L) % 4)) ELSE 0L END")).as(s"sk$w")
+          }
+          exAb.join(freq2Ab, Seq("gram"), "left")
+            .select($"doc_id", $"s",
+              struct(coalesce($"df", lit(1L)).as("df"), $"gram").as("kg"))
+            .groupBy($"doc_id")
+            .agg(first($"s").as("s"), collect_list($"kg").as("kgs") +: sketchAggs: _*)
+            .select($"doc_id" +: $"s" +:
+              sort_array(transform($"kgs", x => x("gram"))).as("g") +:
+              expr(s"transform(slice(array_sort(kgs), 1, int(s - ceil(s * $tau) + 1)), x -> x.gram)")
+                .as("prefix") +:
+              (0 until sw).map(w => col(s"sk$w")): _*)
+        }
+        // stage-plan evidence for plans/r12: the committed query plans
+        // only show the materialized tail (the pairs frame is persisted
+        // inside ngramJaccardPairs), so the judged claim — no
+        // ObjectHashAggregate / interpreted lambdas in the arrays stage
+        // — is dumped from the stage subplans themselves
+        sys.env.get("GRAFT_AB_PLANDIR").foreach { pd =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pd))
+          def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(pd, name),
+              df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+          dump("dedup_ngram_jaccard_arrays_stage_before.txt", oldArrays())
+          dump("dedup_ngram_jaccard_arrays_stage_after.txt",
+            graft.operators.DedupQueries.ngramDocArrays(exAb, freq2Ab))
+        }
+        for (rep <- 1 to sys.env.getOrElse("GRAFT_AB_REPS", "6").toInt; v <- Seq("old", "new")) {
+          val t = System.nanoTime()
+          val arr = if (v == "old") oldArrays()
+            else graft.operators.DedupQueries.ngramDocArrays(exAb, freq2Ab)
+          arr.write.format("noop").mode("overwrite").save()
+          println(f"[diag] arrays_$v%s rep=$rep%d ${(System.nanoTime() - t) / 1e9}%.2f s")
+        }
+        exAb.unpersist()
       case "zstats" =>
         // phase split mirrors ioStatsPruneScan exactly (r12: the cell
         // ran at EXACTLY 1.00x between 8 and 32 cores — attribute the

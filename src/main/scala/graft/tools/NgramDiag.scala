@@ -33,19 +33,10 @@ object NgramDiag {
     println(s"[diag] shingle_rows=${ex.count()}")
 
     val freq2 = ex.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" >= 2)
-    val sketchAggs = (0 until SketchWords).map { w =>
-      sum(expr(s"CASE WHEN s < $SketchMaxS AND pmod(kg.gram, 32L) div 4 = " + w +
-        " THEN shiftleft(1L, 16 * int(pmod(kg.gram, 32L) % 4)) ELSE 0L END")).as(s"sk$w")
-    }
-    val arrays = ex.join(freq2, Seq("gram"), "left")
-      .select($"doc_id", $"s",
-        struct(coalesce($"df", lit(1L)).as("df"), $"gram").as("kg"))
-      .groupBy($"doc_id")
-      .agg(first($"s").as("s"), collect_list($"kg").as("kgs") +: sketchAggs: _*)
-      .select($"doc_id" +: $"s" +:
-        expr(s"transform(slice(array_sort(kgs), 1, int(s - ceil(s * $Tau) + 1)), x -> x.gram)")
-          .as("prefix") +:
-        (0 until SketchWords).map(w => col(s"sk$w")): _*)
+    // the SAME arrays builder production runs (r12: sort + linear
+    // mapPartitions pass — a diag measuring a plan production no
+    // longer runs adjudicates nothing)
+    val arrays = graft.operators.DedupQueries.ngramDocArrays(ex, freq2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[diag] docs=${arrays.count()}")
 

@@ -147,6 +147,44 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty, "corpus should contain near-dup pairs")
   }
 
+  test("ngramDocArrays == old collect_list/array_sort aggregate, cell for cell (sf0.001)") {
+    import spark.implicits._
+    val tau = DedupQueries.Tau
+    val ex = DedupQueries.explodedShingles(spark, sf)
+    val freq2 = ex.groupBy($"gram").agg(count(lit(1)).as("df")).filter($"df" >= 2)
+
+    // the pre-r12 formulation, verbatim: collect_list(struct(df, gram))
+    // + per-doc array_sort + transform lambdas + 8 CASE-sum lanes
+    val sketchAggs = (0 until DedupQueries.SketchWords).map { w =>
+      sum(expr(s"CASE WHEN s < ${DedupQueries.SketchMaxS} AND pmod(kg.gram, 32L) div 4 = " + w +
+        " THEN shiftleft(1L, 16 * int(pmod(kg.gram, 32L) % 4)) ELSE 0L END")).as(s"sk$w")
+    }
+    val old = ex.join(freq2, Seq("gram"), "left")
+      .select($"doc_id", $"s",
+        struct(coalesce($"df", lit(1L)).as("df"), $"gram").as("kg"))
+      .groupBy($"doc_id")
+      .agg(first($"s").as("s"), collect_list($"kg").as("kgs") +: sketchAggs: _*)
+      .select($"doc_id" +: $"s" +:
+        sort_array(transform($"kgs", x => x("gram"))).as("g") +:
+        expr(s"transform(slice(array_sort(kgs), 1, int(s - ceil(s * $tau) + 1)), x -> x.gram)")
+          .as("prefix") +:
+        (0 until DedupQueries.SketchWords).map(w => col(s"sk$w")): _*)
+
+    def key(df: org.apache.spark.sql.DataFrame, sortG: Boolean) = df.collect().map { r =>
+      val g = r.getSeq[Long](2)
+      r.getLong(0) -> (r.getInt(1), (if (sortG) g.sorted else g).toList,
+        r.getSeq[Long](3).toList, (4 until 12).map(r.getLong).toList)
+    }.toMap
+
+    // g's emission order is free (array_intersect consumer) — compare
+    // it as a sorted multiset; prefix and sketch lanes must be exact
+    val now = key(DedupQueries.ngramDocArrays(ex, freq2), sortG = true)
+    val was = key(old, sortG = false) // old g is already sort_array'd
+    assert(now.keySet === was.keySet)
+    now.foreach { case (id, cell) => assert(cell === was(id), s"doc $id") }
+    assert(now.nonEmpty)
+  }
+
   test("minhash-LSH clusters: no false positives, high recall vs exact jaccard (sf0.001)") {
     import spark.implicits._
     val tau = 0.7
